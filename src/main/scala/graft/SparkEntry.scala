@@ -1,13 +1,344 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.ext._
+import graft.streaming.StreamingOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (T1-T9, S6, and the BASELINE
+  * north-star extensions) has a `queries` entry; each SQL-expressible one
+  * has a matching DuckDB `oracleSql` entry producing identical rows in
+  * identical order with identical column names.
+  *
+  * Determinism conventions (shared by query + oracle):
+  *  - total ORDER BY on every result (null keys via COALESCE(k,-1));
+  *  - aggregate sums as DECIMAL(18,4) per-row casts (exact, order-free);
+  *  - integer SUMs cast to BIGINT on the DuckDB side (its SUM(int)
+  *    returns HUGEINT);
+  *  - timestamps emitted as epoch seconds / DATE, never raw (fixture ts
+  *    is ns; Spark reads micros);
+  *  - cross-engine hashing only via md5; ratios divide exact integers.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Aggregates.revenueByNation(
+      Tables.read(spark, dir, "orders"),
+      Tables.read(spark, dir, "customer"),
+      Tables.read(spark, dir, "nation"))
+  }
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame = Tables.read(s, dir, t)
+
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Parity: cleaning (T1, T2) ----
+    "t1_fill_nulls" -> ((s, dir) =>
+      Cleaning.fillNulls(rd(s, dir, "customer")).orderBy(col("c_custkey"))),
+    "t2_dedup" -> ((s, dir) =>
+      Cleaning.dedup(rd(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    // ---- Parity: mutation (T3, T3b, T4, T8) ----
+    "t3_replace_value" -> ((s, dir) =>
+      Mutation.replaceValue(rd(s, dir, "orders"), "o_orderstatus", "O", "OPEN")
+        .select(col("o_orderkey"), col("o_orderstatus")).orderBy(col("o_orderkey"))),
+    "t3b_regex_replace" -> ((s, dir) =>
+      Mutation.regexReplace(rd(s, dir, "customer"), "c_name", "^Customer#0+", "C-")
+        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))),
+    "t4_filter_contains" -> ((s, dir) =>
+      Mutation.filterContains(rd(s, dir, "customer"), "c_name", "99")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+    "t8_cast_column" -> ((s, dir) => {
+      val a = Mutation.castColumn(rd(s, dir, "orders"), "o_orderdate", "date")
+      val b = Columns.splitColumnLiteral(a, "o_orderpriority", "-")
+      Mutation.castColumn(b, "o_orderpriority_1", "integer")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority_1").as("priority_num"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // ---- Parity: column ops (T5, T6, T7) ----
+    "t5_transpose" -> ((s, dir) =>
+      Reshape.transpose(rd(s, dir, "region"), "r_name").orderBy(col("column_name"))),
+    "t6_split_column" -> ((s, dir) =>
+      Columns.splitColumnLiteral(rd(s, dir, "customer"), "c_name", "#")
+        .select(col("c_custkey"), col("c_name_1"), col("c_name_2"))
+        .orderBy(col("c_custkey"))),
+    "t7_merge_columns" -> ((s, dir) =>
+      Columns.mergeColumns(rd(s, dir, "nation"), "nation_label", "-",
+        Seq("n_name", "n_regionkey"))
+        .select(col("n_nationkey"), col("nation_label")).orderBy(col("n_nationkey"))),
+    // ---- Parity: joins (T9) + union (S6) ----
+    "t9_join_inner" -> ((s, dir) => joinQuery(s, dir, "inner")),
+    "t9_join_left" -> ((s, dir) => joinQuery(s, dir, "left")),
+    "t9_join_right" -> ((s, dir) => joinQuery(s, dir, "right")),
+    "t9_join_outer" -> ((s, dir) => joinQuery(s, dir, "outer")),
+    "s6_union_by_name" -> ((s, dir) => {
+      val a = rd(s, dir, "nation").select(col("n_name").as("name"), col("n_nationkey").as("src_key"))
+      val b = rd(s, dir, "region").select(col("r_name").as("name"))
+      Sources.unionAll(Seq(a, b))
+        .orderBy(col("name"), coalesce(col("src_key"), lit(-1)))
+    }),
+    // ---- Extensions: aggregates / windows ----
+    "q1_pricing_summary" -> ((s, dir) => Aggregates.pricingSummary(rd(s, dir, "lineitem"))),
+    "q_revenue_by_nation" -> ((s, dir) =>
+      Aggregates.revenueByNation(rd(s, dir, "orders"), rd(s, dir, "customer"), rd(s, dir, "nation"))),
+    "q_top_customers" -> ((s, dir) =>
+      Aggregates.topCustomers(rd(s, dir, "orders"), rd(s, dir, "customer"))),
+    "q_order_stats" -> ((s, dir) => Aggregates.orderStats(rd(s, dir, "orders"))),
+    "q_order_stats_approx" -> ((s, dir) => Aggregates.orderStatsApprox(rd(s, dir, "orders"))),
+    "q_window_top_order" -> ((s, dir) =>
+      Aggregates.largestOrderPerCustomer(rd(s, dir, "orders"))),
+    "q_rollup" -> ((s, dir) =>
+      Aggregates.customerRollup(rd(s, dir, "customer"), rd(s, dir, "nation"), rd(s, dir, "region"))),
+    // ---- Extensions: events / temporal ----
+    "q_events_hourly" -> ((s, dir) => Events.hourlyByType(rd(s, dir, "events"))),
+    "q_events_json" -> ((s, dir) => Events.propsKStats(rd(s, dir, "events"))),
+    "q_events_sessions" -> ((s, dir) => Events.sessionCounts(rd(s, dir, "events"))),
+    "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
+    // ---- Extensions: text analysis ----
+    "d_token_count" -> ((s, dir) => TextOps.tokenCount(rd(s, dir, "documents"))),
+    "d_subword_count" -> ((s, dir) => TextOps.subwordCount(rd(s, dir, "documents"))),
+    "d_lang_id" -> ((s, dir) => TextOps.langId(rd(s, dir, "documents"))),
+    "d_quality_score" -> ((s, dir) => TextOps.qualityScore(rd(s, dir, "documents"))),
+    "d_fingerprint" -> ((s, dir) => TextOps.fingerprint(rd(s, dir, "documents"))),
+    // ---- Extensions: dedup ----
+    "d_dedup_exact" -> ((s, dir) => Dedup.exactDedup(rd(s, dir, "documents"))),
+    "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(rd(s, dir, "documents"))),
+    "d_minhash_lsh" -> ((s, dir) => Dedup.minhashDedup(rd(s, dir, "documents"))),
+    "d_simhash" -> ((s, dir) => Dedup.simhash16(rd(s, dir, "documents"))),
+    "d_simhash64" -> ((s, dir) => Dedup.simhash64(rd(s, dir, "documents"))),
+    // ---- Extensions: similarity search ----
+    "e_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), 0L, 10)),
+    "e_ann_lsh" -> ((s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 0L, 10)),
+    "e_embedding_neardup" -> ((s, dir) => Similarity.topCosinePairs(rd(s, dir, "embeddings"), 20)),
+    // ---- Extensions: multimodal plumbing ----
+    "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(rd(s, dir, "documents"))),
+    "m_frame_hash" -> ((s, dir) => Multimodal.frameSample(rd(s, dir, "documents"))),
+    "m_features" -> ((s, dir) => Multimodal.extractFeatures(rd(s, dir, "documents"))),
+    // ---- Extensions: structured streaming ----
+    "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
+    "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir))
+  )
+
+  private def joinQuery(s: SparkSession, dir: String, how: String): DataFrame =
+    Relational.join(rd(s, dir, "orders"), rd(s, dir, "customer"),
+      "o_custkey", "c_custkey", how, broadcastRight = how == "inner")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"), col("c_name"))
+      .orderBy(coalesce(col("o_orderkey"), lit(-1L)), coalesce(col("c_custkey"), lit(-1L)))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — one per SQL-expressible query above.
+  // ---------------------------------------------------------------------
+
+  private val enStop = "'the','a','of','and','to','in','is'"
+  private val esStop = "'el','la','de','que','y','los'"
+  private val deStop = "'der','die','das','und','ist','ein'"
+  private val frStop = "'le','la','les','et','des','un'"
+
+  private def hitsSql(words: String) =
+    s"CAST(len(list_filter(string_split(text,' '), w -> w IN ($words))) AS BIGINT)"
+
+  /** Exact word-3-gram pairwise Jaccard in DuckDB — the contract oracle
+    * for both the inverted-index (d_ngram_jaccard) and MinHash+LSH
+    * (d_minhash_lsh) pipelines.
+    */
+  private def jaccardSql(minJ: Double) =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM pos),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(CAST(c AS DOUBLE)/(x.n + y.n - c), 4) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= $minJ
+ORDER BY doc_a, doc_b"""
+
+  private val cosSql =
+    "list_dot_product(%A%, %B%) / (sqrt(list_dot_product(%A%, %A%)) * sqrt(list_dot_product(%B%, %B%)))"
+  private def cos(a: String, b: String) = cosSql.replace("%A%", a).replace("%B%", b)
+
+  private def joinOracle(kw: String) =
+    s"""SELECT o_orderkey, o_custkey, c_custkey, c_name
+FROM orders $kw customer ON o_custkey = c_custkey
+ORDER BY COALESCE(o_orderkey, -1), COALESCE(c_custkey, -1)"""
+
+  private val eventsHourlyOracle =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted (=> driver rows-only check):
+    * t5_transpose (non-SQL reshape), q_order_stats_approx / d_simhash64 /
+    * e_ann_lsh (engine-specific hashing/sketches), m_features (opaque
+    * binary decode stub), st_user_counts (stateful stream, double-sum
+    * accumulation order).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "t1_fill_nulls" ->
+      """SELECT COALESCE(c_custkey, 0) AS c_custkey, COALESCE(c_name, 'UNKNOWN') AS c_name,
+  COALESCE(c_nationkey, 0) AS c_nationkey, COALESCE(c_acctbal, 0.0) AS c_acctbal,
+  COALESCE(c_mktsegment, 'UNKNOWN') AS c_mktsegment
+FROM customer ORDER BY c_custkey""",
+    "t2_dedup" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "t3_replace_value" ->
+      """SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN 'OPEN' ELSE o_orderstatus END AS o_orderstatus
+FROM orders ORDER BY o_orderkey""",
+    "t3b_regex_replace" ->
+      "SELECT c_custkey, regexp_replace(c_name, '^Customer#0+', 'C-') AS c_name FROM customer ORDER BY c_custkey",
+    "t4_filter_contains" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE contains(c_name, '99') ORDER BY c_custkey",
+    "t6_split_column" ->
+      """SELECT c_custkey, str_split(c_name, '#')[1] AS c_name_1, str_split(c_name, '#')[2] AS c_name_2
+FROM customer ORDER BY c_custkey""",
+    "t7_merge_columns" ->
+      "SELECT n_nationkey, concat_ws('-', n_name, n_regionkey) AS nation_label FROM nation ORDER BY n_nationkey",
+    "t8_cast_column" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  TRY_CAST(str_split(o_orderpriority, '-')[1] AS INTEGER) AS priority_num
+FROM orders ORDER BY o_orderkey""",
+    "t9_join_inner" -> joinOracle("JOIN"),
+    "t9_join_left" -> joinOracle("LEFT JOIN"),
+    "t9_join_right" -> joinOracle("RIGHT JOIN"),
+    "t9_join_outer" -> joinOracle("FULL OUTER JOIN"),
+    "s6_union_by_name" ->
+      """SELECT name, src_key FROM (
+  SELECT n_name AS name, n_nationkey AS src_key FROM nation
+  UNION ALL BY NAME
+  SELECT r_name AS name FROM region
+) ORDER BY name, COALESCE(src_key, -1)""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_revenue_by_nation" ->
+      """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""",
+    "q_top_customers" ->
+      """SELECT t.o_custkey, c.c_name, t.total_spend, t.n_orders
+FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey) t
+JOIN customer c ON t.o_custkey = c.c_custkey
+ORDER BY total_spend DESC, o_custkey LIMIT 10""",
+    "q_order_stats" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice AS top_price
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+ORDER BY o_custkey""",
+    "q_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q_events_hourly" -> eventsHourlyOracle,
+    "q_events_json" ->
+      """SELECT event_type,
+  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)) AS min_k,
+  MAX(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)) AS max_k,
+  COUNT(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)) AS n_k
+FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_events_sessions" ->
+      """WITH g AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events)
+SELECT user_id,
+  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+  COUNT(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS len_chars
+FROM documents ORDER BY doc_id""",
+    "d_subword_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subwords
+FROM documents ORDER BY doc_id""",
+    "d_lang_id" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+  ${hitsSql(enStop)} AS en_hits, ${hitsSql(esStop)} AS es_hits,
+  ${hitsSql(deStop)} AS de_hits, ${hitsSql(frStop)} AS fr_hits
+FROM documents)
+SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+  CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'unknown'
+       WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+       WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+       WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM h ORDER BY doc_id""",
+    "d_quality_score" ->
+      s"""WITH q AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  ${hitsSql(enStop)} AS stop_hits
+FROM documents)
+SELECT doc_id, n_tokens,
+  ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+  ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+  ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7
+        + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3, 4) AS quality
+FROM q ORDER BY doc_id""",
+    "d_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id""",
+    "d_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+FROM documents GROUP BY fp ORDER BY keep_id""",
+    "d_ngram_jaccard" -> jaccardSql(0.3),
+    "d_minhash_lsh" -> jaccardSql(0.9),
+    "d_simhash" -> {
+      val high = "('8','9','a','b','c','d','e','f')"
+      val bitSums = (0 until 16).map(j =>
+        s"CAST(SUM(CASE WHEN substr(md5(w), ${j + 1}, 1) IN $high THEN 1 ELSE -1 END) AS BIGINT) AS b$j")
+        .mkString(",\n  ")
+      val bits = (0 until 16).map(j => s"CASE WHEN b$j >= 0 THEN '1' ELSE '0' END").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+b AS (SELECT doc_id,
+  $bitSums
+FROM w GROUP BY doc_id)
+SELECT doc_id, concat($bits) AS simhash_bits FROM b ORDER BY doc_id"""
+    },
+    "e_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(${cos("embedding::DOUBLE[]", "qv")}, 4) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "e_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND(${cos("a.v", "b.v")}, 4) AS cos_sim
+FROM e a, e b WHERE a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
+    "m_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+FROM documents ORDER BY doc_id""",
+    "m_frame_hash" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+  md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
+FROM documents, (SELECT unnest(range(4)) AS i)
+WHERE length(text) >= i * 32 + 1
+ORDER BY doc_id, frame_idx""",
+    "st_events_hourly" -> eventsHourlyOracle
+  )
 }

@@ -6,11 +6,18 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI off: null-on-bad-cast semantics, matching the reference's
+      // runtime behavior and DuckDB TRY_CAST (SURVEY.md §7 risk register).
+      .config("spark.sql.ansi.enabled", "false")
+      // fixture events.ts is parquet TIMESTAMP(NANOS): read as ns-long
+      // (graft.ext.Events.normalizeTs converts to micros downstream)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

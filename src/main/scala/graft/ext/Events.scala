@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Temporal / event-stream ops over the `events` fixture
+  * (FIXTURES.md: event_id, ts, user_id, event_type, value, props-JSON).
+  * The reference has no temporal operators (SURVEY.md §2.4); these are
+  * BASELINE north-star extensions. Batch forms here; streaming forms in
+  * graft.streaming.StreamingOps share the same aggregation shape.
+  *
+  * Timestamp-determinism policy: fixture `ts` is parquet timestamp[ns];
+  * Spark truncates to micros on read while DuckDB keeps ns, so oracle
+  * queries never emit raw timestamps — window starts are emitted as
+  * epoch SECONDS (bigint), which both engines agree on exactly.
+  */
+object Events {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** Fixture `ts` is parquet TIMESTAMP(NANOS), which Spark only reads
+    * via `spark.sql.legacy.parquet.nanosAsLong=true` (as an ns-epoch
+    * long). Convert ns -> us with integer division (floor — the same
+    * truncation DuckDB's epoch_us applies), then to a proper timestamp.
+    */
+  def normalizeTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType => events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => events
+    }
+
+  /** Tumbling-window aggregate (1 hour) per event type. Uses Spark's
+    * `window()` — the same expression the streaming variant uses, so
+    * batch and stream share one definition.
+    */
+  def hourlyByType(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  /** JSON extraction from the `props` column (`{"k": 87}`) — the
+    * fixtures' motivation for from_json/get_json_object (SURVEY.md §1).
+    * get_json_object is a codegen'd path extractor; no UDF.
+    */
+  def propsKStats(eventsRaw: DataFrame): DataFrame = {
+    val events = eventsRaw
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k").cast(LongType)).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sessionization by inactivity gap: a new session starts when the gap
+    * to the user's previous event exceeds `gapMinutes`. One shuffle on
+    * user_id; the lag/cumsum pattern is the standard distributed
+    * sessionizer (vs. the streaming variant's mapGroupsWithState).
+    * Gaps compare in microseconds (unix_micros) — exact integers.
+    */
+  def sessionCounts(eventsRaw: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapMicros, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-type daily counts — partition-prunable shape: if `events` were
+    * written partitioned by date (Sinks.parquet(partitionBy=day)), this
+    * query reads only matching partitions at 100 TB.
+    */
+  def dailyFunnel(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads modelled as
+  * opaque `binary` columns with typed metadata structs.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (byte histogram standing in for
+  * "decoded features"); everything Spark-side — schema, batching,
+  * partition behavior, typed mapPartitions plumbing — is real and
+  * tested, and a codec would drop into [[extractFeatures]] unchanged.
+  */
+object Multimodal {
+
+  /** Attach a fake binary payload + metadata struct to documents:
+    * `payload binary, meta struct<n_bytes bigint, n_frames bigint>`.
+    * In production the payload column arrives from the source (parquet
+    * binary / object-store pointers); derivation here is only for tests.
+    */
+  def withPayload(docs: DataFrame, frameBytes: Int = 32): DataFrame =
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("bigint").as("n_frames")))
+
+  /** Metadata projection — the cheap path that must NOT decode payloads:
+    * column pruning means a 100 TB binary column is never read when only
+    * meta is selected.
+    */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    withPayload(docs).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.n_frames").as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling: fixed-stride slices of the payload (video
+    * frame-sample analogue), fingerprinted per frame. Pure built-ins —
+    * explode(sequence) x substring — so it fuses into the scan.
+    */
+  def frameSample(docs: DataFrame, frameChars: Int = 32, maxFrames: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(maxFrames - 1))).as("frame_idx"))
+      .filter(length(col("text")) >= col("frame_idx") * frameChars + 1)
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        md5(expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** DECODE STUB + feature extraction via typed mapPartitions — the
+    * Scala analogue of a batched Pandas-UDF decode stage. Batch shape:
+    * one partition of (id, payload) pairs in, one partition of fixed-dim
+    * feature vectors out. Replace the histogram with a real codec call
+    * for actual media.
+    */
+  def extractFeatures(docs: DataFrame, bins: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // ---- DECODE STUB: deterministic fake. A real implementation
+          // would decode image/audio here; the container has no codecs.
+          val hist = new Array[Float](bins)
+          bytes.foreach(b => hist((b & 0xff) * bins / 256) += 1f)
+          val n = math.max(bytes.length, 1).toFloat
+          (id, bytes.length.toLong, hist.map(_ / n))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "features")
+      .orderBy(col("doc_id"))
+  }
+}

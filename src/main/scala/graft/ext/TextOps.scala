@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` fixture (doc_id, text, lang,
+  * source, n_chars) — training-data-pipeline ops: token counting,
+  * language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * Everything here is built-in-function only (codegen'd, zero UDFs):
+  * at 100 TB of text these run inside WholeStageCodegen over the scan,
+  * no shuffle until the (optional) aggregate.
+  *
+  * Cross-engine determinism: hashes use md5 (identical in Spark and
+  * DuckDB); ratios divide exact integers so the double result is
+  * bit-identical per row in both engines.
+  */
+object TextOps {
+
+  /** Whitespace tokens — fixture text is single-space separated. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+      length(col("text")).cast("bigint").as("len_chars"))
+      .orderBy(col("doc_id"))
+
+  /** BPE-ish subword count: maximal runs of word chars plus isolated
+    * punctuation — the standard pre-tokenizer regex shape.
+    */
+  def subwordCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("bigint").as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isInCollection(words))).cast("bigint")
+
+  /** Language-ID heuristic: stopword-hit voting with a deterministic
+    * tie-break (en > es > de > fr > unknown). A real system would use
+    * character n-gram profiles; the voting skeleton is the same shape —
+    * per-row, no shuffle.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val en = hits(t, stopwords("en"))
+    val es = hits(t, stopwords("es"))
+    val de = hits(t, stopwords("de"))
+    val fr = hits(t, stopwords("fr"))
+    val best = greatest(en, es, de, fr)
+    docs.select(
+      col("doc_id"), col("lang"),
+      en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
+      when(best === 0, "unknown")
+        .when(en === best, "en")
+        .when(es === best, "es")
+        .when(de === best, "de")
+        .otherwise("fr").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * composite score in [0,1]. Ratios rounded to 4 dp (identical
+    * per-row double math in both engines, so rounding is stable).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("bigint")
+    val nChar = length(col("text")).cast("bigint")
+    // chars excluding separators = len - (n_tokens - 1)
+    val meanTokLen = (nChar - (nTok - lit(1))).cast("double") / nTok.cast("double")
+    val stopRatio = hits(t, stopwords("en")).cast("double") / nTok.cast("double")
+    val lengthScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(meanTokLen, 4).as("mean_token_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(lengthScore * lit(0.7) + stopRatio * lit(0.3), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Normalize-then-hash document fingerprint: md5 of
+    * lowercase(whitespace-collapsed) text. md5 agrees across engines, so
+    * the fingerprint is portable — it is also the grouping key for
+    * [[Dedup.exactDedup]].
+    */
+  def fingerprintCol(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")))
+
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Cleaning transforms (reference: simple_etl.py:150-210, SURVEY.md §2.2
+  * T1-T2). Pure `DataFrame => DataFrame`; no action is triggered here —
+  * the reference ran two `count()` actions per dedup just to report a
+  * removed-rows number (simple_etl.py:204-206); we leave counting to the
+  * caller so the plan stays lazy.
+  */
+object Cleaning {
+
+  /** T1 — fill nulls across all columns: string columns get `text`,
+    * numeric columns get `num` (reference: simple_etl.py:192-199 does
+    * `na.fill(fill_val)` then `na.fill(0)`; Spark's typed fill already
+    * restricts each call to matching column types, so semantics are
+    * preserved for free).
+    */
+  def fillNulls(df: DataFrame, text: String = "UNKNOWN", num: Double = 0d): DataFrame =
+    df.na.fill(text).na.fill(num)
+
+  /** T1 (column-scoped variant) — fill only the given columns. */
+  def fillNullsIn(df: DataFrame, text: String, num: Double, cols: Seq[String]): DataFrame =
+    df.na.fill(text, cols).na.fill(num, cols)
+
+  /** T2 — exact deduplication over all columns
+    * (reference: simple_etl.py:203-210, `df.dropDuplicates()`).
+    * Distributed cost model: one hash shuffle on all columns; at scale
+    * prefer `dedupByKey` below when a subset of columns identifies a row
+    * (smaller shuffle key, map-side partial dedup).
+    */
+  def dedup(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** T2 (keyed variant) — dedup on a subset of columns; keeps an
+    * arbitrary row per key, matching `dropDuplicates(cols)` semantics.
+    */
+  def dedupByKey(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Removed-row count for UIs that need the reference's report line
+    * (simple_etl.py:207). Two actions — call sparingly.
+    */
+  def dedupRemovedCount(df: DataFrame): Long = df.count() - df.dropDuplicates().count()
+}

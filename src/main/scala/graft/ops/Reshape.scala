@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reshape ops (reference: simple_etl.py:244-251 transpose;
+  * preview at :173,:365 — SURVEY.md §2.2 T5, §2.4 limits).
+  */
+object Reshape {
+
+  /** T5 — full-table transpose (rows <-> columns).
+    *
+    * The reference falls back to pandas `df.T` and itself warns Spark
+    * has no native transpose (simple_etl.py:244-251). A transpose of an
+    * arbitrary table is inherently bounded: the OUTPUT column count
+    * equals the input ROW count, and Spark (like any engine) caps
+    * practical column counts at a few thousand — so this is a
+    * small-table op by construction, guarded by `maxRows`.
+    *
+    * Implementation is still distributed until the final pivot:
+    * cast-to-string -> unpivot (Spark 4 `melt`) -> `groupBy(col).pivot(row)`.
+    */
+  def transpose(df: DataFrame, idColumn: String, maxRows: Int = 1000): DataFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows, s"transpose guard: > $maxRows rows (reference was pandas-only too)")
+    val valueCols = df.columns.filter(_ != idColumn)
+    val strDf = valueCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("string")))
+    val melted = strDf.melt(
+      ids = Array(col(idColumn)),
+      values = valueCols.map(col),
+      variableColumnName = "column_name",
+      valueColumnName = "value")
+    melted.groupBy("column_name").pivot(idColumn).agg(first("value"))
+  }
+
+  /** Preview — reference shows head(5) driver-side (simple_etl.py:173);
+    * the lazy analogue is `limit`, which Catalyst pushes into the scan
+    * (CollectLimit reads only the first partitions it needs).
+    */
+  def preview(df: DataFrame, n: Int = 5): DataFrame = df.limit(n)
+
+  /** Deterministic top-k: total order + limit. Spark plans this as
+    * TakeOrderedAndProject — a per-partition heap + single reduce, NOT a
+    * full sort-shuffle, so it scales to any input size for small k.
+    */
+  def topK(df: DataFrame, k: Int, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.orderBy(orderCols: _*).limit(k)
+}

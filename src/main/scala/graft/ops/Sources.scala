@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Extract-stage sources (reference: simple_etl.py:54-145, SURVEY.md §2.1).
+  *
+  * The reference reads with pandas then re-infers schema via
+  * `spark.createDataFrame` with an all-string fallback
+  * (simple_etl.py:70-74,165-169). We read directly with Spark's
+  * distributed readers: schema inference happens once, at the scan, and
+  * the scan itself is parallel + column-pruned / predicate-pushed by
+  * Catalyst — at 100 TB the read IS the query, so the scan must be the
+  * pushdown target, never a driver-side library.
+  */
+object Sources {
+
+  /** S1 — CSV scan with header + schema inference
+    * (reference: simple_etl.py:69-70). Pass an explicit schema via
+    * `schemaDdl` to skip the inference pass (one fewer full read — at
+    * scale, inference on TB-sized CSV is a job of its own).
+    */
+  def csv(spark: SparkSession, path: String, schemaDdl: Option[String] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schemaDdl match {
+      case Some(ddl) => base.schema(ddl).csv(path)
+      case None      => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** S3 — Parquet scan (reference: simple_etl.py:73-74). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON-lines scan — not in the reference UI but `props` JSON columns
+    * in the fixtures motivate it (FIXTURES.md).
+    */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S5 — JDBC table scan (reference: simple_etl.py:114-123, full-table
+    * `pd.read_sql`). Distributed variant: when `partitionColumn` bounds
+    * are given the read is split into `numPartitions` range-parallel
+    * queries instead of one connection pulling the whole table through
+    * the driver — mandatory at scale.
+    *
+    * No JDBC driver jar ships in this offline environment
+    * (SURVEY.md §7 risk register), so this is interface-complete but
+    * will fail at runtime without a driver on the classpath.
+    */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withProps = props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+    val withParts = partitionColumn match {
+      case Some((col, lo, hi, n)) =>
+        withProps.option("partitionColumn", col)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", n)
+      case None => withProps
+    }
+    withParts.load()
+  }
+
+  /** S4 — JDBC catalog listing (reference: simple_etl.py:99-105 uses
+    * SQLAlchemy inspect). JVM-native equivalent via DatabaseMetaData;
+    * needs a driver jar at runtime (absent offline).
+    */
+  def jdbcTableNames(url: String, user: String, password: String): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) buf += rs.getString("TABLE_NAME")
+      buf.toSeq
+    } finally conn.close()
+  }
+
+  /** S2 — Excel scan (reference: simple_etl.py:71-72 via openpyxl).
+    * No Spark-native Excel reader exists in the offline jar set; per
+    * SURVEY.md §2.1 this is documented-unsupported. Convert to CSV or
+    * Parquet upstream.
+    */
+  def excel(spark: SparkSession, path: String): DataFrame =
+    throw new UnsupportedOperationException(
+      "Excel source unsupported offline (no spark-excel jar); convert to CSV/Parquet. " +
+        "Reference behavior: simple_etl.py:71-72")
+
+  /** S6 — n-ary union of named tables (reference: simple_etl.py:134-145,
+    * `pd.concat(ignore_index=True)`). pandas concat aligns BY NAME and
+    * null-fills missing columns, so the faithful Spark mapping is
+    * `unionByName(allowMissingColumns = true)`, not positional `union`
+    * (SURVEY.md §2.1 S6). Union is a zero-shuffle operator in Spark —
+    * partitions are simply concatenated.
+    */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.size >= 2, "unionAll needs >= 2 tables (simple_etl.py:137)")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

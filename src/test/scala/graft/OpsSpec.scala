@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops._
+
+/** Unit tests for the SURVEY.md §2 parity operators, on tiny in-memory
+  * frames replicating the reference sample data's dirty patterns
+  * (FIXTURES.md §1: duplicate row, null Quantity, null Region,
+  * Jkt/Jakarta inconsistency, First+Last names, date strings).
+  */
+class OpsSpec extends SparkSpec {
+
+  private lazy val sales = {
+    val schema = StructType(Seq(
+      StructField("Transaction_ID", StringType),
+      StructField("Date", StringType),
+      StructField("Customer_Name", StringType),
+      StructField("Product_ID", StringType),
+      StructField("Region", StringType),
+      StructField("Quantity", IntegerType),
+      StructField("Total_Price", IntegerType),
+      StructField("Status", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("TRX-101", "2024-01-05", "Budi Santoso", "P-001", "Jakarta", Integer.valueOf(2), Integer.valueOf(30000), "Paid"),
+        Row("TRX-101", "2024-01-05", "Budi Santoso", "P-001", "Jakarta", Integer.valueOf(2), Integer.valueOf(30000), "Paid"), // exact dup
+        Row("TRX-102", "2024-01-06", "Siti Aminah", "P-002", "Bandung", null, Integer.valueOf(50000), "Pending"),             // null qty
+        Row("TRX-103", "2024-01-07", "Joko Anwar", "P-003", null, Integer.valueOf(1), Integer.valueOf(15000), "Paid"),        // null region
+        Row("TRX-104", "2024-01-08", "Dewi Lestari", "P-001", "Jkt", Integer.valueOf(3), Integer.valueOf(45000), "Cancelled"),
+        Row("TRX-105", "bad-date", "Rian Hidayat", "P-004", "Surabaya", Integer.valueOf(5), Integer.valueOf(75000), "Paid")),
+      schema)
+  }
+
+  private lazy val products = {
+    val schema = StructType(Seq(
+      StructField("Product_ID", StringType),
+      StructField("Product_Name", StringType),
+      StructField("Category", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("P-001", "Mouse", "Electronics"),
+        Row("P-002", "Keyboard", "Electronics"),
+        Row("P-003", "Cable", "Accessories"),
+        Row("P-004", "Monitor", "Electronics"),
+        Row("P-005", "Webcam", "Electronics")), // no sales -> join-type differences
+      schema)
+  }
+
+  test("T1 fillNulls fills strings then numerics") {
+    val filled = Cleaning.fillNulls(sales, "UNKNOWN", 0)
+    assert(filled.filter(col("Region").isNull || col("Quantity").isNull).count() === 0)
+    assert(filled.filter(col("Region") === "UNKNOWN").count() === 1)
+    assert(filled.filter(col("Quantity") === 0).count() === 1)
+  }
+
+  test("T2 dedup removes the exact duplicate row") {
+    assert(sales.count() === 6)
+    assert(Cleaning.dedup(sales).count() === 5)
+    assert(Cleaning.dedupRemovedCount(sales) === 1)
+    // idempotence
+    assert(Cleaning.dedup(Cleaning.dedup(sales)).count() === 5)
+  }
+
+  test("T3 replaceValue rewrites only exact matches (Jkt -> Jakarta)") {
+    val fixed = Mutation.replaceValue(sales, "Region", "Jkt", "Jakarta")
+    assert(fixed.filter(col("Region") === "Jkt").count() === 0)
+    assert(fixed.filter(col("Region") === "Jakarta").count() === 3)
+    assert(fixed.filter(col("Region") === "Surabaya").count() === 1) // untouched
+  }
+
+  test("T3b regexReplace") {
+    val r = Mutation.regexReplace(sales, "Transaction_ID", "^TRX-", "#")
+    assert(r.filter(col("Transaction_ID") === "#101").count() === 2)
+  }
+
+  test("T4 filterContains is case-sensitive and drops null rows") {
+    assert(Mutation.filterContains(sales, "Status", "Paid").count() === 4)
+    assert(Mutation.filterContains(sales, "Status", "paid").count() === 0)
+    assert(Mutation.filterContains(sales, "Region", "a").count() === 4) // null region row dropped
+  }
+
+  test("T5 transpose swaps rows and columns") {
+    val r = t("region")
+    val tr = Reshape.transpose(r, "r_name")
+    assert(tr.count() === 1) // one non-id input column -> one output row
+    assert(tr.columns.toSet === Set("column_name", "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+  }
+
+  test("T5 transpose guard rejects big tables") {
+    intercept[IllegalArgumentException] {
+      Reshape.transpose(t("lineitem"), "l_orderkey", maxRows = 10)
+    }
+  }
+
+  test("T6 splitColumn produces _1/_2 and treats delimiter as regex") {
+    val s = Columns.splitColumn(sales, "Customer_Name", " ")
+    val row = s.filter(col("Transaction_ID") === "TRX-102").select("Customer_Name_1", "Customer_Name_2").head()
+    assert(row.getString(0) === "Siti" && row.getString(1) === "Aminah")
+    // regex semantics preserved (reference passes raw delimiter to split)
+    val dot = Columns.splitColumn(sales, "Date", "-")
+    assert(dot.filter(col("Date_1") === "2024").count() === 5)
+  }
+
+  test("T7 mergeColumns concat_ws skips nulls") {
+    val m = Columns.mergeColumns(sales, "merged", "|", Seq("Region", "Status"))
+    val nullRegion = m.filter(col("Transaction_ID") === "TRX-103").select("merged").head().getString(0)
+    assert(nullRegion === "Paid") // null region skipped, no dangling separator
+  }
+
+  test("T8 castColumn: bad casts yield null (ANSI off)") {
+    val c = Mutation.castColumn(sales, "Date", "date")
+    assert(c.schema("Date").dataType === DateType)
+    assert(c.filter(col("Date").isNull).count() === 1) // 'bad-date'
+    val q = Mutation.castColumn(sales, "Quantity", "string")
+    assert(q.schema("Quantity").dataType === StringType)
+  }
+
+  test("T9 join keeps both key columns; join-type containment") {
+    val inner = Relational.join(sales, products, "Product_ID", "Product_ID", "inner")
+    assert(inner.columns.count(_ == "Product_ID") === 2) // both keys retained (simple_etl.py:338-342)
+    val left = Relational.join(sales, products, "Product_ID", "Product_ID", "left")
+    val right = Relational.join(sales, products, "Product_ID", "Product_ID", "right")
+    val outer = Relational.join(sales, products, "Product_ID", "Product_ID", "outer")
+    assert(inner.count() === 6)
+    assert(left.count() === 6)   // every sale has a product
+    assert(right.count() === 7)  // P-005 unsold appears with nulls
+    assert(outer.count() === 7)
+    assert(inner.count() <= left.count() && left.count() <= outer.count())
+    intercept[IllegalArgumentException] {
+      Relational.join(sales, products, "Product_ID", "Product_ID", "cross")
+    }
+  }
+
+  test("S6 unionAll aligns by name and null-fills missing columns") {
+    val a = sales.select(col("Transaction_ID"), col("Region"))
+    val b = products.select(col("Product_ID").as("Transaction_ID"), col("Category"))
+    val u = Sources.unionAll(Seq(a, b))
+    assert(u.count() === 11)
+    assert(u.columns.toSet === Set("Transaction_ID", "Region", "Category"))
+    assert(u.filter(col("Category").isNull).count() === 6) // sales rows null-filled
+  }
+
+  test("K1/K2 sinks round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    Sinks.parquet(products, s"$dir/p")
+    assert(spark.read.parquet(s"$dir/p").count() === 5)
+    Sinks.csv(products, s"$dir/c", header = true)
+    assert(spark.read.option("header", "true").csv(s"$dir/c").count() === 5)
+  }
+
+  test("Catalog registers lazy plans and temp views") {
+    val cat = new Catalog(spark)
+    cat.register("products_t", products)
+    assert(cat("products_t").count() === 5)
+    assert(spark.sql("SELECT count(*) FROM products_t").head().getLong(0) === 5)
+    assert(cat.names.contains("products_t"))
+    cat.drop("products_t")
+    assert(!cat.contains("products_t"))
+  }
+}
