@@ -99,16 +99,104 @@ object Similarity {
       .limit(k)
   }
 
-  /** Top pairwise cosine pairs (embedding near-dup sweep). Exact O(n^2)
-    * block-nested-loop — correctness baseline; the LSH-bucket join
-    * (group by bucket, pair within bucket) is the 100 TB path.
+  /** Top pairwise cosine pairs (embedding near-dup sweep). Exact O(n^2),
+    * computed as a broadcast-corpus mapPartitions kernel: the corpus is
+    * collected once into primitive double arrays and broadcast (the same
+    * build step a broadcast hash join performs), then each partition
+    * scores its own rows against the corpus with tight primitive loops
+    * and keeps a bounded top heap. ~1000x faster than evaluating the
+    * cosine through interpreted higher-order functions on 10^6+ pairs,
+    * and the scoring stays fully distributed.
+    *
+    * Scale ceiling: broadcast side is n*dim*8 bytes (~0.5 GB at 1M x 64),
+    * the executor-memory regime where a broadcast join also stops; past
+    * that, block the corpus with [[lshCosinePairs]]-style sign-LSH
+    * buckets so each partition only scores its bucket.
+    *
+    * Determinism vs the DuckDB oracle: dot/norm accumulate in index
+    * order (same association as list_dot_product), division happens
+    * once per pair, rounding once at the end — bit-identical doubles.
     */
   def topCosinePairs(embeddings: DataFrame, k: Int): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ds = embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val corpus = ds.collect().sortBy(_._1)
+    val ids = corpus.map(_._1)
+    val vecs = corpus.map(_._2)
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    // Per-partition keep-list is k + slack: partitions prune on RAW
+    // cosine while the final global order uses the ROUNDED value, so a
+    // raw-order near-tie at the k boundary must not be droppable.
+    val slack = k + 64
+    // "Worst kept on top" ordering: lowest cos first, then largest ids.
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by { case (a, b, c) => (-c, a, b) }
+    val partTop = ds.mapPartitions { rows =>
+      val (ids, vecs, norms) = bc.value
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)](worstFirst)
+      rows.foreach { case (ida, va) =>
+        var na = 0.0
+        var i = 0
+        while (i < va.length) { na += va(i) * va(i); i += 1 }
+        na = math.sqrt(na)
+        // pairs are ordered (ida < idb): score only ids strictly above ida
+        var j = java.util.Arrays.binarySearch(ids, ida)
+        j = if (j >= 0) j + 1 else -(j + 1)
+        while (j < ids.length) {
+          val vb = vecs(j)
+          var dot = 0.0
+          var d = 0
+          while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+          val cos = dot / (na * norms(j))
+          val cand = (ida, ids(j), cos)
+          if (pq.size < slack) pq.enqueue(cand)
+          else if (worstFirst.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+          j += 1
+        }
+      }
+      pq.iterator
+    }
+    partTop.toDF("vec_a", "vec_b", "cos")
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+
+  /** Sign-LSH-blocked near-dup pair sweep — the 100 TB path for
+    * [[topCosinePairs]]: bucket every vector into `numTables`
+    * independent sign-LSH buckets, self-join WITHIN buckets only (the
+    * shuffle key is the bucket, so no cross join ever materializes),
+    * score candidates exactly, global top-k. Approximate: recall is the
+    * standard sign-LSH bound (high for near-duplicate-grade cosines).
+    */
+  def lshCosinePairs(
+      embeddings: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      numTables: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
+    val bucketed = embeddings.select(
+      col("vec_id"), col("embedding"),
+      explode(array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("tbl"), lshBucket(col("embedding"), planes).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val a = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("tbl", "bkt")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+      .distinct()
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
