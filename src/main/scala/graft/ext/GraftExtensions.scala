@@ -1,0 +1,21 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.ext.expr.ArrayDotProduct
+
+/** SparkSessionExtensions entry point: wire graft's native functions
+  * into any session via
+  * `spark.sql.extensions=graft.ext.GraftExtensions` (spark-submit /
+  * cluster config), making them available to pure-SQL users:
+  * `SELECT graft_dot(embedding, query) FROM embeddings`.
+  *
+  * Sessions we don't configure (e.g. the round driver's) get the same
+  * functions lazily via [[ArrayDotProduct.ensureRegistered]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier(ArrayDotProduct.name), ArrayDotProduct.info, ArrayDotProduct.builder))
+  }
+}

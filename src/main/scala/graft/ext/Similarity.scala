@@ -16,19 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  /** Dot product via the native codegen'd expression
+    * [[graft.ext.expr.ArrayDotProduct]] (`graft_dot`). Callers at the
+    * DataFrame level must ensure the function is registered on the
+    * session ([[graft.ext.expr.ArrayDotProduct.ensureRegistered]]) —
+    * every public op in this object does.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def dot(a: Column, b: Column): Column =
+  /** Built-in-only dot product (aggregate/zip_with) — semantically
+    * identical to [[dot]] but interpreted (~50x slower at dim 64); kept
+    * as the zero-registration fallback and as executable documentation
+    * of the semantics the native expression must match.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two array<float|double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a)
-    val bd = toDouble(b)
-    dot(ad, bd) / (norm2(ad) * norm2(bd))
-  }
+  /** Cosine similarity of two array<float|double> columns. The native
+    * expression widens float elements to double per-element, so no
+    * array-copying cast is needed on the inputs.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
 
   /** Brute-force top-k nearest neighbours of `queryVecId` by cosine.
     * The one-row query side is broadcast, so the plan is a single
@@ -37,6 +48,7 @@ object Similarity {
     * against.
     */
   def bruteForceTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
     val q = broadcast(
       embeddings.filter(col("vec_id") === queryVecId)
         .select(col("embedding").as("q_emb")))
@@ -61,7 +73,7 @@ object Similarity {
   /** Sign-bit LSH bucket id for a vector: bit i = (v . plane_i) >= 0. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(toDouble(v), planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+      when(dot(v, planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
 
   /** LSH-bucketed approximate top-k: `numTables` independent sign-LSH
@@ -78,6 +90,7 @@ object Similarity {
       numTables: Int = 4,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
     val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
     val bucketCols = tables.zipWithIndex.map { case (planes, t) =>
       lshBucket(col("embedding"), planes).as(s"bkt$t")
@@ -184,6 +197,7 @@ object Similarity {
       numTables: Int = 4,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
     val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
     val bucketed = embeddings.select(
       col("vec_id"), col("embedding"),

@@ -1,0 +1,124 @@
+package graft.ext.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product over `array<float>` / `array<double>`
+  * columns: `graft_dot(a, b)`.
+  *
+  * Why a custom Catalyst Expression (SURVEY.md §7 / builder contract):
+  * the built-in composition `aggregate(zip_with(a, b, _*_), 0d, _+_)`
+  * is semantically identical but runs on the interpreted higher-order-
+  * function path — ~25us/pair at dim 64 — and breaks whole-stage
+  * codegen. This expression generates a tight primitive loop inline in
+  * the enclosing WholeStageCodegen stage (~50x faster, zero allocation
+  * for the double-array case).
+  *
+  * Semantics (matching the HOF composition exactly, for oracle parity):
+  *  - accumulates left-to-right in index order (same association as
+  *    DuckDB's list_dot_product);
+  *  - float elements widen to double before multiply;
+  *  - any null element, or a null array, yields null;
+  *  - length mismatch: iterates min(len_a, len_b) (zip semantics).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  /** Null can arise from a null INPUT or from a null ELEMENT — declaring
+    * only the former (the BinaryExpression default) makes collect()
+    * trust a never-null slot and read garbage 0.0 where show() prints
+    * NULL.
+    */
+  override def nullable: Boolean = left.nullable || right.nullable || {
+    def elemNull(e: Expression) = e.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+    elemNull(left) || elemNull(right)
+  }
+
+  private def accepted(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (accepted(left.dataType) && accepted(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float>/array<double> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(aa.numElements(), bb.numElements())
+    val (fa, fb) = (elemIsFloat(left), elemIsFloat(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      val x = if (fa) aa.getFloat(i).toDouble else aa.getDouble(i)
+      val y = if (fb) bb.getFloat(i).toDouble else bb.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val getB = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDotProduct {
+  val name = "graft_dot"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[ArrayDotProduct].getName, null, name,
+    "_FUNC_(a, b) - dot product of two float/double arrays (codegen'd).", "")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => ArrayDotProduct(a, b)
+    case other => throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${other.size}")
+  }
+
+  /** Idempotently register into a LIVE session — needed because the
+    * round driver owns its SparkSession (we cannot set
+    * spark.sql.extensions on it); DataFrame-level ops call this before
+    * building plans that reference the function.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+}

@@ -112,6 +112,25 @@ class ExtSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
   }
 
+  test("graft_dot native expression: SQL-callable, matches HOF semantics") {
+    import spark.implicits._
+    // registered via spark.sql.extensions on this session
+    assert(spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) v").head().getDouble(0) === 11.0)
+    // null element -> null (zip_with/aggregate semantics)
+    assert(spark.sql("SELECT graft_dot(array(1.0d, cast(null as double)), array(1.0d,1.0d)) v").head().isNullAt(0))
+    // float arrays widen per-element; equals the built-in HOF composition on real data
+    val emb = t("embeddings").select(col("embedding").as("a"), col("embedding").as("b"))
+    val mismatch = emb.select(
+      Similarity.dot(col("a"), col("b")).as("fast"),
+      Similarity.dotHof(
+        org.apache.spark.sql.functions.transform(col("a"), x => x.cast("double")),
+        org.apache.spark.sql.functions.transform(col("b"), x => x.cast("double"))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatch === 0)
+    // lazy registration path for sessions without the extensions config
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(spark)
+  }
+
   test("brute-force cosine top-k is ordered and self-excluded") {
     val r = Similarity.bruteForceTopK(t("embeddings"), 0L, 10).collect()
     assert(r.length === 10)
