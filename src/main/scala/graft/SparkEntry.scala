@@ -84,6 +84,18 @@ object SparkEntry {
       Sources.unionAll(Seq(a, b))
         .orderBy(col("name"), coalesce(col("src_key"), lit(-1)))
     }),
+    // ---- Parity: sources/sinks (S1+K2, S3+K1) as round-trips ----
+    "s1_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/region"
+      Sinks.csv(rd(s, dir, "region"), tmp, header = true)
+      Sources.csv(s, tmp, schemaDdl = Some("r_regionkey INT, r_name STRING"))
+        .orderBy(col("r_regionkey"))
+    }),
+    "k1_parquet_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/nation"
+      Sinks.parquet(rd(s, dir, "nation"), tmp)
+      Sources.parquet(s, tmp).orderBy(col("n_nationkey"))
+    }),
     // ---- Extensions: aggregates / windows ----
     "q1_pricing_summary" -> ((s, dir) => Aggregates.pricingSummary(rd(s, dir, "lineitem"))),
     "q_revenue_by_nation" -> ((s, dir) =>
@@ -205,6 +217,10 @@ FROM customer ORDER BY c_custkey""",
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
   TRY_CAST(str_split(o_orderpriority, '-')[1] AS INTEGER) AS priority_num
 FROM orders ORDER BY o_orderkey""",
+    "s1_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "k1_parquet_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "t9_join_inner" -> joinOracle("JOIN"),
     "t9_join_left" -> joinOracle("LEFT JOIN"),
     "t9_join_right" -> joinOracle("RIGHT JOIN"),

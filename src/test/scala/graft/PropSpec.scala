@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops._
+
+/** Property-based invariants over the parity operators (SURVEY.md §5.3):
+  * algebraic laws checked on ScalaCheck-generated inputs. Uses Gen
+  * directly with fixed seeds (the scalatest<->scalacheck bridge artifact
+  * isn't in the offline cache) — deterministic across runs, few cases
+  * per property since each case costs a Spark round-trip.
+  */
+class PropSpec extends SparkSpec {
+
+  private val Cases = 8
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("gen failed"))
+
+  private def cases[A](g: Gen[A])(body: A => Unit): Unit =
+    (1 to Cases).foreach(i => body(sample(g, 42L + i)))
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType),
+    StructField("s", StringType),
+    StructField("v", DoubleType)))
+
+  private val rowGen: Gen[Row] = for {
+    k <- Gen.chooseNum(0, 5)
+    s <- Gen.option(Gen.oneOf("alpha", "beta", "gamma", "a-b", ""))
+    v <- Gen.option(Gen.chooseNum(-10.0, 10.0))
+  } yield Row(Integer.valueOf(k), s.orNull, v.map(java.lang.Double.valueOf).orNull)
+
+  private val rowsGen: Gen[List[Row]] = Gen.choose(0, 12).flatMap(Gen.listOfN(_, rowGen))
+
+  private def df(rows: List[Row]) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  test("prop: unionAll row count is additive") {
+    cases(Gen.zip(rowsGen, rowsGen)) { case (a, b) =>
+      assert(Sources.unionAll(Seq(df(a), df(b))).count() === a.size + b.size)
+    }
+  }
+
+  test("prop: dedup is idempotent and bounded by input size") {
+    cases(rowsGen) { rows =>
+      val once = Cleaning.dedup(df(rows))
+      val n = once.count()
+      assert(n <= rows.size)
+      assert(Cleaning.dedup(once).count() === n)
+    }
+  }
+
+  test("prop: fillNulls leaves no nulls; is idempotent") {
+    cases(rowsGen) { rows =>
+      val filled = Cleaning.fillNulls(df(rows), "X", 0d)
+      assert(filled.filter(col("s").isNull || col("v").isNull).count() === 0)
+      val again = Cleaning.fillNulls(filled, "Y", 1d)
+      assert(again.except(filled).count() === 0)
+    }
+  }
+
+  test("prop: merge-then-split round-trips delimiter-free values") {
+    cases(rowsGen) { rows =>
+      // restrict to rows whose s has no '|' and is non-null (split can't
+      // distinguish a null field from a missing one)
+      val in = df(rows).filter(col("s").isNotNull && !col("s").contains("|"))
+      val merged = Columns.mergeColumns(in.withColumn("k2", col("k").cast("string")),
+        "m", "|", Seq("s", "k2"))
+      val back = Columns.splitColumnLiteral(merged, "m", "|")
+      assert(back.filter(col("m_1") =!= col("s") || col("m_2") =!= col("k2")).count() === 0)
+    }
+  }
+
+  test("prop: join-type row-count containment inner <= left <= outer") {
+    cases(Gen.zip(rowsGen, rowsGen)) { case (a, b) =>
+      val l = df(a).select(col("k"), col("s"))
+      val r = df(b).select(col("k").as("k2"), col("v"))
+      val inner = Relational.join(l, r, "k", "k2", "inner").count()
+      val left = Relational.join(l, r, "k", "k2", "left").count()
+      val outer = Relational.join(l, r, "k", "k2", "outer").count()
+      assert(inner <= left && left <= outer)
+      assert(left >= l.count()) // left join never drops left rows
+    }
+  }
+
+  test("prop: replaceValue rewrites all targets, preserves others and count") {
+    cases(rowsGen) { rows =>
+      val in = df(rows)
+      val out = Mutation.replaceValue(in, "s", "alpha", "beta")
+      assert(out.filter(col("s") === "alpha").count() === 0)
+      assert(out.filter(col("s") === "gamma").count() ===
+        in.filter(col("s") === "gamma").count())
+      assert(out.count() === in.count())
+    }
+  }
+
+  test("prop: graft_dot is symmetric and bilinear (scaling)") {
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(spark)
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-4.0, 4.0))
+    cases(Gen.zip(vecGen, vecGen, Gen.chooseNum(-3.0, 3.0))) { case (a, b, c) =>
+      import spark.implicits._
+      val row = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(
+          call_function("graft_dot", col("a"), col("b")).as("ab"),
+          call_function("graft_dot", col("b"), col("a")).as("ba"),
+          call_function("graft_dot",
+            transform(col("a"), x => x * lit(c)), col("b")).as("ca_b"))
+        .head()
+      assert(row.getDouble(0) === row.getDouble(1))
+      assert(math.abs(row.getDouble(2) - c * row.getDouble(0)) < 1e-9)
+    }
+  }
+}
