@@ -41,4 +41,29 @@ object Relational {
 
   def antiJoin(left: DataFrame, right: DataFrame, lk: String, rk: String): DataFrame =
     left.join(right, left(lk) === right(rk), "left_anti")
+
+  /** Salted equi-join for skewed keys: the big (left) side is split into
+    * `salts` random sub-keys, the small-but-too-big-to-broadcast (right)
+    * side is replicated once per salt, so one hot key fans out across
+    * `salts` reducers instead of melting a single one. Result set is
+    * identical to [[join]]; use when AQE's skew-join split isn't enough
+    * (e.g. a single key holding >1 executor's worth of rows).
+    * Inner/left only: replicating the right side makes right/outer
+    * null-matching semantics ambiguous.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      how: String = "inner",
+      salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.{array, explode, lit, rand}
+    require(how == "inner" || how == "left",
+      s"saltedJoin supports inner/left, got '$how'")
+    val sl = left.withColumn("__salt", (rand(42) * salts).cast("int"))
+    val sr = right.withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))
+    sl.join(sr, sl(leftKey) === sr(rightKey) && sl("__salt") === sr("__salt"), how)
+      .drop("__salt")
+  }
 }

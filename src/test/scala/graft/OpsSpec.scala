@@ -133,6 +133,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin matches plain join result (skew path)") {
+    val orders = t("orders")
+    val customer = t("customer")
+    val plain = Relational.join(orders, customer, "o_custkey", "c_custkey", "inner").count()
+    val salted = Relational.saltedJoin(orders, customer, "o_custkey", "c_custkey", "inner").count()
+    assert(salted === plain)
+    val plainLeft = Relational.join(orders, customer, "o_custkey", "c_custkey", "left").count()
+    val saltedLeft = Relational.saltedJoin(orders, customer, "o_custkey", "c_custkey", "left").count()
+    assert(saltedLeft === plainLeft)
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(orders, customer, "o_custkey", "c_custkey", "outer")
+    }
+  }
+
   test("S6 unionAll aligns by name and null-fills missing columns") {
     val a = sales.select(col("Transaction_ID"), col("Region"))
     val b = products.select(col("Product_ID").as("Transaction_ID"), col("Category"))
