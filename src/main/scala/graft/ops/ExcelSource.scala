@@ -1,0 +1,189 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import scala.collection.mutable
+
+/** S2 — Excel (.xlsx) source (reference: simple_etl.py:71-72 via
+  * openpyxl). No Excel jar ships offline, so this is a dependency-free
+  * reader built on what every JVM has: an .xlsx file is a zip of XML
+  * parts; we parse `xl/sharedStrings.xml` and the first
+  * `xl/worksheets/sheet*.xml` with StAX.
+  *
+  * Distribution model: one Excel file is one task (`binaryFiles` keeps
+  * each file whole — the zip container is not splittable), so a
+  * directory of workbooks parallelizes per file, matching how
+  * spreadsheet data arrives in practice (many small uploads, never one
+  * 100 TB sheet). Values come back as strings, like the reference's
+  * all-string fallback (simple_etl.py:169); compose with
+  * `Mutation.castColumn` / an explicit select to type them.
+  */
+object ExcelSource {
+
+  /** Read .xlsx file(s) at `path` (a file or a directory of files) into
+    * a DataFrame. `header=true` takes row 1 of each sheet as column
+    * names (all files must agree); otherwise columns are `_c0.._cN`.
+    */
+  def xlsx(spark: SparkSession, path: String, header: Boolean = true): DataFrame = {
+    val files = spark.sparkContext.binaryFiles(path)
+    val headerRow: Array[String] =
+      if (header) files.map(f => parseWorkbook(f._2.toArray()).head).first()
+      else {
+        val w = files.map(f => parseWorkbook(f._2.toArray()).map(_.length).max).max()
+        Array.tabulate(w)(i => s"_c$i")
+      }
+    val nCols = headerRow.length
+    val dataRdd = files
+      .flatMap { case (_, stream) =>
+        // header dropped per FILE here (binaryFiles may pack several
+        // small files into one partition, so partition-level dropping
+        // would be wrong)
+        val rows = parseWorkbook(stream.toArray())
+        if (header) rows.drop(1) else rows
+      }
+      .map { cells =>
+        Row.fromSeq(Array.tabulate(nCols)(i =>
+          if (i < cells.length && cells(i) != null && cells(i).nonEmpty) cells(i) else null))
+      }
+    val schema = StructType(headerRow.map(n => StructField(n, StringType, nullable = true)))
+    spark.createDataFrame(dataRdd, schema)
+  }
+
+  /** Parse one workbook's bytes: returns rows of cell strings (ragged —
+    * trailing empty cells absent). Kept `private[graft]` for direct unit
+    * testing.
+    */
+  private[graft] def parseWorkbook(bytes: Array[Byte]): Seq[Array[String]] = {
+    var shared: IndexedSeq[String] = IndexedSeq.empty
+    var sheet: Option[Array[Byte]] = None
+    var sheetName: String = ""
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val name = e.getName
+        if (name == "xl/sharedStrings.xml") shared = parseSharedStrings(zin.readAllBytes())
+        else if (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml") &&
+          (sheet.isEmpty || name < sheetName)) {
+          sheet = Some(zin.readAllBytes()); sheetName = name
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    sheet match {
+      case Some(s) => parseSheet(s, shared)
+      case None => throw new IllegalArgumentException(
+        "not an .xlsx workbook: no xl/worksheets/sheet*.xml entry")
+    }
+  }
+
+  private def newReader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  /** sharedStrings.xml: <sst><si><t>text</t></si>...</sst>; rich-text
+    * cells use runs (<si><r><t>a</t></r><r><t>b</t></r></si>) which
+    * concatenate.
+    */
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val r = newReader(bytes)
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inSi = false
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; cur.clear()
+            case "t" if inSi => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT => cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => inSi = false; out += cur.toString
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.toIndexedSeq
+  }
+
+  /** sheetN.xml rows: <row><c r="B2" t="s|inlineStr|str|b|n"><v>..</v>
+    * </c></row>. Column position comes from the A1-style `r` attribute
+    * (cells for empty columns are simply absent).
+    */
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String]): Seq[Array[String]] = {
+    val r = newReader(bytes)
+    val rows = mutable.ArrayBuffer.empty[Array[String]]
+    val cells = mutable.ArrayBuffer.empty[(Int, String)]
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    val v = new StringBuilder
+    var nextCol = 0
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => cells.clear(); nextCol = 0
+            case "c" =>
+              val ref = Option(r.getAttributeValue(null, "r"))
+              cellCol = ref.map(colIndex).getOrElse(nextCol)
+              nextCol = cellCol + 1
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              v.clear()
+            case "v" | "t" => inV = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" => inV = false
+            case "c" =>
+              val raw = v.toString
+              val value = cellType match {
+                case "s" => shared(raw.trim.toInt)
+                case "b" => if (raw.trim == "1") "true" else "false"
+                case _ => raw // n, str, inlineStr (t-element text lands in v)
+              }
+              if (value.nonEmpty) cells += ((cellCol, value))
+            case "row" =>
+              if (cells.nonEmpty) {
+                val width = cells.map(_._1).max + 1
+                val arr = new Array[String](width)
+                cells.foreach { case (i, s) => arr(i) = s }
+                rows += arr
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.toSeq
+  }
+
+  /** "BC7" -> 0-based column 54. */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+}

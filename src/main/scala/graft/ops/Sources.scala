@@ -82,14 +82,12 @@ object Sources {
   }
 
   /** S2 — Excel scan (reference: simple_etl.py:71-72 via openpyxl).
-    * No Spark-native Excel reader exists in the offline jar set; per
-    * SURVEY.md §2.1 this is documented-unsupported. Convert to CSV or
-    * Parquet upstream.
+    * Dependency-free .xlsx reader (zip-of-XML + StAX, both in the JDK);
+    * see [[ExcelSource]] for the parsing + distribution model. Values
+    * are strings (the reference's own fallback schema); cast downstream.
     */
-  def excel(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException(
-      "Excel source unsupported offline (no spark-excel jar); convert to CSV/Parquet. " +
-        "Reference behavior: simple_etl.py:71-72")
+  def excel(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    ExcelSource.xlsx(spark, path, header)
 
   /** S6 — n-ary union of named tables (reference: simple_etl.py:134-145,
     * `pd.concat(ignore_index=True)`). pandas concat aligns BY NAME and

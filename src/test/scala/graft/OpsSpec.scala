@@ -164,6 +164,48 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$dir/c").count() === 5)
   }
 
+  test("S2 Excel source reads a real xlsx (shared strings, sparse cells, types)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx")
+    def writeXlsx(file: String, sheetXml: String, sharedXml: String): Unit = {
+      val out = new ZipOutputStream(java.nio.file.Files.newOutputStream(dir.resolve(file)))
+      def put(name: String, content: String): Unit = {
+        out.putNextEntry(new ZipEntry(name))
+        out.write(content.getBytes("UTF-8")); out.closeEntry()
+      }
+      put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      put("xl/sharedStrings.xml", sharedXml)
+      put("xl/worksheets/sheet1.xml", sheetXml)
+      out.close()
+    }
+    val shared =
+      """<?xml version="1.0"?><sst><si><t>id</t></si><si><t>name</t></si><si><t>qty</t></si><si><t>Mouse</t></si><si><r><t>Key</t></r><r><t>board</t></r></si></sst>"""
+    // row2: full; row3: qty cell absent (sparse); row4: inline string + bool
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>2.5</v></c></row>
+        |<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="s"><v>4</v></c></row>
+        |<row r="4"><c r="A4"><v>3</v></c><c r="B4" t="inlineStr"><is><t>Cable</t></is></c><c r="C4" t="b"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    writeXlsx("a.xlsx", sheet, shared)
+    val df = Sources.excel(spark, dir.toString + "/a.xlsx")
+    assert(df.columns.toSeq === Seq("id", "name", "qty"))
+    val rows = df.orderBy(col("id")).collect()
+    assert(rows.length === 3)
+    assert(rows(0).toSeq === Seq("1", "Mouse", "2.5"))
+    assert(rows(1).toSeq === Seq("2", "Keyboard", null)) // rich-text runs concat; sparse cell -> null
+    assert(rows(2).toSeq === Seq("3", "Cable", "true"))
+    // cast composes downstream, as the reference's T8 would
+    val typed = Mutation.castColumn(df, "qty", "float")
+    assert(typed.schema("qty").dataType === FloatType)
+    // column-letter arithmetic
+    assert(ExcelSource.colIndex("A1") === 0)
+    assert(ExcelSource.colIndex("Z9") === 25)
+    assert(ExcelSource.colIndex("AA3") === 26)
+    assert(ExcelSource.colIndex("BC7") === 54)
+  }
+
   test("Catalog registers lazy plans and temp views") {
     val cat = new Catalog(spark)
     cat.register("products_t", products)
