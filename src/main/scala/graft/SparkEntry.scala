@@ -135,6 +135,7 @@ object SparkEntry {
     "m_features" -> ((s, dir) => Multimodal.extractFeatures(rd(s, dir, "documents"))),
     // ---- Extensions: structured streaming ----
     "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
+    "st_events_hourly_wm" -> ((s, dir) => StreamingOps.hourlyByTypeStreamAppend(s, dir)),
     "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir))
   )
 
@@ -355,6 +356,16 @@ FROM documents ORDER BY doc_id""",
 FROM documents, (SELECT unnest(range(4)) AS i)
 WHERE length(text) >= i * 32 + 1
 ORDER BY doc_id, frame_idx""",
-    "st_events_hourly" -> eventsHourlyOracle
+    "st_events_hourly" -> eventsHourlyOracle,
+    // Append-mode watermarked stream: emitted windows are exactly those
+    // whose end the final watermark (max ts - 2h) has passed.
+    "st_events_hourly_wm" ->
+      """WITH m AS (SELECT epoch_us(max(ts)) AS mx_us FROM events)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events, m
+GROUP BY 1, 2, m.mx_us
+HAVING (CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) + 3600) * 1000000 <= m.mx_us - 7200000000
+ORDER BY 1, 2"""
   )
 }

@@ -47,6 +47,41 @@ object StreamingOps {
       .orderBy(col("hour_epoch"), col("event_type"))
   }
 
+  /** Watermarked, append-mode variant of the hourly aggregate — the
+    * production shape for unbounded streams: `withWatermark` bounds
+    * state (hour windows are finalized and EVICTED once the watermark
+    * passes them), append mode emits each window exactly once.
+    *
+    * Determinism contract used by the oracle: after draining a finite
+    * input, the watermark is max(event time) - delay, so exactly the
+    * windows with `window.end <= max(ts) - delay` have been emitted
+    * (Spark runs a no-data micro-batch to flush on watermark advance).
+    * The DuckDB oracle states the same cutoff in SQL.
+    */
+  def hourlyByTypeStreamAppend(spark: SparkSession, dir: String, delay: String = "2 hours"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
+    val name = s"graft_stream_hourly_wm_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(
+        unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("total_value_dec").cast("double").as("total_value"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
   /** Stateful per-user running counters via flatMapGroupsWithState —
     * the custom-state streaming pattern (session counts, fraud counters,
     * feature freshness). Returns the final state table after draining.

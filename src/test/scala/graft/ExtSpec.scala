@@ -165,6 +165,19 @@ class ExtSpec extends SparkSpec {
     assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("watermarked append stream emits exactly the watermark-passed prefix of batch") {
+    val batch = Events.hourlyByType(t("events")).collect()
+    val wm = graft.streaming.StreamingOps.hourlyByTypeStreamAppend(spark, sf()).collect()
+    assert(wm.nonEmpty && wm.length < batch.length) // tail windows held back
+    // every emitted row equals its batch counterpart, and emitted rows
+    // are a prefix in event-time order
+    val batchStr = batch.map(_.toString)
+    assert(wm.map(_.toString).forall(batchStr.contains))
+    val cutoff = wm.map(_.getLong(0)).max
+    val expected = batch.filter(_.getLong(0) <= cutoff)
+    assert(wm.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+  }
+
   test("streaming stateful user counts match batch groupBy") {
     val streamed = graft.streaming.StreamingOps.userEventCountsStream(spark, sf())
     val batch = t("events").groupBy("user_id").count()
