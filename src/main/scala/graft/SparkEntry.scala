@@ -128,6 +128,7 @@ object SparkEntry {
     // ---- Extensions: similarity search ----
     "e_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), 0L, 10)),
     "e_ann_lsh" -> ((s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 0L, 10)),
+    "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
     "e_embedding_neardup" -> ((s, dir) => Similarity.topCosinePairs(rd(s, dir, "embeddings"), 20)),
     // ---- Extensions: multimodal plumbing ----
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(rd(s, dir, "documents"))),

@@ -183,6 +183,103 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-Flat approximate top-k: spherical k-means coarse quantizer
+    * (seeded deterministic init + `iters` distributed Lloyd rounds),
+    * every vector assigned to its nearest centroid ("inverted list"),
+    * queries probe only the `nProbe` nearest lists and score those
+    * candidates exactly.
+    *
+    * Scale shape: training touches each vector `iters` times map-side
+    * (aggregateByKey carries numCentroids x dim partial sums, nothing
+    * row-proportional crosses the wire); at query time the candidate
+    * scan is ~nProbe/numCentroids of the corpus. At 100 TB the
+    * assignment would be precomputed once and the table bucketed by
+    * cluster id so a probe is a partition-pruned read.
+    *
+    * Complements [[annTopK]] (sign-LSH): IVF adapts to the data
+    * distribution (learned centroids) where LSH is data-oblivious.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ds = embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * cv(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // Deterministic spread init: the numCentroids vectors with smallest
+    // xxhash64(vec_id) (a seeded pseudo-random sample without an RNG).
+    var centroids: Array[Array[Double]] = ds
+      .select(xxhash64(col("vec_id")).as("h"), col("embedding"))
+      .orderBy(col("h")).limit(numCentroids)
+      .as[(Long, Array[Double])].collect().map(p => normalize(p._2))
+
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val dim = centroids.head.length
+      val sums = ds.rdd
+        .map { case (_, v) => val nv = normalize(v); (nearest(bc.value, nv), nv) }
+        .aggregateByKey((new Array[Double](dim), 0L))(
+          { case ((acc, n), v) =>
+            var i = 0; while (i < dim) { acc(i) += v(i); i += 1 }; (acc, n + 1) },
+          { case ((a, na), (b, nb)) =>
+            var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; (a, na + nb) })
+        .collect().toMap
+      centroids = centroids.indices.map { c =>
+        sums.get(c).filter(_._2 > 0)
+          .map { case (s, n) => normalize(s.map(_ / n)) }
+          .getOrElse(centroids(c)) // empty cluster keeps its centroid
+      }.toArray
+    }
+
+    val bcFinal = spark.sparkContext.broadcast(centroids)
+    val qVec = normalize(ds.filter(_._1 == queryVecId).head()._2)
+    val probes: Set[Int] = centroids.indices
+      .sortBy { c => -centroids(c).zip(qVec).map { case (a, b) => a * b }.sum }
+      .take(nProbe).toSet
+    ds.filter(_._1 != queryVecId)
+      .mapPartitions { rows =>
+        val cs = bcFinal.value
+        rows.flatMap { case (id, v) =>
+          val nv = normalize(v)
+          if (!probes.contains(nearest(cs, nv))) None
+          else {
+            var d = 0.0; var i = 0
+            while (i < nv.length) { d += nv(i) * qVec(i); i += 1 }
+            Some((id, d))
+          }
+        }
+      }
+      .toDF("vec_id", "cos")
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Sign-LSH-blocked near-dup pair sweep — the 100 TB path for
     * [[topCosinePairs]]: bucket every vector into `numTables`
     * independent sign-LSH buckets, self-join WITHIN buckets only (the

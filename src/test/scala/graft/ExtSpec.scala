@@ -150,6 +150,16 @@ class ExtSpec extends SparkSpec {
     assert(exact.take(1).intersect(ann).nonEmpty, s"exact top-1 ${exact.head} missing from ANN ${ann.mkString(",")}")
   }
 
+  test("IVF top-k: prunes to probed lists, high-recall settings find exact top-1") {
+    val exact = Similarity.bruteForceTopK(t("embeddings"), 0L, 3).collect().map(_.getLong(0))
+    // probe ALL lists -> IVF degenerates to exact search: same top ids
+    val all = Similarity.ivfTopK(t("embeddings"), 0L, 3, numCentroids = 8, nProbe = 8).collect().map(_.getLong(0))
+    assert(all.toSeq === exact.toSeq)
+    // probe half the lists -> still returns k results (pruned candidate set)
+    val pruned = Similarity.ivfTopK(t("embeddings"), 0L, 10, numCentroids = 8, nProbe = 4).collect()
+    assert(pruned.length === 10)
+  }
+
   test("multimodal: meta never decodes, features have fixed dim") {
     val m = Multimodal.binaryMeta(t("documents"))
     assert(m.filter(col("n_bytes") <= 0).count() === 0)
