@@ -206,6 +206,47 @@ class OpsSpec extends SparkSpec {
     assert(ExcelSource.colIndex("BC7") === 54)
   }
 
+  test("Pipeline composes stages lazily and binds results into the catalog") {
+    val cat = new Catalog(spark)
+    cat.register("sales", sales)
+    val clean = Pipeline("clean_sales")
+      .stage("fill", Cleaning.fillNulls(_, "UNKNOWN", 0))
+      .stage("dedup", Cleaning.dedup)
+      .stage("fix_region", Mutation.replaceValue(_, "Region", "Jkt", "Jakarta"))
+      .stage("paid_only", Mutation.filterContains(_, "Status", "Paid"))
+    assert(clean.stageNames === Seq("fill", "dedup", "fix_region", "paid_only"))
+    val out = clean.runOn(cat, "sales", "sales_clean")
+    assert(cat.contains("sales_clean"))
+    assert(out.count() === 3) // 6 rows -> dedup 5 -> Paid only 3
+    assert(out.filter(col("Region") === "Jkt").count() === 0)
+    // composition: whole chain is ONE plan over one scan (no barriers)
+    val enrich = Pipeline("enrich").stage("label",
+      Columns.mergeColumns(_, "label", "/", Seq("Region", "Status")))
+    val full = clean.andThen(enrich)
+    assert(full.stageNames.last === "enrich.label")
+    assert(full(sales).columns.contains("label"))
+    // SQL reachability of the registered result
+    assert(spark.sql("SELECT count(*) FROM sales_clean").head().getLong(0) === 3)
+  }
+
+  test("K1 partitioned parquet sink enables partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = graft.ext.Events.normalizeTs(t("events"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    Sinks.parquet(ev, s"$dir/events_by_day", partitionBy = Seq("day"))
+    val days = new java.io.File(s"$dir/events_by_day").listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName)
+    assert(days.length > 1, s"expected multiple day= partitions, got ${days.toSeq}")
+    val oneDay = days.head.stripPrefix("day=")
+    val back = spark.read.parquet(s"$dir/events_by_day").filter(col("day") === oneDay)
+    // partition pruning: the filter eliminates non-matching directories
+    // before the scan (visible as PartitionFilters in the plan)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains(s"PartitionFilters: [isnotnull(day") && plan.contains(s"= $oneDay)"),
+      s"day filter should be a PartitionFilter (pruned before scan), plan:\n${plan.take(800)}")
+    assert(back.count() === ev.filter(col("day") === oneDay).count())
+  }
+
   test("Catalog registers lazy plans and temp views") {
     val cat = new Catalog(spark)
     cat.register("products_t", products)
