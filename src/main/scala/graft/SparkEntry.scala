@@ -113,6 +113,7 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => Events.propsKStats(rd(s, dir, "events"))),
     "q_events_sessions" -> ((s, dir) => Events.sessionCounts(rd(s, dir, "events"))),
     "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
+    "q_asof_click_view" -> ((s, dir) => Events.clickLastView(rd(s, dir, "events"))),
     // ---- Extensions: text analysis ----
     "d_token_count" -> ((s, dir) => TextOps.tokenCount(rd(s, dir, "documents"))),
     "d_subword_count" -> ((s, dir) => TextOps.subwordCount(rd(s, dir, "documents"))),
@@ -285,6 +286,12 @@ FROM g GROUP BY user_id ORDER BY user_id""",
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
   COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_asof_click_view" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+views AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, epoch_us(v.view_ts) AS view_us, v.view_id
+FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.view_ts
+ORDER BY c.event_id""",
     "d_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
   CAST(length(text) AS BIGINT) AS len_chars

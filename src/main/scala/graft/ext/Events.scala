@@ -83,6 +83,26 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join over the event stream: for each click, the user's most
+    * recent prior-or-simultaneous view (attribution-style "state at
+    * event time" lookup). Built on [[graft.ops.Relational.asOfJoin]];
+    * timestamps emitted as epoch micros (exact integers both engines
+    * agree on).
+    */
+  def clickLastView(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    graft.ops.Relational.asOfJoin(clicks, views, Seq("user_id"), "ts", "view_ts", rightPrefix = "")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("view_ts")).as("view_us"),
+        col("view_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-type daily counts — partition-prunable shape: if `events` were
     * written partitioned by date (Sinks.parquet(partitionBy=day)), this
     * query reads only matching partitions at 100 TB.

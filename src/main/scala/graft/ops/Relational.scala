@@ -42,6 +42,58 @@ object Relational {
   def antiJoin(left: DataFrame, right: DataFrame, lk: String, rk: String): DataFrame =
     left.join(right, left(lk) === right(rk), "left_anti")
 
+  /** As-of join — for each left row, the single right row with the
+    * greatest `rightTs <= leftTs` within the same key (the time-series
+    * "most recent state at event time" join; DuckDB/kdb ASOF JOIN,
+    * absent from Spark).
+    *
+    * Implemented by composition, per the build contract's preference
+    * order: union both sides tagged, one shuffle on (keys), and a
+    * running `last(right, ignoreNulls)` carry-forward over the
+    * event-time order — O(n log n) in the partition, no range
+    * cross-product, no custom physical operator needed. Right rows sort
+    * BEFORE left rows at equal timestamps, so the match is inclusive
+    * (>=), matching DuckDB ASOF semantics.
+    *
+    * Scale: one hash shuffle of (left + right) on the key columns —
+    * the same cost as the equi-join of the two streams; skew follows
+    * the key distribution (salt upstream if one key dominates).
+    *
+    * Left rows with no prior right row keep null right columns (ASOF
+    * LEFT JOIN). Right columns are emitted with prefix `rightPrefix`.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, last, lit, struct}
+    val rightValueCols = right.columns.filterNot(keys.contains).toSeq
+    val rStruct = struct(rightValueCols.map(col): _*)
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      leftCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(rType).as("__r"): _*)
+    val r = right.select(
+      keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+ rStruct.as("__r"): _*)
+    // align schemas: left-only columns null on the right side
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(rAligned)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightValueCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** Salted equi-join for skewed keys: the big (left) side is split into
     * `salts` random sub-keys, the small-but-too-big-to-broadcast (right)
     * side is replicated once per salt, so one hot key fans out across

@@ -133,6 +133,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin: greatest right ts <= left ts per key, inclusive, null when none") {
+    import spark.implicits._
+    val quotes = Seq( // (sym, qts, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "qts", "px")
+    val trades = Seq( // (sym, tts)
+      ("A", 5L),   // before any quote -> null
+      ("A", 20L),  // exactly at quote -> inclusive match 2.0
+      ("A", 25L),  // between -> 2.0
+      ("A", 99L),  // after all -> 3.0
+      ("B", 14L),  // before B's quote -> null
+      ("C", 50L))  // key with no quotes -> null
+      .toDF("sym", "tts")
+    val r = Relational.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts")
+      .orderBy(col("sym"), col("tts")).collect()
+      .map(row => (row.getString(0), row.getLong(1),
+        if (row.isNullAt(3)) null else java.lang.Double.valueOf(row.getDouble(3))))
+    assert(r.toSeq === Seq(
+      ("A", 5L, null), ("A", 20L, 2.0), ("A", 25L, 2.0), ("A", 99L, 3.0),
+      ("B", 14L, null), ("C", 50L, null)))
+  }
+
   test("saltedJoin matches plain join result (skew path)") {
     val orders = t("orders")
     val customer = t("customer")
