@@ -318,10 +318,10 @@ FROM h ORDER BY doc_id""",
   ${hitsSql(enStop)} AS stop_hits
 FROM documents)
 SELECT doc_id, n_tokens,
-  ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
-  ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
-  ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7
-        + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3, 4) AS quality
+  floor((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 10000) / 10000.0 AS mean_token_len,
+  floor((CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 10000) / 10000.0 AS stopword_ratio,
+  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7
+        + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3) * 10000) / 10000.0 AS quality
 FROM q ORDER BY doc_id""",
     "d_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

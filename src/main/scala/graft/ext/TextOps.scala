@@ -71,10 +71,18 @@ object TextOps {
   }
 
   /** Quality scoring: token count, mean token length, stopword ratio,
-    * composite score in [0,1]. Ratios rounded to 4 dp (identical
-    * per-row double math in both engines, so rounding is stable).
+    * composite score in [0,1].
+    *
+    * Ratios are truncated to 4 dp via floor(x*10^4)/10^4 rather than
+    * round(): both engines then perform the IDENTICAL double ops
+    * (multiply, floor, divide) on identical inputs, so results are
+    * bit-equal. round() is not safe cross-engine: Spark rounds the
+    * exact binary value (BigDecimal HALF_UP) while DuckDB rounds the
+    * x*10^4 double, and the two disagree whenever that multiply crosses
+    * the .5 boundary (observed at sf0.1).
     */
   def qualityScore(docs: DataFrame): DataFrame = {
+    def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
     val t = tokens(col("text"))
     val nTok = size(t).cast("bigint")
     val nChar = length(col("text")).cast("bigint")
@@ -85,9 +93,9 @@ object TextOps {
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      round(meanTokLen, 4).as("mean_token_len"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(lengthScore * lit(0.7) + stopRatio * lit(0.3), 4).as("quality"))
+      trunc4(meanTokLen).as("mean_token_len"),
+      trunc4(stopRatio).as("stopword_ratio"),
+      trunc4(lengthScore * lit(0.7) + stopRatio * lit(0.3)).as("quality"))
       .orderBy(col("doc_id"))
   }
 
