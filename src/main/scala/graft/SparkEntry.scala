@@ -124,6 +124,7 @@ object SparkEntry {
     "d_dedup_exact" -> ((s, dir) => Dedup.exactDedup(rd(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(rd(s, dir, "documents"))),
     "d_minhash_lsh" -> ((s, dir) => Dedup.minhashDedup(rd(s, dir, "documents"))),
+    "d_simhash_neardup" -> ((s, dir) => Dedup.simhashNearDup(rd(s, dir, "documents"))),
     "d_simhash" -> ((s, dir) => Dedup.simhash16(rd(s, dir, "documents"))),
     "d_simhash64" -> ((s, dir) => Dedup.simhash64(rd(s, dir, "documents"))),
     // ---- Extensions: similarity search ----
@@ -138,7 +139,8 @@ object SparkEntry {
     // ---- Extensions: structured streaming ----
     "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
     "st_events_hourly_wm" -> ((s, dir) => StreamingOps.hourlyByTypeStreamAppend(s, dir)),
-    "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir))
+    "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir)),
+    "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir))
   )
 
   private def joinQuery(s: SparkSession, dir: String, how: String): DataFrame =
@@ -292,6 +294,10 @@ views AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE e
 SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, epoch_us(v.view_ts) AS view_us, v.view_id
 FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.view_ts
 ORDER BY c.event_id""",
+    // Streaming dedup on (user_id, event_type): single-micro-batch input
+    // => equals the batch distinct (see StreamingOps scaladoc).
+    "st_dedup" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1",
     "d_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
   CAST(length(text) AS BIGINT) AS len_chars

@@ -82,6 +82,36 @@ object StreamingOps {
       .orderBy(col("hour_epoch"), col("event_type"))
   }
 
+  /** Streaming deduplication via dropDuplicatesWithinWatermark: first
+    * occurrence per (user_id, event_type) survives, dedup state is
+    * bounded by the watermark (evicted once the watermark passes the
+    * kept row's event time + delay) — the streaming member of the dedup
+    * family (graft.ext.Dedup covers the batch members).
+    *
+    * Determinism note: the whole fixture arrives in one micro-batch
+    * (single parquet file), so every duplicate is inside the state
+    * window and the result equals the batch distinct — which is what
+    * the oracle checks. On a live stream, duplicates separated by more
+    * than the delay in event time may both survive (by design: bounded
+    * state).
+    */
+  def dedupUsersByTypeStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("event_type"))
+  }
+
   /** Stateful per-user running counters via flatMapGroupsWithState —
     * the custom-state streaming pattern (session counts, fraud counters,
     * feature freshness). Returns the final state table after draining.

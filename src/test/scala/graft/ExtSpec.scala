@@ -131,6 +131,19 @@ class ExtSpec extends SparkSpec {
     graft.ext.expr.ArrayDotProduct.ensureRegistered(spark)
   }
 
+  test("simhashNearDup: banded blocking finds the close pair, not the unrelated one") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("tok40", "tok41")),  // one token differs -> tiny hamming
+      (3L, (100 to 140).map(i => s"zzz$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("brute-force cosine top-k is ordered and self-excluded") {
     val r = Similarity.bruteForceTopK(t("embeddings"), 0L, 10).collect()
     assert(r.length === 10)
