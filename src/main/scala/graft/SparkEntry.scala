@@ -108,6 +108,10 @@ object SparkEntry {
       Aggregates.largestOrderPerCustomer(rd(s, dir, "orders"))),
     "q_rollup" -> ((s, dir) =>
       Aggregates.customerRollup(rd(s, dir, "customer"), rd(s, dir, "nation"), rd(s, dir, "region"))),
+    "q_revenue_by_brand" -> ((s, dir) =>
+      Aggregates.revenueByBrand(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
+    "q_top_suppliers" -> ((s, dir) =>
+      Aggregates.topSuppliers(rd(s, dir, "lineitem"), rd(s, dir, "supplier"), rd(s, dir, "nation"))),
     // ---- Extensions: events / temporal ----
     "q_events_hourly" -> ((s, dir) => Events.hourlyByType(rd(s, dir, "events"))),
     "q_events_json" -> ((s, dir) => Events.propsKStats(rd(s, dir, "events"))),
@@ -267,6 +271,19 @@ ORDER BY o_custkey""",
       """SELECT r_name, n_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q_revenue_by_brand" ->
+      """SELECT p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items, COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand""",
+    "q_top_suppliers" ->
+      """SELECT t.l_suppkey, s.s_name, n.n_name, t.total_value, t.n_lines
+FROM (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_suppkey) t
+JOIN supplier s ON t.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY total_value DESC, l_suppkey LIMIT 15""",
     "q_events_hourly" -> eventsHourlyOracle,
     "q_events_json" ->
       """SELECT event_type,

@@ -104,6 +104,40 @@ object Aggregates {
       .orderBy(col("o_custkey"))
   }
 
+  /** Revenue by part brand: fact-to-dimension join where the dimension
+    * (part) broadcasts and the fact (lineitem) streams — the canonical
+    * star-schema aggregate. Exact-decimal revenue (input-cast, see
+    * pricingSummary).
+    */
+  def revenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc1 = (lit(1d) - col("l_discount")).cast("decimal(4,2)")
+    lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(price * disc1).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Supplier league table: per-supplier shipped value joined back to
+    * nation, top-k by value — fact aggregate first (shrinks to
+    * |suppliers| rows), dimensions broadcast after.
+    */
+  def topSuppliers(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, k: Int = 15): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(sum(price).cast("double").as("total_value"), count(lit(1)).as("n_lines"))
+      .join(broadcast(supplier), col("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .select(col("l_suppkey"), col("s_name"), col("n_name"), col("total_value"), col("n_lines"))
+      .orderBy(col("total_value").desc, col("l_suppkey"))
+      .limit(k)
+  }
+
   /** Rollup: region -> nation hierarchy totals (grouping sets). */
   def customerRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     customer
