@@ -17,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(ArrayDotProduct.name), ArrayDotProduct.info, ArrayDotProduct.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(ArrayDotProduct.cosineName), ArrayDotProduct.cosineInfo,
+        ArrayDotProduct.cosineBuilder))
   }
 }

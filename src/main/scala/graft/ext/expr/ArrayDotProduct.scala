@@ -100,6 +100,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
 object ArrayDotProduct {
   val name = "graft_dot"
+  val cosineName = "graft_cosine"
 
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[ArrayDotProduct].getName, null, name,
@@ -111,14 +112,35 @@ object ArrayDotProduct {
       s"$name expects exactly 2 arguments, got ${other.size}")
   }
 
+  val cosineInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ArrayDotProduct].getName, null, cosineName,
+    "_FUNC_(a, b) - cosine similarity of two float/double arrays " +
+      "(dot/(|a||b|), built from the codegen'd dot product).", "")
+
+  /** graft_cosine(a,b) = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) —
+    * an expression-tree composition, so each dot is the native codegen'd
+    * loop and the whole thing stays inside WholeStageCodegen.
+    */
+  val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) =>
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      Divide(
+        ArrayDotProduct(a, b),
+        Multiply(Sqrt(ArrayDotProduct(a, a)), Sqrt(ArrayDotProduct(b, b))))
+    case other => throw new IllegalArgumentException(
+      s"$cosineName expects exactly 2 arguments, got ${other.size}")
+  }
+
   /** Idempotently register into a LIVE session — needed because the
     * round driver owns its SparkSession (we cannot set
     * spark.sql.extensions on it); DataFrame-level ops call this before
-    * building plans that reference the function.
+    * building plans that reference the functions.
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(name)
     if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+    val cid = FunctionIdentifier(cosineName)
+    if (!registry.functionExists(cid)) registry.registerFunction(cid, cosineInfo, cosineBuilder)
   }
 }

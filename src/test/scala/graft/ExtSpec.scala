@@ -127,6 +127,10 @@ class ExtSpec extends SparkSpec {
         org.apache.spark.sql.functions.transform(col("b"), x => x.cast("double"))).as("slow"))
       .filter(col("fast") =!= col("slow")).count()
     assert(mismatch === 0)
+    // graft_cosine: composed expression tree over the native dot
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(1.0d,0.0d), array(0.0d,1.0d)) o, graft_cosine(array(2.0d,0.0d), array(1.0d,0.0d)) p").head()
+    assert(cos.getDouble(0) === 0.0 && cos.getDouble(1) === 1.0)
     // lazy registration path for sessions without the extensions config
     graft.ext.expr.ArrayDotProduct.ensureRegistered(spark)
   }
