@@ -176,7 +176,7 @@ sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM pos),
 sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT doc_a, doc_b, ROUND(CAST(c AS DOUBLE)/(x.n + y.n - c), 4) AS jaccard
+SELECT doc_a, doc_b, floor((CAST(c AS DOUBLE)/(x.n + y.n - c)) * 10000) / 10000.0 AS jaccard
 FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
 WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= $minJ
 ORDER BY doc_a, doc_b"""
@@ -369,12 +369,12 @@ SELECT doc_id, concat($bits) AS simhash_bits FROM b ORDER BY doc_id"""
     },
     "e_cosine_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, ROUND(${cos("embedding::DOUBLE[]", "qv")}, 4) AS cos_sim
+SELECT vec_id, floor((${cos("embedding::DOUBLE[]", "qv")}) * 10000) / 10000.0 AS cos_sim
 FROM embeddings, q WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "e_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND(${cos("a.v", "b.v")}, 4) AS cos_sim
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, floor((${cos("a.v", "b.v")}) * 10000) / 10000.0 AS cos_sim
 FROM e a, e b WHERE a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
     "m_binary_meta" ->

@@ -55,7 +55,7 @@ object Similarity {
     embeddings
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(q)
-      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .select(col("vec_id"), Num.trunc4(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -107,7 +107,7 @@ object Similarity {
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(q)
       .filter(sameBucket)
-      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .select(col("vec_id"), Num.trunc4(cosine(col("embedding"), col("q_emb"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -178,7 +178,7 @@ object Similarity {
       pq.iterator
     }
     partTop.toDF("vec_a", "vec_b", "cos")
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), Num.trunc4(col("cos")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
@@ -275,7 +275,7 @@ object Similarity {
         }
       }
       .toDF("vec_id", "cos")
-      .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      .select(col("vec_id"), Num.trunc4(col("cos")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -306,7 +306,7 @@ object Similarity {
     val b = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("tbl", "bkt")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+        Num.trunc4(cosine(col("emb_a"), col("emb_b"))).as("cos_sim"))
       .distinct()
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(k)
