@@ -58,6 +58,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark refuses
+    // without this (runtime-settable) legacy conf. Graft-owned sessions
+    // set it at build time; set it here too so queries work on
+    // externally-owned sessions (e.g. the round driver's).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

@@ -24,10 +24,12 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Built-in-only dot product (aggregate/zip_with) — semantically
-    * identical to [[dot]] but interpreted (~50x slower at dim 64); kept
-    * as the zero-registration fallback and as executable documentation
-    * of the semantics the native expression must match.
+  /** Built-in-only dot product (aggregate/zip_with) — interpreted
+    * (~50x slower at dim 64); kept as the zero-registration fallback.
+    * Matches [[dot]] for equal-length arrays (the vector case). They
+    * diverge on ragged inputs: zip_with pads the shorter array with
+    * nulls so this returns NULL, while the native expression iterates
+    * min(length) and returns a number.
     */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -257,7 +259,13 @@ object Similarity {
     }
 
     val bcFinal = spark.sparkContext.broadcast(centroids)
-    val qVec = normalize(ds.filter(_._1 == queryVecId).head()._2)
+    val qRows = ds.filter(_._1 == queryVecId).take(1)
+    if (qRows.isEmpty) {
+      // match bruteForceTopK/annTopK: unknown query id -> empty result
+      return ds.sparkSession.emptyDataFrame
+        .withColumn("vec_id", lit(0L)).withColumn("cos_sim", lit(0.0)).limit(0)
+    }
+    val qVec = normalize(qRows.head._2)
     val probes: Set[Int] = centroids.indices
       .sortBy { c => -centroids(c).zip(qVec).map { case (a, b) => a * b }.sum }
       .take(nProbe).toSet

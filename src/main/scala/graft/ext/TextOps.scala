@@ -82,7 +82,7 @@ object TextOps {
     * the .5 boundary (observed at sf0.1).
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+    import Num.trunc4
     val t = tokens(col("text"))
     val nTok = size(t).cast("bigint")
     val nChar = length(col("text")).cast("bigint")

@@ -82,11 +82,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // ev.isNull only EXISTS as an lvalue when nullable=true (otherwise
+      // nullSafeCodeGen binds it to the FalseLiteral constant and janino
+      // rejects the assignment, silently dropping the whole stage to the
+      // interpreted path). When nullable=false no element can be null
+      // (containsNull=false), so the check is unnecessary anyway.
+      val nullElementCheck =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullElementCheck
          |  $acc += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
          |}
          |${ev.value} = $acc;

@@ -31,10 +31,17 @@ object ExcelSource {
     */
   def xlsx(spark: SparkSession, path: String, header: Boolean = true): DataFrame = {
     val files = spark.sparkContext.binaryFiles(path)
+    def requireRows(rows: Seq[Array[String]], src: String): Seq[Array[String]] = {
+      if (rows.isEmpty) throw new IllegalArgumentException(
+        s"xlsx workbook has a sheet but no rows: $src")
+      rows
+    }
     val headerRow: Array[String] =
-      if (header) files.map(f => parseWorkbook(f._2.toArray()).head).first()
+      if (header) files.map { case (p, s) => requireRows(parseWorkbook(s.toArray()), p).head }.first()
       else {
-        val w = files.map(f => parseWorkbook(f._2.toArray()).map(_.length).max).max()
+        val w = files.map { case (p, s) =>
+          requireRows(parseWorkbook(s.toArray()), p).map(_.length).max
+        }.max()
         Array.tabulate(w)(i => s"_c$i")
       }
     val nCols = headerRow.length
@@ -69,7 +76,9 @@ object ExcelSource {
         val name = e.getName
         if (name == "xl/sharedStrings.xml") shared = parseSharedStrings(zin.readAllBytes())
         else if (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml") &&
-          (sheet.isEmpty || name < sheetName)) {
+          (sheet.isEmpty || sheetOrder(name) < sheetOrder(sheetName))) {
+          // numeric compare: sheet2.xml must beat sheet10.xml (Excel does
+          // not renumber parts, so sheet1.xml may be absent entirely)
           sheet = Some(zin.readAllBytes()); sheetName = name
         }
         e = zin.getNextEntry
@@ -174,6 +183,14 @@ object ExcelSource {
     }
     r.close()
     rows.toSeq
+  }
+
+  /** Numeric sheet index from an entry name ("xl/worksheets/sheet10.xml"
+    * -> 10); non-numeric names sort last.
+    */
+  private def sheetOrder(entryName: String): Long = {
+    val digits = entryName.stripPrefix("xl/worksheets/sheet").takeWhile(_.isDigit)
+    if (digits.isEmpty) Long.MaxValue else digits.toLong
   }
 
   /** "BC7" -> 0-based column 54. */

@@ -23,6 +23,10 @@ object Reshape {
   def transpose(df: DataFrame, idColumn: String, maxRows: Int = 1000): DataFrame = {
     val n = df.limit(maxRows + 1).count()
     require(n <= maxRows, s"transpose guard: > $maxRows rows (reference was pandas-only too)")
+    // duplicate id values would silently collapse into one pivoted
+    // column (pivot + first keeps an arbitrary row) — refuse instead
+    require(df.select(idColumn).distinct().count() == n,
+      s"transpose: idColumn '$idColumn' has duplicate values; rows would be lost")
     val valueCols = df.columns.filter(_ != idColumn)
     val strDf = valueCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("string")))
     val melted = strDf.melt(

@@ -24,7 +24,7 @@ object StreamingOps {
     * `withWatermark("ts", ...)` + append and a durable sink.
     */
   def hourlyByTypeStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.Tables.read(spark, dir, "events").schema
     // file-stream source takes a directory; glob-filter to the events file
     val stream = graft.ext.Events.normalizeTs(
       spark.readStream.schema(schema)
@@ -59,7 +59,7 @@ object StreamingOps {
     * The DuckDB oracle states the same cutoff in SQL.
     */
   def hourlyByTypeStreamAppend(spark: SparkSession, dir: String, delay: String = "2 hours"): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.Tables.read(spark, dir, "events").schema
     val stream = graft.ext.Events.normalizeTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -96,7 +96,7 @@ object StreamingOps {
     * state).
     */
   def dedupUsersByTypeStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.Tables.read(spark, dir, "events").schema
     val stream = graft.ext.Events.normalizeTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -119,7 +119,7 @@ object StreamingOps {
   def userEventCountsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.Tables.read(spark, dir, "events").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(col("user_id").as[Long], col("value").as[Double])

@@ -68,13 +68,18 @@ class ExtSpec extends SparkSpec {
     assert(r.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
   }
 
-  test("fingerprint is deterministic and whitespace-insensitive") {
+  test("fingerprint is deterministic and interior-whitespace-insensitive") {
     val docs = t("documents")
     val fp1 = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val spaced = docs.withColumn("text", concat(col("text"), lit("  ")))
-    // trailing double space normalizes away only interior runs; same-text docs hash equal
-    val fp2 = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // widen every interior single space to a double space + change case:
+    // normalization (lower + \s+ collapse) must yield identical hashes
+    val mangled = docs.withColumn("text", upper(regexp_replace(col("text"), " ", "  ")))
+    val fp2 = TextOps.fingerprint(mangled).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp1 === fp2)
+    // but a real content change must alter the hash
+    val changed = docs.withColumn("text", concat(col("text"), lit(" extra")))
+    val fp3 = TextOps.fingerprint(changed).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp1.keys.forall(k => fp1(k) != fp3(k)))
   }
 
   test("exact dedup groups: one group per distinct text") {
@@ -146,6 +151,29 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("graft_dot codegen compiles for NON-NULLABLE inputs (no silent interpreted fallback)") {
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(spark)
+    // make any codegen compile failure fatal instead of a silent
+    // fall-back-to-interpreter (the bug: assigning ev.isNull when
+    // nullable=false references a non-existent variable)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.range(3)
+        .selectExpr("graft_dot(array(cast(id as double), 2.0d), array(3.0d, 4.0d)) v")
+        .collect().map(_.getDouble(0))
+      assert(r.toSeq === Seq(8.0, 11.0, 14.0))
+      // nullable path still compiles too
+      val n = spark.range(1)
+        .selectExpr("graft_dot(array(cast(id as double), cast(null as double)), array(1.0d, 1.0d)) v")
+        .head()
+      assert(n.isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("brute-force cosine top-k is ordered and self-excluded") {
