@@ -14,6 +14,20 @@ object StreamingOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Run `body` with a reduced shuffle-partition count: the streaming
+    * state store allocates one store per shuffle partition PER
+    * micro-batch, so a 32-partition default costs ~seconds of pure
+    * bookkeeping on small streams. Results are partition-count-
+    * independent (hash aggregation); restore the session value after.
+    * On a real cluster size this to the state volume, not the default.
+    */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Hourly tumbling-window counts per event type, computed through a
     * real Structured Streaming query: file source -> windowed agg ->
     * memory sink, drained synchronously with processAllAvailable().
@@ -33,13 +47,15 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
       .select(
         unix_timestamp(col("w.start")).as("hour_epoch"),
@@ -68,13 +84,15 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_hourly_wm_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
       .select(
         unix_timestamp(col("w.start")).as("hour_epoch"),
@@ -106,9 +124,11 @@ object StreamingOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name).orderBy(col("event_type"))
   }
 
@@ -137,13 +157,15 @@ object StreamingOps {
     }
 
     val name = s"graft_stream_users_${counter.incrementAndGet()}"
-    val q = stream
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
-      .toDF("user_id", "n_events", "sum_value")
-      .writeStream.outputMode("update").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = stream
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "n_events", "sum_value")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     // Update mode may emit a user several times across micro-batches;
     // the latest (max n_events) row is the final state.
     val t = spark.table(name)
