@@ -118,6 +118,7 @@ object SparkEntry {
     "q_events_sessions" -> ((s, dir) => Events.sessionCounts(rd(s, dir, "events"))),
     "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
     "q_asof_click_view" -> ((s, dir) => Events.clickLastView(rd(s, dir, "events"))),
+    "q_range_click_purchase" -> ((s, dir) => Events.clickPurchaseCounts(rd(s, dir, "events"))),
     // ---- Extensions: text analysis ----
     "d_token_count" -> ((s, dir) => TextOps.tokenCount(rd(s, dir, "documents"))),
     "d_subword_count" -> ((s, dir) => TextOps.subwordCount(rd(s, dir, "documents"))),
@@ -311,6 +312,13 @@ views AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE e
 SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, epoch_us(v.view_ts) AS view_us, v.view_id
 FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.view_ts
 ORDER BY c.event_id""",
+    "q_range_click_purchase" ->
+      """WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, COUNT(p.pus) AS n_purchases
+FROM clicks c LEFT JOIN purch p
+  ON c.user_id = p.user_id AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000
+GROUP BY 1, 2 ORDER BY 1""",
     // Streaming dedup on (user_id, event_type): single-micro-batch input
     // => equals the batch distinct (see StreamingOps scaladoc).
     "st_dedup" ->

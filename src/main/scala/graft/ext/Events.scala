@@ -103,6 +103,27 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Range-join over the event stream: purchases within 30 minutes
+    * AFTER each click by the same user, counted per click (conversion-
+    * window attribution). Inner range join + re-join against clicks for
+    * left semantics (zero-count clicks kept).
+    */
+  def clickPurchaseCounts(eventsRaw: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("p_id"))
+    val paired = graft.ops.Relational.rangeJoin(
+      clicks, purchases, Seq("user_id"), "ts", "pts",
+      lowerUs = 0L, upperUs = windowMinutes.toLong * 60L * 1000000L)
+      .groupBy(col("event_id")).agg(count(col("p_id")).as("n_purchases"))
+    clicks.join(paired, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-type daily counts — partition-prunable shape: if `events` were
     * written partitioned by date (Sinks.parquet(partitionBy=day)), this
     * query reads only matching partitions at 100 TB.

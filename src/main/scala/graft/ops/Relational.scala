@@ -94,6 +94,54 @@ object Relational {
         rightValueCols.map(c => col(s"__match.$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Range (interval) join: pairs where `rightTs` falls within
+    * `[leftTs + lowerUs, leftTs + upperUs]` (microseconds) for the same
+    * key — "events within N minutes of each other". Spark has no range
+    * join; the naive formulation (equi-key + inequality condition)
+    * plans the time predicate as a post-join filter over the whole
+    * per-key cross product.
+    *
+    * This implementation uses the standard interval-bucketing
+    * decomposition instead: timestamps are binned at `upperUs-lowerUs`
+    * width, the right side lands in exactly one bin, the left side
+    * explodes to the (usually 2) bins its window overlaps, and the join
+    * is a plain EQUI-join on (keys, bin) with the exact range check as
+    * a post-filter. Shuffle and matching cost scale with rows-per-
+    * (key, window) instead of rows-per-key-squared. Each true pair is
+    * produced exactly once (the right row has one bin).
+    *
+    * Inner join only: an outer variant would duplicate unmatched left
+    * rows once per exploded bin. Compose with a re-join against the
+    * left side for left semantics (see Events.clickPurchaseCounts).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      lowerUs: Long,
+      upperUs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, expr, lit, sequence, unix_micros}
+    require(upperUs > lowerUs, s"empty range [$lowerUs, $upperUs]")
+    val width = upperUs - lowerUs
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bin", explode(sequence(
+        expr(s"(unix_micros($leftTs) + ${lowerUs}L) div ${width}L"),
+        expr(s"(unix_micros($leftTs) + ${upperUs}L) div ${width}L"))))
+    val r = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__bin", expr(s"unix_micros($rightTs) div ${width}L"))
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      l("__bin") === r("__bin") &&
+      r("__rus") >= l("__lus") + lit(lowerUs) &&
+      r("__rus") <= l("__lus") + lit(upperUs)
+    val joined = l.join(r, cond, "inner")
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+      .drop(l("__bin")).drop(r("__bin")).drop(l("__lus")).drop(r("__rus"))
+  }
+
   /** Salted equi-join for skewed keys: the big (left) side is split into
     * `salts` random sub-keys, the small-but-too-big-to-broadcast (right)
     * side is replicated once per salt, so one hot key fans out across

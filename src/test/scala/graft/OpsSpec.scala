@@ -155,6 +155,30 @@ class OpsSpec extends SparkSpec {
       ("B", 14L, null), ("C", 50L, null)))
   }
 
+  test("rangeJoin: inclusive bounds, bin-crossing pairs, exactly-once matches") {
+    import spark.implicits._
+    val W = 1800L * 1000000L // 30 min in us
+    def tsDf(name: String, rows: Seq[(String, Long)], tsCol: String, idCol: String) =
+      rows.toDF("k", "us")
+        .select(col("k"), timestamp_micros(col("us")).as(tsCol), col("us").as(idCol))
+    val l = tsDf("l", Seq(("u1", 1000L * W + 7L), ("u2", 5000L * W)), "lts", "lid")
+    val r = tsDf("r", Seq(
+      ("u1", 1000L * W + 7L),       // == left ts (lower bound 0, inclusive)
+      ("u1", 1001L * W + 7L),       // == left ts + W exactly (upper inclusive), next bin
+      ("u1", 1001L * W + 8L),       // 1us past the window -> excluded
+      ("u1", 999L * W),             // before -> excluded
+      ("u3", 1000L * W + 10L)),     // other key -> excluded
+      "rts", "rid")
+    val out = Relational.rangeJoin(l, r, Seq("k"), "lts", "rts", 0L, W)
+      .select(col("lid"), col("rid")).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out === Set(
+      (1000L * W + 7L, 1000L * W + 7L),
+      (1000L * W + 7L, 1001L * W + 7L)))
+    // exactly-once: no duplicate pairs despite the left-side bin explode
+    val cnt = Relational.rangeJoin(l, r, Seq("k"), "lts", "rts", 0L, W).count()
+    assert(cnt === 2)
+  }
+
   test("saltedJoin matches plain join result (skew path)") {
     val orders = t("orders")
     val customer = t("customer")
