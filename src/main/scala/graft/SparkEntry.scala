@@ -103,6 +103,7 @@ object SparkEntry {
     "q_top_customers" -> ((s, dir) =>
       Aggregates.topCustomers(rd(s, dir, "orders"), rd(s, dir, "customer"))),
     "q_order_stats" -> ((s, dir) => Aggregates.orderStats(rd(s, dir, "orders"))),
+    "q_quantiles" -> ((s, dir) => Aggregates.orderValueQuantiles(rd(s, dir, "orders"))),
     "q_order_stats_approx" -> ((s, dir) => Aggregates.orderStatsApprox(rd(s, dir, "orders"))),
     "q_window_top_order" -> ((s, dir) =>
       Aggregates.largestOrderPerCustomer(rd(s, dir, "orders"))),
@@ -125,6 +126,7 @@ object SparkEntry {
     "d_lang_id" -> ((s, dir) => TextOps.langId(rd(s, dir, "documents"))),
     "d_quality_score" -> ((s, dir) => TextOps.qualityScore(rd(s, dir, "documents"))),
     "d_fingerprint" -> ((s, dir) => TextOps.fingerprint(rd(s, dir, "documents"))),
+    "d_top_terms" -> ((s, dir) => TextOps.topTerms(rd(s, dir, "documents"))),
     // ---- Extensions: dedup ----
     "d_dedup_exact" -> ((s, dir) => Dedup.exactDedup(rd(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(rd(s, dir, "documents"))),
@@ -263,6 +265,16 @@ ORDER BY total_spend DESC, o_custkey LIMIT 10""",
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_quantiles" ->
+      """SELECT o_orderstatus,
+  floor(quantile_cont(o_totalprice, 0.25) * 10000) / 10000.0 AS p25,
+  floor(quantile_cont(o_totalprice, 0.5) * 10000) / 10000.0 AS p50,
+  floor(quantile_cont(o_totalprice, 0.75) * 10000) / 10000.0 AS p75
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "d_top_terms" ->
+      """SELECT term, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term ORDER BY n_docs DESC, n_occurrences DESC, term LIMIT 50""",
     "q_window_top_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice AS top_price
 FROM orders

@@ -138,6 +138,21 @@ object Aggregates {
       .limit(k)
   }
 
+  /** Exact percentiles of order value per status. Spark's `percentile`
+    * is the exact sort-based aggregate (use approx_percentile at true
+    * scale — t-digest, single pass, fixed memory); trunc4 keeps the
+    * interpolated doubles engine-portable.
+    */
+  def orderValueQuantiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("q"))
+      .select(col("o_orderstatus"),
+        Num.trunc4(element_at(col("q"), 1)).as("p25"),
+        Num.trunc4(element_at(col("q"), 2)).as("p50"),
+        Num.trunc4(element_at(col("q"), 3)).as("p75"))
+      .orderBy(col("o_orderstatus"))
+
   /** Rollup: region -> nation hierarchy totals (grouping sets). */
   def customerRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     customer

@@ -99,6 +99,18 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus term statistics: document frequency + total occurrences per
+    * token, top-k by document frequency. The shape of IDF computation
+    * and stopword discovery: one explode + one aggregate, map-side
+    * combined; top-k via TakeOrderedAndProject, never a full sort.
+    */
+  def topTerms(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("term"))
+      .limit(k)
+
   /** Normalize-then-hash document fingerprint: md5 of
     * lowercase(whitespace-collapsed) text. md5 agrees across engines, so
     * the fingerprint is portable — it is also the grouping key for
