@@ -18,8 +18,6 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object Events {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
-
   /** Fixture `ts` is parquet TIMESTAMP(NANOS), which Spark only reads
     * via `spark.sql.legacy.parquet.nanosAsLong=true` (as an ns-epoch
     * long). Convert ns -> us with integer division (floor — the same
@@ -36,10 +34,13 @@ object Events {
     * batch and stream share one definition.
     */
   def hourlyByType(eventsRaw: DataFrame): DataFrame = {
+    graft.ext.expr.Int128Sum.ensureRegistered(eventsRaw.sparkSession)
     val events = normalizeTs(eventsRaw)
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // value is exact 2-dec; scaled-long int128 sum (see Aggregates)
+        graft.ext.expr.Int128Sum.sumFixed(col("value"), 2).cast("double").as("total_value"))
       .select(
         unix_timestamp(col("w.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("total_value"))

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.ext.expr.ArrayDotProduct
+import graft.ext.expr.{ArrayDotProduct, Int128Sum}
 
 /** SparkSessionExtensions entry point: wire graft's native functions
   * into any session via
@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(ArrayDotProduct.cosineName), ArrayDotProduct.cosineInfo,
         ArrayDotProduct.cosineBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier(Int128Sum.name), Int128Sum.info, Int128Sum.builder))
   }
 }
