@@ -15,7 +15,9 @@ import graft.streaming.StreamingOps
   *
   * Determinism conventions (shared by query + oracle):
   *  - total ORDER BY on every result (null keys via COALESCE(k,-1));
-  *  - aggregate sums as DECIMAL(18,4) per-row casts (exact, order-free);
+  *  - aggregate sums of exact fixed-point inputs via scaled longs in the
+  *    128-bit accumulator graft.ext.expr.Int128Sum (exact, order-free;
+  *    DuckDB side stays SUM(CAST(x AS DECIMAL)) — same exact value);
   *  - integer SUMs cast to BIGINT on the DuckDB side (its SUM(int)
   *    returns HUGEINT);
   *  - timestamps emitted as epoch seconds / DATE, never raw (fixture ts
