@@ -98,6 +98,22 @@ object SparkEntry {
       Sinks.parquet(rd(s, dir, "nation"), tmp)
       Sources.parquet(s, tmp).orderBy(col("n_nationkey"))
     }),
+    // Bucketed layout: both sides written bucketBy(custkey), then a
+    // join + groupBy on that key — at scale this whole pipeline runs
+    // with ZERO shuffle (bucket co-location; asserted in OpsSpec).
+    "k4_bucketed_join" -> ((s, dir) => {
+      val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val bo = Sinks.bucketedParquet(o, "graft_bkt_orders", Seq("o_custkey"), 8)
+      val bc = Sinks.bucketedParquet(c, "graft_bkt_customer", Seq("c_custkey"), 8)
+      graft.ext.expr.Int128Sum.ensureRegistered(s)
+      bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ext.expr.Int128Sum.sumFixed(col("o_totalprice"), 2)
+            .cast("double").as("total"))
+        .orderBy(col("o_custkey"))
+    }),
     // ---- Extensions: aggregates / windows ----
     "q1_pricing_summary" -> ((s, dir) => Aggregates.pricingSummary(rd(s, dir, "lineitem"))),
     "q_revenue_by_nation" -> ((s, dir) =>
@@ -235,6 +251,11 @@ FROM orders ORDER BY o_orderkey""",
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "k1_parquet_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k4_bucketed_join" ->
+      """SELECT o_custkey, c_name, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name ORDER BY o_custkey""",
     "t9_join_inner" -> joinOracle("JOIN"),
     "t9_join_left" -> joinOracle("LEFT JOIN"),
     "t9_join_right" -> joinOracle("RIGHT JOIN"),

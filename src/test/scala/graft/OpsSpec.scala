@@ -293,6 +293,32 @@ class OpsSpec extends SparkSpec {
     assert(back.count() === ev.filter(col("day") === oneDay).count())
   }
 
+  test("bucketed tables join and aggregate with zero shuffle exchanges") {
+    val o = t("orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = t("customer").select(col("c_custkey"), col("c_name"))
+    val bo = Sinks.bucketedParquet(o, "graft_test_bkt_orders", Seq("o_custkey"), 4)
+    val bc = Sinks.bucketedParquet(c, "graft_test_bkt_customer", Seq("c_custkey"), 4)
+    // force the sort-merge path: broadcast would hide the co-location
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket co-location: scan is already hash-partitioned on the key,
+      // so neither the join nor the groupBy inserts an Exchange
+      assert(!plan.contains("Exchange"),
+        s"bucketed join+agg should be shuffle-free, plan:\n${plan.take(1200)}")
+      assert(joined.count() === o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_custkey")).count().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_test_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_test_bkt_customer")
+    }
+  }
+
   test("Catalog registers lazy plans and temp views") {
     val cat = new Catalog(spark)
     cat.register("products_t", products)
