@@ -96,6 +96,14 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.shingles(short, 3).count() === 0)
   }
 
+  test("posting-list pruning leaves the jaccard pair set unchanged") {
+    val sh = Dedup.shingleHashes(t("documents"), 3)
+    def pairs(prune: Boolean) =
+      Dedup.pairJaccard(sh, 0.3, pruneSingletons = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(prune = true) === pairs(prune = false))
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as exact search") {
     val docs = t("documents", "sf0.01")
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9)
