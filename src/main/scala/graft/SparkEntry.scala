@@ -56,6 +56,10 @@ object SparkEntry {
       Mutation.filterContains(rd(s, dir, "customer"), "c_name", "99")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))),
+    "t4b_filter_icontains" -> ((s, dir) =>
+      Mutation.filterContainsIgnoreCase(rd(s, dir, "customer"), "c_mktsegment", "Hold")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
     "t8_cast_column" -> ((s, dir) => {
       val a = Mutation.castColumn(rd(s, dir, "orders"), "o_orderdate", "date")
       val b = Columns.splitColumnLiteral(a, "o_orderpriority", "-")
@@ -92,6 +96,23 @@ object SparkEntry {
       Sinks.csv(rd(s, dir, "region"), tmp, header = true)
       Sources.csv(s, tmp, schemaDdl = Some("r_regionkey INT, r_name STRING"))
         .orderBy(col("r_regionkey"))
+    }),
+    // S5+K3+S4 live: write nation to an embedded Derby database (the
+    // Derby driver ships in /opt/spark/jars), assert the catalog listing
+    // sees it (S4), read it back through the PARTITIONED jdbc path
+    // (4 range-parallel queries on n_nationkey — the at-scale shape).
+    "s5_jdbc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_derby").toString
+      System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      Sinks.jdbc(rd(s, dir, "nation"), url, "nation_rt", props)
+      require(Sources.jdbcTableNames(url, "", "").map(_.toLowerCase).contains("nation_rt"),
+        "jdbc catalog listing (S4) must see the table just written")
+      Sources.jdbc(s, url, "nation_rt", props,
+        partitionColumn = Some(("n_nationkey", 0L, 25L, 4)))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
     }),
     "k1_parquet_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/nation"
@@ -160,7 +181,7 @@ object SparkEntry {
     // ---- Extensions: multimodal plumbing ----
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(rd(s, dir, "documents"))),
     "m_frame_hash" -> ((s, dir) => Multimodal.frameSample(rd(s, dir, "documents"))),
-    "m_features" -> ((s, dir) => Multimodal.extractFeatures(rd(s, dir, "documents"))),
+    "m_features" -> ((s, dir) => Multimodal.featureDigest(rd(s, dir, "documents"))),
     // ---- Extensions: structured streaming ----
     "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
     "st_events_hourly_wm" -> ((s, dir) => StreamingOps.hourlyByTypeStreamAppend(s, dir)),
@@ -218,12 +239,21 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (=> driver rows-only check):
-    * t5_transpose (non-SQL reshape), q_order_stats_approx / d_simhash64 /
-    * e_ann_lsh (engine-specific hashing/sketches), m_features (opaque
-    * binary decode stub), st_user_counts (stateful stream, double-sum
-    * accumulation order).
+    * q_order_stats_approx / d_simhash64 / d_simhash_neardup / e_ann_lsh /
+    * e_ann_ivf (engine-specific hashing/sketches, approximate by
+    * design), m_features (opaque binary decode stub).
     */
   def oracleSql: Map[String, String] = Map(
+    "t5_transpose" ->
+      """SELECT 'r_regionkey' AS column_name, * FROM (
+  PIVOT (SELECT r_name, CAST(r_regionkey AS VARCHAR) AS v FROM region) ON r_name USING first(v)
+) ORDER BY column_name""",
+    "t4b_filter_icontains" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE contains(lower(c_mktsegment), 'hold') ORDER BY c_custkey",
+    "st_user_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id""",
     "t1_fill_nulls" ->
       """SELECT COALESCE(c_custkey, 0) AS c_custkey, COALESCE(c_name, 'UNKNOWN') AS c_name,
   COALESCE(c_nationkey, 0) AS c_nationkey, COALESCE(c_acctbal, 0.0) AS c_acctbal,
@@ -250,6 +280,8 @@ FROM orders ORDER BY o_orderkey""",
     "s1_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "k1_parquet_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s5_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k4_bucketed_join" ->
       """SELECT o_custkey, c_name, COUNT(*) AS n_orders,

@@ -75,4 +75,20 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "features")
       .orderBy(col("doc_id"))
   }
+
+  /** Driver-friendly projection of [[extractFeatures]]: the raw
+    * `array<float>` column is reduced to two sortable scalars — an md5
+    * digest of the vector (cross-row identity) and the argmax bin (the
+    * dominant byte range, i.e. the stub's "top class"). Downstream
+    * consumers that need the full vector call [[extractFeatures]];
+    * result-exchange layers (and the round driver's rows-only check)
+    * get hashable columns.
+    */
+  def featureDigest(docs: DataFrame, bins: Int = 16): DataFrame =
+    extractFeatures(docs, bins)
+      .select(
+        col("doc_id"), col("n_bytes"),
+        md5(concat_ws(",", col("features").cast("array<string>"))).as("features_md5"),
+        expr("array_position(features, array_max(features))").cast("bigint").as("argmax_bin"))
+      .orderBy(col("doc_id"))
 }

@@ -114,73 +114,107 @@ object Similarity {
       .limit(k)
   }
 
-  /** Top pairwise cosine pairs (embedding near-dup sweep). Exact O(n^2),
-    * computed as a broadcast-corpus mapPartitions kernel: the corpus is
-    * collected once into primitive double arrays and broadcast (the same
-    * build step a broadcast hash join performs), then each partition
-    * scores its own rows against the corpus with tight primitive loops
-    * and keeps a bounded top heap. ~1000x faster than evaluating the
-    * cosine through interpreted higher-order functions on 10^6+ pairs,
-    * and the scoring stays fully distributed.
+  /** Top pairwise cosine pairs (embedding near-dup sweep). Exact O(n^2)
+    * compute, fully distributed — NOTHING is ever materialized on the
+    * driver (the previous revision collect()ed the corpus; that ceiling
+    * is gone).
     *
-    * Scale ceiling: broadcast side is n*dim*8 bytes (~0.5 GB at 1M x 64),
-    * the executor-memory regime where a broadcast join also stops; past
-    * that, block the corpus with [[lshCosinePairs]]-style sign-LSH
-    * buckets so each partition only scores its bucket.
+    * Shape: block-nested self-join. Each vector hashes to one of
+    * `numBlocks` (=B) blocks; each unordered block pair (i,j), i<=j, is
+    * one shuffle group; a vector in block g is replicated to the B
+    * groups {(min(g,h),max(g,h)) : h < B}, so every vector PAIR meets in
+    * exactly one group. Per group, a tight primitive-loop kernel scores
+    * its <= 2n/B vectors pairwise and keeps a top-k heap ordered by the
+    * FINAL output ordering (truncated cosine desc, then ids asc) — so
+    * per-group top-k merge is exact, no slack needed.
+    *
+    * Scale accounting: shuffle volume is B*n rows (choose
+    * B ~ sqrt(2 * cluster cores) for full parallelism over B(B+1)/2
+    * groups); per-task memory is ~(2n/B)*dim*8 bytes; compute is the
+    * irreducible n^2/2 dots spread over all tasks. When exact all-pairs
+    * compute itself is too much (n >> 10^7), switch to the approximate
+    * [[lshCosinePairs]], which only scores within LSH buckets.
     *
     * Determinism vs the DuckDB oracle: dot/norm accumulate in index
     * order (same association as list_dot_product), division happens
-    * once per pair, rounding once at the end — bit-identical doubles.
+    * once per pair, truncation once at the end — bit-identical doubles.
     */
-  def topCosinePairs(embeddings: DataFrame, k: Int): DataFrame = {
+  def topCosinePairs(embeddings: DataFrame, k: Int, numBlocks: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val B = numBlocks
     val ds = embeddings
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-    val corpus = ds.collect().sortBy(_._1)
-    val ids = corpus.map(_._1)
-    val vecs = corpus.map(_._2)
-    val norms = vecs.map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
+    // (groupKey, block, id, vec): B replicas per vector, one per group
+    // containing its block.
+    val replicated = ds.flatMap { case (id, v) =>
+      val g = java.lang.Math.floorMod(id, B.toLong).toInt
+      (0 until B).iterator.map { h =>
+        (math.min(g, h) * B + math.max(g, h), g, id, v)
+      }
     }
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    // Per-partition keep-list is k + slack: partitions prune on RAW
-    // cosine while the final global order uses the ROUNDED value, so a
-    // raw-order near-tie at the k boundary must not be droppable.
-    val slack = k + 64
-    // "Worst kept on top" ordering: lowest cos first, then largest ids.
+    // Heap keeps the WORST candidate on top, "worst" by the final output
+    // ordering (trunc4(cos) desc, vec_a asc, vec_b asc) — pruning and
+    // output order agree, so per-group top-k is globally sufficient.
     val worstFirst: Ordering[(Long, Long, Double)] =
-      Ordering.by { case (a, b, c) => (-c, a, b) }
-    val partTop = ds.mapPartitions { rows =>
-      val (ids, vecs, norms) = bc.value
+      Ordering.by { case (a, b, t) => (-t, a, b) }
+    val grouped = replicated.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val blkI = key / B
+      val blkJ = key % B
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      it.foreach { case (_, g, id, v) =>
+        if (g == blkI) left += ((id, v))
+        if (g == blkJ && blkJ != blkI) right += ((id, v))
+      }
+      def norm(v: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
       val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)](worstFirst)
-      rows.foreach { case (ida, va) =>
-        var na = 0.0
+      def score(ida: Long, va: Array[Double], na: Double,
+          idb: Long, vb: Array[Double], nb: Double): Unit = {
+        val a = math.min(ida, idb); val b = math.max(ida, idb)
+        val (v1, v2) = if (ida <= idb) (va, vb) else (vb, va)
+        var dot = 0.0; var d = 0
+        while (d < v1.length) { dot += v1(d) * v2(d); d += 1 }
+        val cos = dot / (na * nb)
+        val t = math.floor(cos * 10000.0) / 10000.0 // = Num.trunc4
+        val cand = (a, b, t)
+        if (pq.size < k) pq.enqueue(cand)
+        else if (worstFirst.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+      }
+      if (blkI == blkJ) {
+        val arr = left.toArray
+        val norms = arr.map(p => norm(p._2))
         var i = 0
-        while (i < va.length) { na += va(i) * va(i); i += 1 }
-        na = math.sqrt(na)
-        // pairs are ordered (ida < idb): score only ids strictly above ida
-        var j = java.util.Arrays.binarySearch(ids, ida)
-        j = if (j >= 0) j + 1 else -(j + 1)
-        while (j < ids.length) {
-          val vb = vecs(j)
-          var dot = 0.0
-          var d = 0
-          while (d < va.length) { dot += va(d) * vb(d); d += 1 }
-          val cos = dot / (na * norms(j))
-          val cand = (ida, ids(j), cos)
-          if (pq.size < slack) pq.enqueue(cand)
-          else if (worstFirst.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
-          j += 1
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            if (arr(i)._1 != arr(j)._1)
+              score(arr(i)._1, arr(i)._2, norms(i), arr(j)._1, arr(j)._2, norms(j))
+            j += 1
+          }
+          i += 1
+        }
+      } else {
+        val la = left.toArray; val ra = right.toArray
+        val ln = la.map(p => norm(p._2)); val rn = ra.map(p => norm(p._2))
+        var i = 0
+        while (i < la.length) {
+          var j = 0
+          while (j < ra.length) {
+            score(la(i)._1, la(i)._2, ln(i), ra(j)._1, ra(j)._2, rn(j))
+            j += 1
+          }
+          i += 1
         }
       }
       pq.iterator
     }
-    partTop.toDF("vec_a", "vec_b", "cos")
-      .select(col("vec_a"), col("vec_b"), Num.trunc4(col("cos")).as("cos_sim"))
+    grouped.toDF("vec_a", "vec_b", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }

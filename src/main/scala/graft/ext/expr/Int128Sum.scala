@@ -119,9 +119,15 @@ object Int128Sum {
       "128-bit accumulator, returned as decimal(38, scale).", "")
 
   val builder: Seq[Expression] => Expression = {
-    case Seq(x, Literal(s: Int, IntegerType)) => Int128Sum(x, s)
+    // scale: any integral literal (2, 2L, cast-folded byte/short)
+    case Seq(x, Literal(s: Byte, ByteType))    => Int128Sum(x, s.toInt)
+    case Seq(x, Literal(s: Short, ShortType))  => Int128Sum(x, s.toInt)
+    case Seq(x, Literal(s: Int, IntegerType))  => Int128Sum(x, s)
+    case Seq(x, Literal(s: Long, LongType)) if s.isValidInt => Int128Sum(x, s.toInt)
+    case Seq(_, badScale) => throw new IllegalArgumentException(
+      s"$name scale must be an integer literal, got ${badScale.sql}")
     case other => throw new IllegalArgumentException(
-      s"$name expects (longCol, <int literal scale>), got ${other.size} args")
+      s"$name expects 2 args (longCol, <integer literal scale>), got ${other.size}")
   }
 
   def ensureRegistered(spark: SparkSession): Unit = {

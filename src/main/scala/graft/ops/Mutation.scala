@@ -35,6 +35,15 @@ object Mutation {
   def filterContains(df: DataFrame, column: String, value: String): DataFrame =
     df.filter(col(column).contains(value))
 
+  /** T4b — case-insensitive contains, the checkpoint revision's
+    * semantics (simple_etl-checkpoint.py:227 used pandas
+    * `str.contains(case=False, na=False)`). Null rows drop, matching
+    * `na=False`. lower() on both sides keeps the predicate codegen'd
+    * and scan-pushable, like the case-sensitive variant.
+    */
+  def filterContainsIgnoreCase(df: DataFrame, column: String, value: String): DataFrame =
+    df.filter(lower(col(column)).contains(value.toLowerCase))
+
   /** T8 — cast a column to one of the reference's four UI types
     * (reference: simple_etl.py:291-311). Requires
     * `spark.sql.ansi.enabled=false` session-wide so bad casts yield null

@@ -61,8 +61,8 @@ object Sinks {
   }
 
   /** K3 — JDBC write (reference: simple_etl.py:390-404,
-    * `to_sql(if_exists='replace')` => overwrite). Interface-complete;
-    * needs a driver jar at runtime (absent offline, SURVEY.md §7).
+    * `to_sql(if_exists='replace')` => overwrite). Exercised end-to-end
+    * against embedded Derby (s5_jdbc_roundtrip query, OpsSpec).
     */
   def jdbc(df: DataFrame, url: String, table: String, props: Map[String, String] = Map.empty): DataFrame = {
     val base = df.write.mode(SaveMode.Overwrite).format("jdbc")

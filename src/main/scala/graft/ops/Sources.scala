@@ -43,9 +43,9 @@ object Sources {
     * queries instead of one connection pulling the whole table through
     * the driver — mandatory at scale.
     *
-    * No JDBC driver jar ships in this offline environment
-    * (SURVEY.md §7 risk register), so this is interface-complete but
-    * will fail at runtime without a driver on the classpath.
+    * Exercised end-to-end against embedded Derby (the Derby driver jar
+    * ships in /opt/spark/jars): see the `s5_jdbc_roundtrip` query and
+    * OpsSpec. Any other database needs only its driver jar + url.
     */
   def jdbc(
       spark: SparkSession,
@@ -69,7 +69,7 @@ object Sources {
 
   /** S4 — JDBC catalog listing (reference: simple_etl.py:99-105 uses
     * SQLAlchemy inspect). JVM-native equivalent via DatabaseMetaData;
-    * needs a driver jar at runtime (absent offline).
+    * exercised against embedded Derby (s5_jdbc_roundtrip, OpsSpec).
     */
   def jdbcTableNames(url: String, user: String, password: String): Seq[String] = {
     val conn = java.sql.DriverManager.getConnection(url, user, password)

@@ -135,6 +135,16 @@ object StreamingOps {
   /** Stateful per-user running counters via flatMapGroupsWithState —
     * the custom-state streaming pattern (session counts, fraud counters,
     * feature freshness). Returns the final state table after draining.
+    *
+    * The running money sum is kept as a SCALED LONG (value x 10^4) in
+    * the state — the Int128Sum fixed-point policy applied to streaming
+    * state: long adds are associative/commutative, so the result is
+    * independent of row arrival order and micro-batch partitioning,
+    * which is what makes the query oracle-checkable (a double
+    * accumulator's value depends on accumulation order). Fixture
+    * `value`s are exact at 4 decimals, so value*1e4 rounds to the exact
+    * integer and the final cents/10^4 division is the single rounding
+    * step — same as DuckDB's SUM(DECIMAL(18,4))::DOUBLE.
     */
   def userEventCountsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -148,12 +158,12 @@ object StreamingOps {
     def update(
         user: Long,
         rows: Iterator[(Long, Double)],
-        state: GroupState[(Long, Double)]): Iterator[(Long, Long, Double)] = {
-      val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-      var n = n0; var v = v0
-      rows.foreach { case (_, value) => n += 1; v += value }
-      state.update((n, v))
-      Iterator((user, n, v))
+        state: GroupState[(Long, Long)]): Iterator[(Long, Long, Long)] = {
+      val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+      var n = n0; var cents = c0
+      rows.foreach { case (_, value) => n += 1; cents += math.round(value * 10000.0) }
+      state.update((n, cents))
+      Iterator((user, n, cents))
     }
 
     val name = s"graft_stream_users_${counter.incrementAndGet()}"
@@ -161,18 +171,20 @@ object StreamingOps {
       val q = stream
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
-        .toDF("user_id", "n_events", "sum_value")
+        .toDF("user_id", "n_events", "sum_cents")
         .writeStream.outputMode("update").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
     }
     // Update mode may emit a user several times across micro-batches;
-    // the latest (max n_events) row is the final state.
+    // the latest (max n_events) row is the final state. cents < 2^53,
+    // so cast-to-double is exact and the division rounds once — equal
+    // to DuckDB's decimal-to-double conversion of the same exact sum.
     val t = spark.table(name)
     t.groupBy(col("user_id"))
-      .agg(max(struct(col("n_events"), col("sum_value"))).as("s"))
+      .agg(max(struct(col("n_events"), col("sum_cents"))).as("s"))
       .select(col("user_id"), col("s.n_events").as("n_events"),
-        round(col("s.sum_value"), 4).as("sum_value"))
+        (col("s.sum_cents").cast("double") / 10000.0).as("sum_value"))
       .orderBy(col("user_id"))
   }
 }

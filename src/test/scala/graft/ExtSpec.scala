@@ -104,6 +104,18 @@ class ExtSpec extends SparkSpec {
     assert(pairs(prune = true) === pairs(prune = false))
   }
 
+  test("document-frequency cap preserves the pair set when above the corpus df") {
+    val sh = Dedup.shingleHashes(t("documents"), 3)
+    val unCapped = Dedup.pairJaccard(sh, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cap above every real df: identical output (the safe production cap)
+    val capped = Dedup.pairJaccard(sh, 0.3, maxDocFreq = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === unCapped)
+    // cap=1 drops every shared shingle -> no intersections survive
+    assert(Dedup.pairJaccard(sh, 0.3, maxDocFreq = Some(1L)).count() === 0)
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as exact search") {
     val docs = t("documents", "sf0.01")
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9)
@@ -220,6 +232,53 @@ class ExtSpec extends SparkSpec {
     import spark.implicits._
     val dims = f.select(size(col("features"))).distinct().as[Int].collect()
     assert(dims.sameElements(Array(16)))
+    // digest projection: scalar columns only (driver-sortable), one row
+    // per doc, deterministic across runs
+    val d1 = Multimodal.featureDigest(t("documents"))
+    assert(d1.schema.fields.forall(f => !f.dataType.typeName.startsWith("array")))
+    assert(d1.count() === t("documents").count())
+    val d2 = Multimodal.featureDigest(t("documents"))
+    assert(d1.collect().map(_.toString).toSeq === d2.collect().map(_.toString).toSeq)
+    assert(d1.filter(col("argmax_bin") < 1 || col("argmax_bin") > 16).count() === 0)
+  }
+
+  test("topCosinePairs: blocked distributed sweep is exact (block-count invariant, matches HOF cosine)") {
+    val emb = t("embeddings")
+    // exact reference: tiny-corpus all-pairs through the expression API
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val expected = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Num.trunc4(Similarity.cosine(col("ea"), col("eb"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b")).limit(15)
+      .collect().map(_.toString).toSeq
+    // block counts must not change the answer (1 block = single group)
+    val b1 = Similarity.topCosinePairs(emb, 15, numBlocks = 1).collect().map(_.toString).toSeq
+    val b4 = Similarity.topCosinePairs(emb, 15, numBlocks = 4).collect().map(_.toString).toSeq
+    assert(b1 === expected)
+    assert(b4 === expected)
+  }
+
+  test("lshCosinePairs recall: finds planted near-duplicate embedding pairs") {
+    // The fixture embeddings are near-random (best pair cos ~0.5 — no
+    // planted near-dups), where sign-LSH recall is LOW by design; plant
+    // real near-dups (each vector + a mildly perturbed copy, cos ~0.9996)
+    // and check the LSH sweep recovers what the exact sweep ranks top.
+    val base = t("embeddings").select(col("vec_id"), col("embedding"))
+    val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * when(i % 7 === 0, lit(1.02f)).otherwise(lit(1.0f)))
+        .cast("array<float>").as("embedding"))
+    val corpus = base.unionByName(planted)
+    val k = 20
+    val exact = Similarity.topCosinePairs(corpus, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.forall { case (a, b) => b == a + 100000L },
+      s"exact top-$k should be planted pairs only, got $exact")
+    val lsh = Similarity.lshCosinePairs(corpus, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low; exact=$exact lsh=$lsh")
   }
 
   test("streaming hourly agg equals batch hourly agg") {
@@ -241,11 +300,13 @@ class ExtSpec extends SparkSpec {
     assert(wm.map(_.toString).toSeq === expected.map(_.toString).toSeq)
   }
 
-  test("streaming stateful user counts match batch groupBy") {
+  test("streaming stateful user counts match batch groupBy (counts AND exact money sums)") {
     val streamed = graft.streaming.StreamingOps.userEventCountsStream(spark, sf())
-    val batch = t("events").groupBy("user_id").count()
+    val batch = t("events").groupBy("user_id")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("v_batch"))
     val joined = streamed.join(batch, "user_id")
-      .filter(col("n_events") =!= col("count")).count()
-    assert(joined === 0)
+      .filter(col("n_events") =!= col("n_batch") || col("sum_value") =!= col("v_batch"))
+    assert(joined.count() === 0)
   }
 }

@@ -210,6 +210,37 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$dir/c").count() === 5)
   }
 
+  test("S4/S5/K3 JDBC round-trip against embedded Derby (write, list, partitioned read)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val nation = t("nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    // K3: overwrite write (twice — the second exercises the replace path)
+    Sinks.jdbc(nation, url, "nation_rt", props)
+    Sinks.jdbc(nation, url, "nation_rt", props)
+    // S4: catalog listing sees the table
+    val tables = Sources.jdbcTableNames(url, "", "").map(_.toLowerCase)
+    assert(tables.contains("nation_rt"), s"catalog listing missing table: $tables")
+    // S5 single-connection read
+    val whole = Sources.jdbc(spark, url, "nation_rt", props)
+    assert(whole.count() === nation.count())
+    // S5 partitioned read: 4 range-parallel queries, same rows
+    val parts = Sources.jdbc(spark, url, "nation_rt", props,
+      partitionColumn = Some(("n_nationkey", 0L, 25L, 4)))
+    assert(parts.rdd.getNumPartitions === 4)
+    val back = parts.orderBy(col("n_nationkey")).collect().map(_.toSeq)
+    val orig = nation.orderBy(col("n_nationkey")).collect().map(_.toSeq)
+    assert(back.toSeq === orig.toSeq)
+  }
+
+  test("T4b filterContainsIgnoreCase matches any case, drops null rows") {
+    val r = Mutation.filterContainsIgnoreCase(sales, "Status", "PAID")
+    assert(r.count() === 4) // the four 'Paid' rows (incl. dup); Pending/Cancelled excluded
+    val nulls = Mutation.filterContainsIgnoreCase(sales, "Region", "JAKARTA")
+    assert(nulls.count() === 2) // both Jakarta rows; TRX-103's null Region drops
+  }
+
   test("S2 Excel source reads a real xlsx (shared strings, sparse cells, types)") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = java.nio.file.Files.createTempDirectory("graft-xlsx")
