@@ -20,7 +20,10 @@ import scala.collection.mutable
   * directory of workbooks parallelizes per file, matching how
   * spreadsheet data arrives in practice (many small uploads, never one
   * 100 TB sheet). Values come back as strings, like the reference's
-  * all-string fallback (simple_etl.py:169); compose with
+  * all-string fallback (simple_etl.py:169) — EXCEPT date-styled cells,
+  * whose day serials are converted to ISO date/date-time strings via
+  * the styles.xml number-format lookup (the same lookup openpyxl does
+  * for the reference, simple_etl.py:71-72); compose with
   * `Mutation.castColumn` / an explicit select to type them.
   */
 object ExcelSource {
@@ -67,6 +70,7 @@ object ExcelSource {
     */
   private[graft] def parseWorkbook(bytes: Array[Byte]): Seq[Array[String]] = {
     var shared: IndexedSeq[String] = IndexedSeq.empty
+    var dateStyles: Set[Int] = Set.empty
     var sheet: Option[Array[Byte]] = None
     var sheetName: String = ""
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -75,6 +79,7 @@ object ExcelSource {
       while (e != null) {
         val name = e.getName
         if (name == "xl/sharedStrings.xml") shared = parseSharedStrings(zin.readAllBytes())
+        else if (name == "xl/styles.xml") dateStyles = parseDateStyles(zin.readAllBytes())
         else if (name.startsWith("xl/worksheets/sheet") && name.endsWith(".xml") &&
           (sheet.isEmpty || sheetOrder(name) < sheetOrder(sheetName))) {
           // numeric compare: sheet2.xml must beat sheet10.xml (Excel does
@@ -85,10 +90,72 @@ object ExcelSource {
       }
     } finally zin.close()
     sheet match {
-      case Some(s) => parseSheet(s, shared)
+      case Some(s) => parseSheet(s, shared, dateStyles)
       case None => throw new IllegalArgumentException(
         "not an .xlsx workbook: no xl/worksheets/sheet*.xml entry")
     }
+  }
+
+  /** Indices into cellXfs whose number format is a DATE/TIME format —
+    * xlsx stores dates as day serials (45321 = 2024-01-30) typed only by
+    * the cell's style, which is why a format-blind reader round-trips
+    * date columns as garbage numbers (the reference gets real dates via
+    * openpyxl's identical styles.xml lookup). Builtin date format ids
+    * (14-22 dates/times, 27-36 era dates, 45-47 durations, 50-58 locale
+    * dates) plus custom formatCodes containing date tokens count.
+    */
+  private[graft] def parseDateStyles(bytes: Array[Byte]): Set[Int] = {
+    val builtinDate: Set[Int] =
+      (14 to 22).toSet ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)
+    def isDateCode(code: String): Boolean = {
+      // strip quoted literals, [color/locale] sections, escaped chars;
+      // date formats then contain y/m/d/h tokens (m alone is ambiguous
+      // with minutes — still a date/time format either way)
+      val s = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\\\\.", "")
+      s.exists(c => c == 'y' || c == 'd' || c == 'h' || c == 'm' ||
+        c == 'Y' || c == 'D' || c == 'H' || c == 'M')
+    }
+    val r = newReader(bytes)
+    val customDate = mutable.Set.empty[Int]
+    val xfFmts = mutable.ArrayBuffer.empty[Int]
+    var inCellXfs = false // cellStyleXfs also holds <xf>; only cellXfs counts
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
+              val code = Option(r.getAttributeValue(null, "formatCode")).getOrElse("")
+              id.foreach(i => if (isDateCode(code)) customDate += i)
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfFmts += Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt).getOrElse(0)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    r.close()
+    xfFmts.zipWithIndex.collect {
+      case (fmt, i) if builtinDate(fmt) || customDate(fmt) => i
+    }.toSet
+  }
+
+  /** Excel day serial -> ISO string: whole serials become dates,
+    * fractional serials date-times (fraction = time of day). Base is
+    * 1899-12-30, the standard conversion that absorbs Excel's fictional
+    * 1900-02-29 for all modern serials (openpyxl uses the same base).
+    */
+  private[graft] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    val secs = math.round((serial - days) * 86400.0)
+    if (secs == 0L) date.toString
+    else s"${date.plusDays(secs / 86400)} ${java.time.LocalTime.ofSecondOfDay(secs % 86400)
+      .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))}"
   }
 
   private def newReader(bytes: Array[Byte]) = {
@@ -134,12 +201,14 @@ object ExcelSource {
     * </c></row>. Column position comes from the A1-style `r` attribute
     * (cells for empty columns are simply absent).
     */
-  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String]): Seq[Array[String]] = {
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+      dateStyles: Set[Int]): Seq[Array[String]] = {
     val r = newReader(bytes)
     val rows = mutable.ArrayBuffer.empty[Array[String]]
     val cells = mutable.ArrayBuffer.empty[(Int, String)]
     var cellCol = -1
     var cellType = ""
+    var cellStyle = -1
     var inV = false
     val v = new StringBuilder
     var nextCol = 0
@@ -153,6 +222,7 @@ object ExcelSource {
               cellCol = ref.map(colIndex).getOrElse(nextCol)
               nextCol = cellCol + 1
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              cellStyle = Option(r.getAttributeValue(null, "s")).map(_.toInt).getOrElse(-1)
               v.clear()
             case "v" | "t" => inV = true
             case _ =>
@@ -166,6 +236,9 @@ object ExcelSource {
               val value = cellType match {
                 case "s" => shared(raw.trim.toInt)
                 case "b" => if (raw.trim == "1") "true" else "false"
+                case "n" if dateStyles(cellStyle) && raw.nonEmpty =>
+                  // date-styled numeric cell: serial -> ISO date string
+                  raw.trim.toDoubleOption.map(serialToIso).getOrElse(raw)
                 case _ => raw // n, str, inlineStr (t-element text lands in v)
               }
               if (value.nonEmpty) cells += ((cellCol, value))

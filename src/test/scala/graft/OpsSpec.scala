@@ -241,10 +241,10 @@ class OpsSpec extends SparkSpec {
     assert(nulls.count() === 2) // both Jakarta rows; TRX-103's null Region drops
   }
 
-  test("S2 Excel source reads a real xlsx (shared strings, sparse cells, types)") {
+  test("S2 Excel source reads a real xlsx (shared strings, sparse cells, types, dates)") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = java.nio.file.Files.createTempDirectory("graft-xlsx")
-    def writeXlsx(file: String, sheetXml: String, sharedXml: String): Unit = {
+    def writeXlsx(file: String, sheetXml: String, sharedXml: String, stylesXml: String): Unit = {
       val out = new ZipOutputStream(java.nio.file.Files.newOutputStream(dir.resolve(file)))
       def put(name: String, content: String): Unit = {
         out.putNextEntry(new ZipEntry(name))
@@ -252,30 +252,52 @@ class OpsSpec extends SparkSpec {
       }
       put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
       put("xl/sharedStrings.xml", sharedXml)
+      put("xl/styles.xml", stylesXml)
       put("xl/worksheets/sheet1.xml", sheetXml)
       out.close()
     }
     val shared =
-      """<?xml version="1.0"?><sst><si><t>id</t></si><si><t>name</t></si><si><t>qty</t></si><si><t>Mouse</t></si><si><r><t>Key</t></r><r><t>board</t></r></si></sst>"""
-    // row2: full; row3: qty cell absent (sparse); row4: inline string + bool
+      """<?xml version="1.0"?><sst><si><t>id</t></si><si><t>name</t></si><si><t>qty</t></si><si><t>Mouse</t></si><si><r><t>Key</t></r><r><t>board</t></r></si><si><t>when</t></si></sst>"""
+    // xf1 = builtin date (14), xf2 = custom date format (164); the xf
+    // inside cellStyleXfs is a decoy that must NOT shift cellXfs indices
+    val styles =
+      """<?xml version="1.0"?><styleSheet>
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/></numFmts>
+        |<cellStyleXfs count="1"><xf numFmtId="14"/></cellStyleXfs>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    // row2: full + date-styled serial; row3: qty absent (sparse), custom
+    // date style with time fraction; row4: inline string + bool +
+    // UNSTYLED serial (must stay a raw number)
     val sheet =
       """<?xml version="1.0"?><worksheet><sheetData>
-        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
-        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>2.5</v></c></row>
-        |<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="s"><v>4</v></c></row>
-        |<row r="4"><c r="A4"><v>3</v></c><c r="B4" t="inlineStr"><is><t>Cable</t></is></c><c r="C4" t="b"><v>1</v></c></row>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>5</v></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>2.5</v></c><c r="D2" s="1"><v>45321</v></c></row>
+        |<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="s"><v>4</v></c><c r="D3" s="2"><v>45321.5</v></c></row>
+        |<row r="4"><c r="A4"><v>3</v></c><c r="B4" t="inlineStr"><is><t>Cable</t></is></c><c r="C4" t="b"><v>1</v></c><c r="D4"><v>45321</v></c></row>
         |</sheetData></worksheet>""".stripMargin
-    writeXlsx("a.xlsx", sheet, shared)
+    writeXlsx("a.xlsx", sheet, shared, styles)
     val df = Sources.excel(spark, dir.toString + "/a.xlsx")
-    assert(df.columns.toSeq === Seq("id", "name", "qty"))
+    assert(df.columns.toSeq === Seq("id", "name", "qty", "when"))
     val rows = df.orderBy(col("id")).collect()
     assert(rows.length === 3)
-    assert(rows(0).toSeq === Seq("1", "Mouse", "2.5"))
-    assert(rows(1).toSeq === Seq("2", "Keyboard", null)) // rich-text runs concat; sparse cell -> null
-    assert(rows(2).toSeq === Seq("3", "Cable", "true"))
-    // cast composes downstream, as the reference's T8 would
-    val typed = Mutation.castColumn(df, "qty", "float")
+    assert(rows(0).toSeq === Seq("1", "Mouse", "2.5", "2024-01-30"))
+    assert(rows(1).toSeq === Seq("2", "Keyboard", null, "2024-01-30 12:00:00")) // rich-text runs concat; sparse cell -> null
+    assert(rows(2).toSeq === Seq("3", "Cable", "true", "45321")) // no date style -> raw serial
+    // cast composes downstream, as the reference's T8 would: the two
+    // date-styled cells become real dates, the unstyled serial nulls out
+    val typed = Mutation.castColumn(Mutation.castColumn(df, "qty", "float"), "when", "date")
     assert(typed.schema("qty").dataType === FloatType)
+    assert(typed.schema("when").dataType === DateType)
+    // the two styled cells become the real date; the unstyled serial
+    // string "45321" leniently parses as year 45321 (bare-yyyy form) —
+    // exactly the garbage the style lookup exists to prevent
+    assert(typed.filter(col("when") === lit("2024-01-30").cast("date")).count() === 2)
+    assert(typed.filter(year(col("when")) === 45321).count() === 1)
+    // serial conversion edges
+    assert(ExcelSource.serialToIso(45321.0) === "2024-01-30")
+    assert(ExcelSource.serialToIso(45321.5) === "2024-01-30 12:00:00")
+    assert(ExcelSource.serialToIso(0.75) === "1899-12-30 18:00:00")
     // column-letter arithmetic
     assert(ExcelSource.colIndex("A1") === 0)
     assert(ExcelSource.colIndex("Z9") === 25)
