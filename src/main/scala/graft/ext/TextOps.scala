@@ -52,40 +52,29 @@ object TextOps {
     * character n-gram profiles; the voting skeleton is the same shape —
     * per-row, no shuffle.
     *
-    * Implemented as a mapPartitions kernel: the HOF formulation
-    * (`size(filter(toks, _.isInCollection(set)))` x 4 languages) runs on
-    * the interpreted higher-order-function path, ~4 lambda invocations
-    * per token; the kernel makes one pass over the tokens with compiled
-    * Set lookups. Same integer counts and tie-break — oracle-identical.
+    * The hit counting runs through the native codegen'd expression
+    * [[graft.ext.expr.WordSetHits]] (`graft_word_hits`): ONE tokenize
+    * pass serves all four languages with compiled HashSet probes,
+    * inside WholeStageCodegen over the columnar scan (the HOF
+    * formulation — `size(filter(toks, _.isInCollection(set)))` x 4 —
+    * interprets ~4 lambda calls per token; the earlier mapPartitions
+    * kernel matched the counts but deserialized every row). The argmax
+    * tie-break is the same CASE expression the DuckDB oracle states.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val langs = Array("en", "es", "de", "fr")
-    val sets: Array[Set[String]] = langs.map(l => stopwords(l).toSet)
-    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .mapPartitions { rows =>
-        rows.map { case (id, lang, text) =>
-          val counts = new Array[Long](4)
-          // split(' ') drops only trailing empties vs Spark's regex
-          // split; empty tokens match no stopword, so counts agree.
-          val toks = text.split(' ')
-          var i = 0
-          while (i < toks.length) {
-            val w = toks(i)
-            var j = 0
-            while (j < 4) { if (sets(j)(w)) counts(j) += 1; j += 1 }
-            i += 1
-          }
-          val best = counts.max
-          val pred =
-            if (best == 0L) "unknown"
-            else langs(counts.indexWhere(_ == best)) // first max = en>es>de>fr
-          (id, lang, counts(0), counts(1), counts(2), counts(3), pred)
-        }
-      }
-      .toDF("doc_id", "lang", "en_hits", "es_hits", "de_hits", "fr_hits", "lang_pred")
+    graft.ext.expr.WordSetHits.ensureRegistered(docs.sparkSession)
+    val langs = Seq("en", "es", "de", "fr")
+    val hitsArr = call_function(graft.ext.expr.WordSetHits.name,
+      col("text") +: langs.map(l => array(stopwords(l).map(lit): _*)): _*)
+    val h = Seq.tabulate(4)(i => element_at(col("hits"), i + 1))
+    val g = greatest(h: _*)
+    val pred = when(g === 0L, "unknown")
+      .when(h(0) === g, "en").when(h(1) === g, "es").when(h(2) === g, "de")
+      .otherwise("fr")
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"), hitsArr.as("hits"))
+      .select(col("doc_id"), col("lang"),
+        h(0).as("en_hits"), h(1).as("es_hits"), h(2).as("de_hits"), h(3).as("fr_hits"),
+        pred.as("lang_pred"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,223 @@
+package graft.ext.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static text kernels shared by the interpreted and generated paths of
+  * the expressions below. Token semantics are EXACTLY Java
+  * `String.split(' ')` (single-char split, trailing empty tokens
+  * dropped) — the contract the mapPartitions kernels in
+  * [[graft.ext.Dedup.simhash64Kernel]] / the original langId kernel
+  * established and the ExtSpec consistency tests pin down.
+  */
+object TextKernels {
+
+  /** 64-bit SimHash over whitespace tokens: each token's XXH64 (seed 42,
+    * bit-identical to the `xxhash64()` SQL function) votes +-1 per bit;
+    * fingerprint bit = vote sign. Zero-copy: tokens are hashed straight
+    * off the UTF8String's backing memory (a 0x20 byte never occurs
+    * inside a multi-byte UTF-8 sequence, so byte-scanning for spaces is
+    * exact).
+    */
+  def simhash64(s: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    // String.split(' ') drops trailing empty tokens: scan back over
+    // trailing spaces; all-spaces (end==0, n>0) means zero tokens,
+    // while the empty string is ONE empty token.
+    var end = n
+    while (end > 0 && Platform.getByte(base, off + end - 1) == ' '.toByte) end -= 1
+    if (end == 0) {
+      if (n == 0) vote(votes, XXH64.hashUnsafeBytes(base, off, 0, 42L))
+    } else {
+      var start = 0
+      var i = 0
+      while (i <= end) {
+        if (i == end || Platform.getByte(base, off + i) == ' '.toByte) {
+          vote(votes, XXH64.hashUnsafeBytes(base, off + start, i - start, 42L))
+          start = i + 1
+        }
+        i += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) >= 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  @inline private def vote(votes: Array[Int], h: Long): Unit = {
+    var j = 0
+    while (j < 64) { votes(j) += (((h >>> j) & 1L).toInt << 1) - 1; j += 1 }
+  }
+
+  /** Per-set membership counts over whitespace tokens: one pass over the
+    * text, one compiled HashSet probe per (token, set). Empty tokens
+    * match nothing, so exact split-edge semantics don't matter here.
+    */
+  def wordSetHits(s: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val counts = new Array[Long](sets.length)
+    val toks = s.toString.split(' ')
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      var j = 0
+      while (j < sets.length) { if (sets(j).contains(w)) counts(j) += 1; j += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+}
+
+/** `graft_simhash64(text)` — codegen'd 64-bit SimHash fingerprint.
+  * Replaces the mapPartitions kernel as the default path: same
+  * fingerprints (shared static kernel), but the expression keeps the
+  * scan columnar and fuses into the enclosing WholeStageCodegen stage
+  * instead of forcing a Tungsten->JVM-object deserialization of every
+  * row.
+  */
+case class Simhash64Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = Simhash64Expr.name
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.expr.TextKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
+    copy(child = newChild)
+}
+
+object Simhash64Expr {
+  val name = "graft_simhash64"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[Simhash64Expr].getName, null, name,
+    "_FUNC_(text) - 64-bit SimHash of whitespace tokens (xxhash64 token " +
+      "votes, codegen'd).", "")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(t) => Simhash64Expr(t)
+    case other => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${other.size}")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+}
+
+/** `graft_word_hits(text, array('the',...), array('el',...), ...)` —
+  * membership-count vector: for each constant word set, how many
+  * whitespace tokens of `text` are members. One tokenize pass serves
+  * every set (the built-in HOF formulation re-walks the token array per
+  * set on the interpreted higher-order-function path), and the word
+  * sets are compiled to HashSets once at plan time, referenced from the
+  * generated code. Language-ID's stopword voting is `graft_word_hits`
+  * + an argmax CASE.
+  */
+case class WordSetHits(children: Seq[Expression]) extends Expression {
+  override def prettyName: String = WordSetHits.name
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.head.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.size < 2)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (text, <string array literal>...), got ${children.size} args")
+    if (children.head.dataType != StringType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName arg 1 must be STRING, got ${children.head.dataType.simpleString}")
+    children.tail.zipWithIndex.collectFirst {
+      case (c, i) if !c.foldable || !c.dataType.isInstanceOf[ArrayType] ||
+        c.dataType.asInstanceOf[ArrayType].elementType != StringType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName arg ${i + 2} must be a foldable array<string>, " +
+            s"got ${c.dataType.simpleString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
+  /** Word sets materialized once from the foldable children. */
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    children.tail.map { c =>
+      val hs = new java.util.HashSet[String]()
+      val arr = c.eval(InternalRow.empty).asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) hs.add(arr.getUTF8String(i).toString)
+        i += 1
+      }
+      hs
+    }.toArray
+
+  override def eval(input: InternalRow): Any = {
+    val t = children.head.eval(input)
+    if (t == null) null
+    else TextKernels.wordSetHits(t.asInstanceOf[UTF8String], sets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("wordSets", sets, "java.util.HashSet[]")
+    val t = children.head.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val call = s"graft.ext.expr.TextKernels.wordSetHits(${t.value}, $setsRef)"
+    if (nullable) {
+      ev.copy(code = code"""
+        ${t.code}
+        boolean ${ev.isNull} = ${t.isNull};
+        $javaType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $call;
+        }""")
+    } else {
+      ev.copy(code = code"""
+        ${t.code}
+        $javaType ${ev.value} = $call;""", isNull = FalseLiteral)
+    }
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): WordSetHits =
+    copy(children = newChildren)
+}
+
+object WordSetHits {
+  val name = "graft_word_hits"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[WordSetHits].getName, null, name,
+    "_FUNC_(text, words...) - per-set counts of whitespace tokens " +
+      "contained in each constant word set (codegen'd).", "")
+
+  val builder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.size >= 2) WordSetHits(exprs)
+    else throw new IllegalArgumentException(
+      s"$name expects (text, <string array literal>...), got ${exprs.size} args")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+}

@@ -126,6 +126,46 @@ class ExtSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("graft_simhash64 expression matches the mapPartitions kernel bit-for-bit (incl. split edge cases)") {
+    import spark.implicits._
+    val edges = Seq(
+      (1000001L, ""), (1000002L, " "), (1000003L, "a  b"),
+      (1000004L, "a b "), (1000005L, " a"), (1000006L, "   ")).toDF("doc_id", "text")
+    val docs = t("documents").select(col("doc_id"), col("text")).unionByName(edges)
+    val viaExpr = Dedup.simhash64(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = Dedup.simhash64Kernel(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaKernel)
+  }
+
+  test("text kernel expressions compile under CODEGEN_ONLY and match hand counts") {
+    graft.ext.expr.Simhash64Expr.ensureRegistered(spark)
+    graft.ext.expr.WordSetHits.ensureRegistered(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // non-literal input so the optimizer cannot constant-fold the
+      // expressions away before codegen
+      val r = spark.range(1)
+        .selectExpr("concat('the cat and the hat', repeat(' x', cast(id as int))) s")
+        .selectExpr(
+          "graft_word_hits(s, array('the','and'), array('cat')) w",
+          "graft_simhash64(s) h")
+        .head()
+      assert(r.getSeq[Long](0) === Seq(3L, 1L))
+      assert(r.getLong(1) === graft.ext.expr.TextKernels.simhash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("the cat and the hat")))
+      // nullable input path compiles and yields null
+      val n = spark.range(1)
+        .selectExpr("CASE WHEN id = 1 THEN 'x' END s")
+        .selectExpr("graft_simhash64(s) h", "graft_word_hits(s, array('a')) w")
+        .head()
+      assert(n.isNullAt(0) && n.isNullAt(1))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val df = Seq(
