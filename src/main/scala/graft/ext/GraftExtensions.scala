@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.ext.expr.{ArrayDotProduct, Int128Sum, Simhash64Expr, WordSetHits}
+import graft.ext.expr.{ArrayDotProduct, Int128Sum, Simhash16Expr, Simhash64Expr, WordSetHits}
 
 /** SparkSessionExtensions entry point: wire graft's native functions
   * into any session via
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(Int128Sum.name), Int128Sum.info, Int128Sum.builder))
     ext.injectFunction(
       (FunctionIdentifier(Simhash64Expr.name), Simhash64Expr.info, Simhash64Expr.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(Simhash16Expr.name), Simhash16Expr.info, Simhash16Expr.builder))
     ext.injectFunction(
       (FunctionIdentifier(WordSetHits.name), WordSetHits.info, WordSetHits.builder))
   }

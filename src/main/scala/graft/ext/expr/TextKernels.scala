@@ -62,6 +62,49 @@ object TextKernels {
     while (j < 64) { votes(j) += (((h >>> j) & 1L).toInt << 1) - 1; j += 1 }
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 16-bit SimHash ('0'/'1' chars): per token, md5 nibbles
+    * 1..16 vote +1/-1 on the corresponding bit; bit = vote sign. Token
+    * semantics here are Spark's `split(text, " ", -1)` — EVERY run
+    * between spaces counts, including empty ones (md5('') votes), which
+    * is also DuckDB string_split's behavior — so the fingerprint is
+    * bit-identical to both the previous explode+16-sums formulation and
+    * the SQL oracle.
+    */
+  def simhash16(s: UTF8String): UTF8String = {
+    val votes = new Array[Int](16)
+    val bytes = s.getBytes
+    val md = md5Local.get()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        var j = 0
+        while (j < 8) {
+          val b = d(j) & 0xff
+          // nibble 2j = high hex char, nibble 2j+1 = low; "high" nibble
+          // (8..f) <=> bit 3 set <=> vote +1
+          votes(2 * j) += (((b >>> 7) & 1) << 1) - 1
+          votes(2 * j + 1) += (((b >>> 3) & 1) << 1) - 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](16)
+    var j = 0
+    while (j < 16) { out(j) = if (votes(j) >= 0) '1'.toByte else '0'.toByte; j += 1 }
+    UTF8String.fromBytes(out)
+  }
+
   /** Per-set membership counts over whitespace tokens: one pass over the
     * text, one compiled HashSet probe per (token, set). Empty tokens
     * match nothing, so exact split-edge semantics don't matter here.
@@ -116,6 +159,52 @@ object Simhash64Expr {
 
   val builder: Seq[Expression] => Expression = {
     case Seq(t) => Simhash64Expr(t)
+    case other => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${other.size}")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+}
+
+/** `graft_simhash16(text)` — codegen'd portable 16-bit SimHash (md5
+  * token votes). Replaces an explode + groupBy + 16 conditional sums
+  * plan — a full shuffle of every token — with a single map-side pass
+  * that fuses into the scan: at corpus scale the difference is shuffling
+  * the tokenized corpus vs shuffling nothing.
+  */
+case class Simhash16Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = Simhash16Expr.name
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash16(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.expr.TextKernels.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16Expr =
+    copy(child = newChild)
+}
+
+object Simhash16Expr {
+  val name = "graft_simhash16"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[Simhash16Expr].getName, null, name,
+    "_FUNC_(text) - portable 16-bit SimHash of whitespace tokens (md5 " +
+      "nibble votes, codegen'd; matches the SQL md5 formulation).", "")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(t) => Simhash16Expr(t)
     case other => throw new IllegalArgumentException(
       s"$name expects exactly 1 argument, got ${other.size}")
   }

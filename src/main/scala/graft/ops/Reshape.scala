@@ -21,11 +21,20 @@ object Reshape {
     * cast-to-string -> unpivot (Spark 4 `melt`) -> `groupBy(col).pivot(row)`.
     */
   def transpose(df: DataFrame, idColumn: String, maxRows: Int = 1000): DataFrame = {
-    val n = df.limit(maxRows + 1).count()
+    // ONE eager action covers both guards (this op is driver-bound by
+    // construction, but there is no reason to scan the input twice):
+    // row-count cap, and duplicate id detection — duplicate id values
+    // would silently collapse into one pivoted column (pivot + first
+    // keeps an arbitrary row), so refuse instead. countDistinct skips
+    // nulls, hence the explicit null-presence term.
+    val g = df.limit(maxRows + 1)
+      .agg(count(lit(1)).as("n"), count_distinct(col(idColumn)).as("nd"),
+        max(col(idColumn).isNull).as("has_null"))
+      .head()
+    val n = g.getLong(0)
+    val nDistinct = g.getLong(1) + (if (!g.isNullAt(2) && g.getBoolean(2)) 1L else 0L)
     require(n <= maxRows, s"transpose guard: > $maxRows rows (reference was pandas-only too)")
-    // duplicate id values would silently collapse into one pivoted
-    // column (pivot + first keeps an arbitrary row) — refuse instead
-    require(df.select(idColumn).distinct().count() == n,
+    require(nDistinct == n,
       s"transpose: idColumn '$idColumn' has duplicate values; rows would be lost")
     val valueCols = df.columns.filter(_ != idColumn)
     val strDf = valueCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("string")))

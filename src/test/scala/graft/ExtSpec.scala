@@ -166,6 +166,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("graft_simhash16 expression matches the explode+md5 SQL formulation exactly") {
+    val docs = t("documents")
+    val viaExpr = Dedup.simhash16(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaSql = Dedup.simhash16Expanded(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaExpr === viaSql)
+    // codegen path compiles (no silent interpreted fallback)
+    graft.ext.expr.Simhash16Expr.ensureRegistered(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.range(1).selectExpr("graft_simhash16(concat('a b', repeat(' c', cast(id as int)))) s").head()
+      assert(r.getString(0).length === 16 && r.getString(0).forall(c => c == '0' || c == '1'))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val df = Seq(
