@@ -119,6 +119,11 @@ object SparkEntry {
       Sinks.parquet(rd(s, dir, "nation"), tmp)
       Sources.parquet(s, tmp).orderBy(col("n_nationkey"))
     }),
+    "k5_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/nation"
+      Sinks.orc(rd(s, dir, "nation"), tmp)
+      Sources.orc(s, tmp).orderBy(col("n_nationkey"))
+    }),
     // Bucketed layout: both sides written bucketBy(custkey), then a
     // join + groupBy on that key — at scale this whole pipeline runs
     // with ZERO shuffle (bucket co-location; asserted in OpsSpec).
@@ -186,7 +191,8 @@ object SparkEntry {
     "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
     "st_events_hourly_wm" -> ((s, dir) => StreamingOps.hourlyByTypeStreamAppend(s, dir)),
     "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir)),
-    "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir))
+    "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir)),
+    "st_enrich_segment" -> ((s, dir) => StreamingOps.enrichedSegmentStream(s, dir))
   )
 
   private def joinQuery(s: SparkSession, dir: String, how: String): DataFrame =
@@ -283,6 +289,13 @@ FROM orders ORDER BY o_orderkey""",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s5_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k5_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "st_enrich_segment" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "k4_bucketed_join" ->
       """SELECT o_custkey, c_name, COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total

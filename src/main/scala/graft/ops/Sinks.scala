@@ -27,6 +27,16 @@ object Sinks {
     df
   }
 
+  /** ORC write — columnar sink counterpart of [[Sources.orc]]; same
+    * distributed writer contract as parquet (overwrite, optional
+    * partition columns for pruned reads).
+    */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+    df
+  }
+
   /** Bucketed parquet table write: hash-partition rows into `numBuckets`
     * files per partition by `bucketCols`, sorted within each bucket, and
     * register in the session catalog (bucket metadata lives there, which

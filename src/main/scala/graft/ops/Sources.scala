@@ -37,6 +37,16 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC scan — not in the reference UI; included because a columnar
+    * lakehouse source beyond parquet costs nothing (Spark's native ORC
+    * reader: vectorized, predicate-pushdown, column-pruned — the same
+    * scan properties the 100 TB contract demands of parquet). Avro is
+    * deliberately absent: the spark-avro connector module does not ship
+    * in this environment.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5 — JDBC table scan (reference: simple_etl.py:114-123, full-table
     * `pd.read_sql`). Distributed variant: when `partitionColumn` bounds
     * are given the read is split into `numPartitions` range-parallel

@@ -132,6 +132,37 @@ object StreamingOps {
     spark.table(name).orderBy(col("event_type"))
   }
 
+  /** Stream-static join — the standard streaming ENRICHMENT pattern:
+    * each micro-batch of the event stream joins against a static
+    * dimension table (here: customer market segments keyed by user id),
+    * then aggregates per segment. The static side is planned once and
+    * (being small) broadcast into every micro-batch — no stream-side
+    * state beyond the aggregation. Money sums follow the exact
+    * fixed-point policy (decimal cast of inputs).
+    */
+  def enrichedSegmentStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val dim = graft.Tables.read(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream.join(dim, stream("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
+    val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(col("c_mktsegment"), col("n"),
+        col("total_value_dec").cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Stateful per-user running counters via flatMapGroupsWithState —
     * the custom-state streaming pattern (session counts, fraud counters,
     * feature freshness). Returns the final state table after draining.

@@ -358,6 +358,19 @@ class ExtSpec extends SparkSpec {
     assert(wm.map(_.toString).toSeq === expected.map(_.toString).toSeq)
   }
 
+  test("stream-static join enrichment equals the batch join+agg") {
+    val streamed = graft.streaming.StreamingOps.enrichedSegmentStream(spark, sf()).collect()
+    val dim = t("customer").select(col("c_custkey"), col("c_mktsegment"))
+    val ev = t("events")
+    val batch = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment")).collect()
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming stateful user counts match batch groupBy (counts AND exact money sums)") {
     val streamed = graft.streaming.StreamingOps.userEventCountsStream(spark, sf())
     val batch = t("events").groupBy("user_id")

@@ -202,12 +202,16 @@ class OpsSpec extends SparkSpec {
     assert(u.filter(col("Category").isNull).count() === 6) // sales rows null-filled
   }
 
-  test("K1/K2 sinks round-trip") {
+  test("K1/K2/K5 sinks round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     Sinks.parquet(products, s"$dir/p")
     assert(spark.read.parquet(s"$dir/p").count() === 5)
     Sinks.csv(products, s"$dir/c", header = true)
     assert(spark.read.option("header", "true").csv(s"$dir/c").count() === 5)
+    Sinks.orc(products, s"$dir/o")
+    val back = Sources.orc(spark, s"$dir/o")
+    assert(back.orderBy(col("Product_ID")).collect().map(_.toSeq).toSeq ===
+      products.orderBy(col("Product_ID")).collect().map(_.toSeq).toSeq)
   }
 
   test("S4/S5/K3 JDBC round-trip against embedded Derby (write, list, partitioned read)") {
