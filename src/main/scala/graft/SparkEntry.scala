@@ -183,6 +183,10 @@ object SparkEntry {
     "e_ann_lsh" -> ((s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 0L, 10)),
     "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
     "e_embedding_neardup" -> ((s, dir) => Similarity.topCosinePairs(rd(s, dir, "embeddings"), 20)),
+    "e_knn_join" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), 3)
+    }),
     // ---- Extensions: multimodal plumbing ----
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(rd(s, dir, "documents"))),
     "m_frame_hash" -> ((s, dir) => Multimodal.frameSample(rd(s, dir, "documents"))),
@@ -460,6 +464,14 @@ SELECT doc_id, concat($bits) AS simhash_bits FROM b ORDER BY doc_id"""
 SELECT vec_id, floor((${cos("embedding::DOUBLE[]", "qv")}) * 10000) / 10000.0 AS cos_sim
 FROM embeddings, q WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "e_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT query_id, e.vec_id, floor((${cos("e.v", "qv")}) * 10000) / 10000.0 AS cos_sim
+  FROM q, e WHERE e.vec_id >= 5
+) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 3
+ORDER BY query_id, cos_sim DESC, vec_id""",
     "e_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, floor((${cos("a.v", "b.v")}) * 10000) / 10000.0 AS cos_sim

@@ -322,6 +322,78 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN similarity JOIN: exact top-k cosine neighbours in `corpus`
+    * for EVERY vector of a (small) query batch — the
+    * dedup-against-reference-corpus / retrieval-eval shape, where one
+    * query-at-a-time ([[bruteForceTopK]]) would launch |Q| jobs.
+    *
+    * Scale shape: the query batch is collected to primitive arrays and
+    * broadcast (explicitly bounded: |Q| x dim x 8 bytes — the SMALL side
+    * by contract, like any broadcast join build side); the corpus is
+    * streamed partition-by-partition through a tight kernel holding one
+    * bounded heap PER QUERY, pruned on the final output ordering
+    * (truncated cosine desc, corpus id asc). Only per-partition top-k
+    * survivors are shuffled (numPartitions x |Q| x k rows — never
+    * |corpus| x |Q|), and a window rank picks the global top-k per
+    * query. The corpus is read once for the whole batch.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(q.nonEmpty, "knnJoin: empty query batch")
+    val qIds = q.map(_._1)
+    val qVecs = q.map(_._2)
+    val qNorms = qVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+    val qIdSet = qIds.toSet
+    // worst-on-top by final ordering (trunc4 cos desc, corpus id asc)
+    val worstFirst: Ordering[(Long, Double)] = Ordering.by { case (id, t) => (-t, id) }
+    val partTop = corpus
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .filter(p => !qIdSet.contains(p._1))
+      .mapPartitions { rows =>
+        val (qIds, qVecs, qNorms) = bc.value
+        val heaps = Array.fill(qIds.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worstFirst))
+        rows.foreach { case (id, v) =>
+          var n = 0.0
+          var i = 0
+          while (i < v.length) { n += v(i) * v(i); i += 1 }
+          n = math.sqrt(n)
+          var qi = 0
+          while (qi < qIds.length) {
+            val qv = qVecs(qi)
+            var dot = 0.0; var d = 0
+            while (d < v.length) { dot += qv(d) * v(d); d += 1 }
+            val t = math.floor(dot / (qNorms(qi) * n) * 10000.0) / 10000.0 // = Num.trunc4
+            val cand = (id, t)
+            val pq = heaps(qi)
+            if (pq.size < k) pq.enqueue(cand)
+            else if (worstFirst.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (pq, qi) =>
+          pq.iterator.map { case (id, t) => (qIds(qi), id, t) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos_sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    partTop.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).drop("rnk")
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** Sign-LSH-blocked near-dup pair sweep — the 100 TB path for
     * [[topCosinePairs]]: bucket every vector into `numTables`
     * independent sign-LSH buckets, self-join WITHIN buckets only (the

@@ -184,6 +184,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("expression rewrites keep the text plans map-side and columnar") {
+    // simhash16: no token explode (Generate), no aggregate — the only
+    // allowed Exchange is the final presentation sort
+    val p16 = Dedup.simhash16(t("documents")).queryExecution.executedPlan.toString
+    assert(!p16.contains("Generate") && !p16.contains("HashAggregate"),
+      s"simhash16 should be a fused map, plan:\n${p16.take(800)}")
+    // langId / simhash64: expression path must not deserialize rows to
+    // JVM objects the way the mapPartitions kernels did
+    val pLang = TextOps.langId(t("documents")).queryExecution.executedPlan.toString
+    assert(!pLang.contains("DeserializeToObject") && !pLang.contains("MapPartitions"),
+      s"langId should stay columnar, plan:\n${pLang.take(800)}")
+    val p64 = Dedup.simhash64(t("documents")).queryExecution.executedPlan.toString
+    assert(!p64.contains("DeserializeToObject") && !p64.contains("MapPartitions"),
+      s"simhash64 should stay columnar, plan:\n${p64.take(800)}")
+  }
+
   test("simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val df = Seq(
@@ -315,6 +331,21 @@ class ExtSpec extends SparkSpec {
     val b4 = Similarity.topCosinePairs(emb, 15, numBlocks = 4).collect().map(_.toString).toSeq
     assert(b1 === expected)
     assert(b4 === expected)
+  }
+
+  test("knnJoin: per-query results equal one-at-a-time brute force") {
+    val emb = t("embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val joined = Similarity.knnJoin(emb, queries, 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    assert(joined.keySet === Set(0L, 1L, 2L))
+    for (qid <- 0L to 2L) {
+      // brute force includes other query ids in its corpus; exclude them
+      val bf = Similarity.bruteForceTopK(emb, qid, 8).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .filterNot { case (id, _) => id < 3 }.take(5).toSeq
+      assert(joined(qid) === bf, s"query $qid")
+    }
   }
 
   test("lshCosinePairs recall: finds planted near-duplicate embedding pairs") {
