@@ -157,6 +157,15 @@ object SparkEntry {
       Aggregates.revenueByBrand(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
     "q_top_suppliers" -> ((s, dir) =>
       Aggregates.topSuppliers(rd(s, dir, "lineitem"), rd(s, dir, "supplier"), rd(s, dir, "nation"))),
+    // SQL front door: the IDENTICAL ANSI text runs on Spark (over
+    // catalog temp views — entry point 2 of SURVEY §3) and on DuckDB as
+    // its own oracle. Decimal casts of exact inputs keep the sums
+    // engine-identical (the q1 policy, stated in SQL).
+    "q_sql_segment_revenue" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => rd(s, dir, t).createOrReplaceTempView(t))
+      s.sql(segmentRevenueSql)
+    }),
     // ---- Extensions: events / temporal ----
     "q_events_hourly" -> ((s, dir) => Events.hourlyByType(rd(s, dir, "events"))),
     "q_events_json" -> ((s, dir) => Events.propsKStats(rd(s, dir, "events"))),
@@ -236,6 +245,20 @@ ORDER BY doc_a, doc_b"""
   private val cosSql =
     "list_dot_product(%A%, %B%) / (sqrt(list_dot_product(%A%, %A%)) * sqrt(list_dot_product(%B%, %B%)))"
   private def cos(a: String, b: String) = cosSql.replace("%A%", a).replace("%B%", b)
+
+  /** TPC-H-Q3-shaped revenue query — one SQL text, two engines. */
+  private val segmentRevenueSql =
+    """SELECT o_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS DATE) AS o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10"""
 
   private def joinOracle(kw: String) =
     s"""SELECT o_orderkey, o_custkey, c_custkey, c_name
@@ -369,6 +392,7 @@ FROM (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUB
 JOIN supplier s ON t.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 ORDER BY total_value DESC, l_suppkey LIMIT 15""",
+    "q_sql_segment_revenue" -> segmentRevenueSql,
     "q_events_hourly" -> eventsHourlyOracle,
     "q_events_json" ->
       """SELECT event_type,

@@ -14,6 +14,17 @@ object StreamingOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Shuffle-partition count for the micro-batch aggregations below
+    * (overridable via SPARK_GRAFT_STREAM_PARTS). The state store opens
+    * one store per shuffle partition per micro-batch, so on small
+    * streams fewer partitions = less bookkeeping — measured sf0.1 over
+    * the 5 streaming queries: 4 parts beat 8 by ~0.3s total and 2 loses
+    * parallelism (7.0s). On a real cluster size this to state volume,
+    * not the session default.
+    */
+  private def streamParts: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(4)
+
   /** Run `body` with a reduced shuffle-partition count: the streaming
     * state store allocates one store per shuffle partition PER
     * micro-batch, so a 32-partition default costs ~seconds of pure
@@ -47,7 +58,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, streamParts) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -84,7 +95,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_hourly_wm_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, streamParts) {
       val q = agg.writeStream
         .outputMode("append")
         .format("memory")
@@ -124,7 +135,7 @@ object StreamingOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, streamParts) {
       val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
@@ -152,7 +163,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, streamParts) {
       val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
@@ -198,7 +209,7 @@ object StreamingOps {
     }
 
     val name = s"graft_stream_users_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, streamParts) {
       val q = stream
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
