@@ -71,6 +71,11 @@ object SparkEntry {
     // ---- Parity: column ops (T5, T6, T7) ----
     "t5_transpose" -> ((s, dir) =>
       Reshape.transpose(rd(s, dir, "region"), "r_name").orderBy(col("column_name"))),
+    "t5b_pivot_status" -> ((s, dir) =>
+      Reshape.pivotCount(rd(s, dir, "orders"),
+        year(col("o_orderdate").cast("date")).cast("bigint"), "order_year",
+        "o_orderstatus", Seq("F", "O", "P"))
+        .orderBy(col("order_year"))),
     "t6_split_column" -> ((s, dir) =>
       Columns.splitColumnLiteral(rd(s, dir, "customer"), "c_name", "#")
         .select(col("c_custkey"), col("c_name_1"), col("c_name_2"))
@@ -283,6 +288,12 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 ) ORDER BY column_name""",
     "t4b_filter_icontains" ->
       "SELECT c_custkey, c_mktsegment FROM customer WHERE contains(lower(c_mktsegment), 'hold') ORDER BY c_custkey",
+    "t5b_pivot_status" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
+  COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+  COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+  COUNT(*) FILTER (o_orderstatus = 'P') AS P
+FROM orders GROUP BY 1 ORDER BY 1""",
     "st_user_counts" ->
       """SELECT user_id, COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

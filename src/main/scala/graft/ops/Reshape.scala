@@ -46,6 +46,25 @@ object Reshape {
     melted.groupBy("column_name").pivot(idColumn).agg(first("value"))
   }
 
+  /** Distributed pivot aggregate — groupBy().pivot(): the scale-safe
+    * reshape ([[transpose]] is its driver-bound full-table special
+    * case). EXPLICIT `pivotValues` matter at 100 TB: without them Spark
+    * runs a distinct-collect job over the pivot column before it can
+    * even plan; with them the whole pivot is one partial-first hash
+    * aggregate pass. Missing (group, value) combinations surface as 0
+    * for count-like aggregates (coalesced), matching SQL conditional
+    * aggregation.
+    */
+  def pivotCount(
+      df: DataFrame,
+      groupExpr: org.apache.spark.sql.Column,
+      groupName: String,
+      pivotCol: String,
+      pivotValues: Seq[String]): DataFrame = {
+    val p = df.groupBy(groupExpr.as(groupName)).pivot(pivotCol, pivotValues).count()
+    p.select(col(groupName) +: pivotValues.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+  }
+
   /** Preview — reference shows head(5) driver-side (simple_etl.py:173);
     * the lazy analogue is `limit`, which Catalyst pushes into the scan
     * (CollectLimit reads only the first partitions it needs).

@@ -88,6 +88,17 @@ class OpsSpec extends SparkSpec {
     assert(tr.columns.toSet === Set("column_name", "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
   }
 
+  test("T5b pivotCount: explicit values, zeros for missing combos, no distinct-collect") {
+    val p = Reshape.pivotCount(sales, col("Region"), "region", "Status",
+      Seq("Paid", "Pending", "Cancelled", "Refunded"))
+    val rows = p.collect().map(r => Option(r.getString(0)).getOrElse("<null>") ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("Jakarta") === ((2L, 0L, 0L, 0L)))
+    assert(rows("Jkt") === ((0L, 0L, 1L, 0L)))
+    assert(rows("<null>") === ((1L, 0L, 0L, 0L))) // Refunded never occurs -> 0 everywhere
+    assert(rows.values.forall(_._4 === 0L))
+  }
+
   test("T5 transpose guard rejects big tables") {
     intercept[IllegalArgumentException] {
       Reshape.transpose(t("lineitem"), "l_orderkey", maxRows = 10)
