@@ -158,6 +158,8 @@ object SparkEntry {
       Aggregates.largestOrderPerCustomer(rd(s, dir, "orders"))),
     "q_rollup" -> ((s, dir) =>
       Aggregates.customerRollup(rd(s, dir, "customer"), rd(s, dir, "nation"), rd(s, dir, "region"))),
+    "q_cube" -> ((s, dir) =>
+      Aggregates.customerCube(rd(s, dir, "customer"), rd(s, dir, "nation"), rd(s, dir, "region"))),
     "q_revenue_by_brand" -> ((s, dir) =>
       Aggregates.revenueByBrand(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
     "q_top_suppliers" -> ((s, dir) =>
@@ -390,6 +392,12 @@ ORDER BY o_custkey""",
       """SELECT r_name, n_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q_cube" ->
+      """SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, c_mktsegment)
+ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""",
     "q_revenue_by_brand" ->
       """SELECT p_brand,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,

@@ -180,4 +180,21 @@ object Aggregates {
         Int128Sum.sumFixed(col("c_acctbal"), 2).cast("double").as("total_bal"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
+
+  /** CUBE over (region, market segment): all 4 grouping combinations in
+    * one pass — like rollup, Spark expands the grouping sets BEFORE the
+    * partial aggregate, so the shuffle still carries one partial row per
+    * (group, set), never the input. Completes the grouping-sets family
+    * next to [[customerRollup]].
+    */
+  def customerCube(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    Int128Sum.ensureRegistered(customer.sparkSession)
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        Int128Sum.sumFixed(col("c_acctbal"), 2).cast("double").as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
 }
