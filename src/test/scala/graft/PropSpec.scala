@@ -115,4 +115,54 @@ class PropSpec extends SparkSpec {
       assert(math.abs(row.getDouble(2) - c * row.getDouble(0)) < 1e-9)
     }
   }
+
+  test("prop: simhash fingerprints are token-order invariant (vote sums commute)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ext.expr.TextKernels
+    val tokGen = Gen.listOfN(10, Gen.oneOf("the", "cat", "sat", "alpha", "beta", "x1", "zz"))
+    cases(Gen.zip(tokGen, Gen.chooseNum(1L, 999L))) { case (toks, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      val a = TextKernels.simhash64(UTF8String.fromString(toks.mkString(" ")))
+      val b = TextKernels.simhash64(UTF8String.fromString(shuffled.mkString(" ")))
+      assert(a === b)
+      val a16 = TextKernels.simhash16(UTF8String.fromString(toks.mkString(" ")))
+      val b16 = TextKernels.simhash16(UTF8String.fromString(shuffled.mkString(" ")))
+      assert(a16.toString === b16.toString)
+    }
+  }
+
+  test("prop: word-set hits are bounded by token count and additive over disjoint sets") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ext.expr.TextKernels
+    val tokGen = Gen.listOfN(12, Gen.oneOf("the", "cat", "and", "dog", "un", "el"))
+    def sets(ws: Seq[Seq[String]]): Array[java.util.HashSet[String]] =
+      ws.map { w =>
+        val h = new java.util.HashSet[String](); w.foreach(h.add); h
+      }.toArray
+    cases(tokGen) { toks =>
+      val text = UTF8String.fromString(toks.mkString(" "))
+      val disjoint = Seq(Seq("the", "and"), Seq("el", "un"))
+      val hits = TextKernels.wordSetHits(text, sets(disjoint)).toLongArray()
+      assert(hits.forall(h => h >= 0 && h <= toks.length))
+      // counts match a naive reference count
+      assert(hits(0) === toks.count(disjoint(0).contains(_)))
+      assert(hits(1) === toks.count(disjoint(1).contains(_)))
+      // the union set's count is the sum of the disjoint parts
+      val union = TextKernels.wordSetHits(text, sets(Seq(disjoint.flatten))).toLongArray()
+      assert(union(0) === hits.sum)
+    }
+  }
+
+  test("prop: pivotCount preserves the per-group row count across pivot columns") {
+    cases(rowsGen) { rows =>
+      val in = df(rows)
+      val vals = Seq("alpha", "beta", "gamma", "a-b", "")
+      val p = Reshape.pivotCount(in.filter(col("s").isNotNull), col("k"), "k", "s", vals)
+      val pivotTotals = p.collect()
+        .map(r => r.getInt(0) -> (1 to vals.length).map(r.getLong).sum).toMap
+      val groupTotals = in.filter(col("s").isNotNull).groupBy(col("k")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(pivotTotals === groupTotals)
+    }
+  }
 }
