@@ -212,7 +212,8 @@ object SparkEntry {
     "st_events_hourly_wm" -> ((s, dir) => StreamingOps.hourlyByTypeStreamAppend(s, dir)),
     "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir)),
     "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir)),
-    "st_enrich_segment" -> ((s, dir) => StreamingOps.enrichedSegmentStream(s, dir))
+    "st_enrich_segment" -> ((s, dir) => StreamingOps.enrichedSegmentStream(s, dir)),
+    "st_sessions" -> ((s, dir) => StreamingOps.sessionCountsStream(s, dir))
   )
 
   private def joinQuery(s: SparkSession, dir: String, how: String): DataFrame =
@@ -331,6 +332,27 @@ FROM orders ORDER BY o_orderkey""",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k5_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // session_window merges on a half-open interval, so a gap of
+    // exactly 30min starts a NEW session (>=, vs strict > in the batch
+    // q_events_sessions); append mode emits exactly the sessions whose
+    // end (last event + 30min gap) the final watermark (max ts - 1h)
+    // has passed.
+    "st_sessions" ->
+      """WITH g AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+s AS (
+  SELECT user_id, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+m AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+sess AS (SELECT user_id, sid, MAX(us) AS last_us, COUNT(*) AS n_ev FROM s GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events
+FROM sess, m
+WHERE last_us + 1800000000 <= mx - 3600000000
+GROUP BY user_id ORDER BY user_id""",
     "st_enrich_segment" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

@@ -143,6 +143,46 @@ object StreamingOps {
     spark.table(name).orderBy(col("event_type"))
   }
 
+  /** Streaming sessionization via `session_window`: events within
+    * `gap` of each other merge into one session window per user; the
+    * watermark finalizes and EVICTS closed sessions (append mode —
+    * the only mode Spark supports for session windows), so state is
+    * bounded by open sessions only — the streaming counterpart of the
+    * batch lag-based gap sessionization (graft.ext.Events
+    * .sessionCounts).
+    *
+    * Determinism contract (stated by the oracle): (1) session windows
+    * are half-open, so a gap of EXACTLY `gap` starts a new session
+    * (`>=` cutoff — the batch lag formulation uses strict `>`);
+    * (2) append emits exactly the sessions the final watermark
+    * (max ts - `delay`) has closed: session end (= last event + gap)
+    * <= watermark. Open tail sessions stay in state, by design.
+    */
+  def sessionCountsStream(
+      spark: SparkSession,
+      dir: String,
+      gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame = {
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val sess = stream
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_ev"))
+    val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, streamParts) {
+      val q = sess.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Stream-static join — the standard streaming ENRICHMENT pattern:
     * each micro-batch of the event stream joins against a static
     * dimension table (here: customer market segments keyed by user id),

@@ -389,6 +389,22 @@ class ExtSpec extends SparkSpec {
     assert(wm.map(_.toString).toSeq === expected.map(_.toString).toSeq)
   }
 
+  test("session-window stream: emitted sessions subset batch sessions, counts consistent") {
+    val streamed = graft.streaming.StreamingOps.sessionCountsStream(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    // batch gap-sessionization (strict >) upper-bounds the emitted
+    // (watermark-closed, >= boundary) sessions per user
+    val batch = Events.sessionCounts(t("events")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    streamed.foreach { case (u, (ns, ne)) =>
+      val (bns, bne) = batch(u)
+      assert(ns >= 1 && ne >= ns)
+      assert(ne <= bne, s"user $u emitted more events than exist")
+      assert(ns <= bns + 1, s"user $u session count out of range") // >= boundary can split one extra
+    }
+  }
+
   test("stream-static join enrichment equals the batch join+agg") {
     val streamed = graft.streaming.StreamingOps.enrichedSegmentStream(spark, sf()).collect()
     val dim = t("customer").select(col("c_custkey"), col("c_mktsegment"))
