@@ -191,6 +191,7 @@ object SparkEntry {
     "d_dedup_exact" -> ((s, dir) => Dedup.exactDedup(rd(s, dir, "documents"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(rd(s, dir, "documents"))),
     "d_minhash_lsh" -> ((s, dir) => Dedup.minhashDedup(rd(s, dir, "documents"))),
+    "d_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(rd(s, dir, "documents"))),
     "d_simhash_neardup" -> ((s, dir) => Dedup.simhashNearDup(rd(s, dir, "documents"))),
     "d_simhash" -> ((s, dir) => Dedup.simhash16(rd(s, dir, "documents"))),
     "d_simhash64" -> ((s, dir) => Dedup.simhash64(rd(s, dir, "documents"))),
@@ -234,21 +235,43 @@ object SparkEntry {
   private def hitsSql(words: String) =
     s"CAST(len(list_filter(string_split(text,' '), w -> w IN ($words))) AS BIGINT)"
 
+  /** Shared word-3-gram shingle/intersection CTEs — the DuckDB side of
+    * the exact-Jaccard contract.
+    */
+  private val shingleCtes =
+    """t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM pos),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"""
+
   /** Exact word-3-gram pairwise Jaccard in DuckDB — the contract oracle
     * for both the inverted-index (d_ngram_jaccard) and MinHash+LSH
     * (d_minhash_lsh) pipelines.
     */
   private def jaccardSql(minJ: Double) =
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-pos AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM t),
-sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM pos),
-sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    s"""WITH $shingleCtes
 SELECT doc_a, doc_b, floor((CAST(c AS DOUBLE)/(x.n + y.n - c)) * 10000) / 10000.0 AS jaccard
 FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
 WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= $minJ
 ORDER BY doc_a, doc_b"""
+
+  /** Connected components over the J>=0.9 pair graph via transitive
+    * closure (recursive CTE) + per-node min — the oracle for
+    * d_dedup_clusters.
+    */
+  private val clustersSql =
+    s"""WITH RECURSIVE $shingleCtes,
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+          WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= 0.9),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id"""
 
   private val cosSql =
     "list_dot_product(%A%, %B%) / (sqrt(list_dot_product(%A%, %A%)) * sqrt(list_dot_product(%B%, %B%)))"
@@ -512,6 +535,7 @@ FROM documents ORDER BY doc_id""",
 FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_minhash_lsh" -> jaccardSql(0.9),
+    "d_dedup_clusters" -> clustersSql,
     "d_simhash" -> {
       val high = "('8','9','a','b','c','d','e','f')"
       val bitSums = (0 until 16).map(j =>

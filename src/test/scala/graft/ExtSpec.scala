@@ -200,6 +200,18 @@ class ExtSpec extends SparkSpec {
       s"simhash64 should stay columnar, plan:\n${p64.take(800)}")
   }
 
+  test("clusterPairs: components labelled by min id, transitivity respected") {
+    import spark.implicits._
+    // components: {1,2,3} via 1-2, 2-3 (transitive); {10,11}; 20 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val c = Dedup.clusterPairs(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long chain exercises multi-round propagation
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val cc = Dedup.clusterPairs(chain).collect().map(r => r.getLong(1)).distinct
+    assert(cc.toSeq === Seq(0L))
+  }
+
   test("simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val df = Seq(
