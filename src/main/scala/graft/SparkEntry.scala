@@ -89,6 +89,22 @@ object SparkEntry {
     "t9_join_left" -> ((s, dir) => joinQuery(s, dir, "left")),
     "t9_join_right" -> ((s, dir) => joinQuery(s, dir, "right")),
     "t9_join_outer" -> ((s, dir) => joinQuery(s, dir, "outer")),
+    // Set algebra on customer segments of two nation groups: segments
+    // present in BOTH / in the first but not the second.
+    "s7_intersect" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      Relational.intersect(
+        c.filter(col("c_nationkey") < 5).select(col("c_mktsegment")),
+        c.filter(col("c_nationkey") >= 20).select(col("c_mktsegment")))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "s8_except" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      Relational.except(
+        c.select(col("c_mktsegment"), col("c_nationkey")),
+        c.filter(col("c_nationkey") =!= 3).select(col("c_mktsegment"), col("c_nationkey")))
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    }),
     "s6_union_by_name" -> ((s, dir) => {
       val a = rd(s, dir, "nation").select(col("n_name").as("name"), col("n_nationkey").as("src_key"))
       val b = rd(s, dir, "region").select(col("r_name").as("name"))
@@ -214,7 +230,8 @@ object SparkEntry {
     "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir)),
     "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir)),
     "st_enrich_segment" -> ((s, dir) => StreamingOps.enrichedSegmentStream(s, dir)),
-    "st_sessions" -> ((s, dir) => StreamingOps.sessionCountsStream(s, dir))
+    "st_sessions" -> ((s, dir) => StreamingOps.sessionCountsStream(s, dir)),
+    "st_click_view_join" -> ((s, dir) => StreamingOps.clickViewJoinStream(s, dir))
   )
 
   private def joinQuery(s: SparkSession, dir: String, how: String): DataFrame =
@@ -376,6 +393,15 @@ SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events
 FROM sess, m
 WHERE last_us + 1800000000 <= mx - 3600000000
 GROUP BY user_id ORDER BY user_id""",
+    // finite drained input => the emitted stream-stream join pairs are
+    // exactly the batch interval join (inclusive bounds)
+    "st_click_view_join" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+views AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus FROM events WHERE event_type = 'view')
+SELECT c.click_id, v.view_id
+FROM clicks c JOIN views v
+  ON c.user_id = v.user_id AND v.vus >= c.cus - 1800000000 AND v.vus <= c.cus
+ORDER BY click_id, view_id""",
     "st_enrich_segment" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -390,6 +416,16 @@ GROUP BY o_custkey, c_name ORDER BY o_custkey""",
     "t9_join_left" -> joinOracle("LEFT JOIN"),
     "t9_join_right" -> joinOracle("RIGHT JOIN"),
     "t9_join_outer" -> joinOracle("FULL OUTER JOIN"),
+    "s7_intersect" ->
+      """SELECT c_mktsegment FROM customer WHERE c_nationkey < 5
+INTERSECT
+SELECT c_mktsegment FROM customer WHERE c_nationkey >= 20
+ORDER BY c_mktsegment""",
+    "s8_except" ->
+      """SELECT c_mktsegment, c_nationkey FROM customer
+EXCEPT
+SELECT c_mktsegment, c_nationkey FROM customer WHERE c_nationkey <> 3
+ORDER BY c_mktsegment, c_nationkey""",
     "s6_union_by_name" ->
       """SELECT name, src_key FROM (
   SELECT n_name AS name, n_nationkey AS src_key FROM nation

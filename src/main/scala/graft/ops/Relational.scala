@@ -166,4 +166,13 @@ object Relational {
     sl.join(sr, sl(leftKey) === sr(rightKey) && sl("__salt") === sr("__salt"), how)
       .drop("__salt")
   }
+
+  /** Set ops completing the family next to S6's union-all (SURVEY §2.4
+    * notes the reference has no intersect/except — included because any
+    * engine user expects the full set algebra). SQL DISTINCT semantics
+    * (Spark intersect/except == SQL INTERSECT/EXCEPT); Spark plans both
+    * as aggregated semi/anti joins — shuffle on the full row as key.
+    */
+  def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
 }

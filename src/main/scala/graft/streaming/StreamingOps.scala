@@ -183,6 +183,44 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** STREAM-STREAM interval join: clicks joined to the same user's
+    * views from the preceding 30 minutes, both sides unbounded streams.
+    * The watermarks + the event-time range condition are what make
+    * this feasible at scale: Spark derives a state-retention bound for
+    * each side from them (a view older than watermark - 30min can
+    * never match a future click and is evicted), so join state is a
+    * sliding window, not the whole history.
+    *
+    * Determinism: inner stream-stream joins emit every match exactly
+    * once as it becomes available; on a finite drained input the
+    * emitted set is exactly the batch interval join, which is what the
+    * oracle states.
+    */
+  def clickViewJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    def src() = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("view_id"))
+    val name = s"graft_stream_ssjoin_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, streamParts) {
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).orderBy(col("click_id"), col("view_id"))
+  }
+
   /** Stream-static join — the standard streaming ENRICHMENT pattern:
     * each micro-batch of the event stream joins against a static
     * dimension table (here: customer market segments keyed by user id),
