@@ -140,6 +140,13 @@ object SparkEntry {
       Sinks.parquet(rd(s, dir, "nation"), tmp)
       Sources.parquet(s, tmp).orderBy(col("n_nationkey"))
     }),
+    // Small-files maintenance: fragment nation into one file per row,
+    // compact back to the target size, read the compacted layout.
+    "k6_compact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/nation"
+      rd(s, dir, "nation").repartition(25).write.parquet(tmp)
+      Sinks.compactParquet(s, tmp).orderBy(col("n_nationkey"))
+    }),
     "k5_orc_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/nation"
       Sinks.orc(rd(s, dir, "nation"), tmp)
@@ -371,6 +378,8 @@ FROM orders ORDER BY o_orderkey""",
     "s5_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k5_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k6_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     // session_window merges on a half-open interval, so a gap of
     // exactly 30min starts a NEW session (>=, vs strict > in the batch

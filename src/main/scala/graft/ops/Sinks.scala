@@ -70,6 +70,30 @@ object Sinks {
     df.sparkSession.table(table)
   }
 
+  /** Compact a parquet directory to ~`targetFileMB` output files — the
+    * small-files maintenance op every large lake needs: thousands of
+    * tiny files mean task-per-file scheduling overhead, metadata
+    * pressure, and useless columnar chunks. Output file count is
+    * computed from the CURRENT on-disk bytes (compressed), floor 1;
+    * the rewrite goes to a temp sibling then swaps in via rename, so
+    * readers never observe a half-written directory.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileMB: Int = 128): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / (targetFileMB * 1024.0 * 1024.0)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_tmp")
+    spark.read.parquet(path).repartition(files)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compactParquet: rename $tmp -> $p failed")
+    spark.read.parquet(path)
+  }
+
   /** K3 — JDBC write (reference: simple_etl.py:390-404,
     * `to_sql(if_exists='replace')` => overwrite). Exercised end-to-end
     * against embedded Derby (s5_jdbc_roundtrip query, OpsSpec).

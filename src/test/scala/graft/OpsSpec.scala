@@ -225,6 +225,18 @@ class OpsSpec extends SparkSpec {
       products.orderBy(col("Product_ID")).collect().map(_.toSeq).toSeq)
   }
 
+  test("K6 compactParquet collapses a fragmented directory, preserves data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString + "/n"
+    val nation = t("nation")
+    nation.repartition(10).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles === 10)
+    val back = Sinks.compactParquet(spark, dir, targetFileMB = 128)
+    assert(parquetFiles === 1) // tiny table -> single target file
+    assert(back.orderBy(col("n_nationkey")).collect().map(_.toSeq).toSeq ===
+      nation.orderBy(col("n_nationkey")).collect().map(_.toSeq).toSeq)
+  }
+
   test("S4/S5/K3 JDBC round-trip against embedded Derby (write, list, partitioned read)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-derby").toString
     System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
