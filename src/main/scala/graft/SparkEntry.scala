@@ -179,6 +179,8 @@ object SparkEntry {
     "q_order_stats_approx" -> ((s, dir) => Aggregates.orderStatsApprox(rd(s, dir, "orders"))),
     "q_window_top_order" -> ((s, dir) =>
       Aggregates.largestOrderPerCustomer(rd(s, dir, "orders"))),
+    "q_window_running" -> ((s, dir) =>
+      Aggregates.runningCustomerSpend(rd(s, dir, "orders"))),
     "q_rollup" -> ((s, dir) =>
       Aggregates.customerRollup(rd(s, dir, "customer"), rd(s, dir, "nation"), rd(s, dir, "region"))),
     "q_cube" -> ((s, dir) =>
@@ -478,6 +480,12 @@ GROUP BY term ORDER BY n_docs DESC, n_occurrences DESC, term LIMIT 50""",
 FROM orders
 QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
 ORDER BY o_custkey""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey

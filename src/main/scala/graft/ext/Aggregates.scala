@@ -118,6 +118,24 @@ object Aggregates {
       .orderBy(col("o_custkey"))
   }
 
+  /** Running (cumulative) spend per customer in order-date order — the
+    * window-FRAME aggregate next to the row_number ranking op: one
+    * shuffle on the partition key, frame accumulation inside the
+    * partition. Exact decimal accumulation per the money policy, cast
+    * to double once per row for output.
+    */
+  def runningCustomerSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** Revenue by part brand: fact-to-dimension join where the dimension
     * (part) broadcasts and the fact (lineitem) streams — the canonical
     * star-schema aggregate. Exact-decimal revenue (input-cast, see

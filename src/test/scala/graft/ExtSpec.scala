@@ -382,6 +382,26 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low; exact=$exact lsh=$lsh")
   }
 
+  test("streaming durable parquet sink + checkpoint: output equals batch filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val schema = Tables.read(spark, sf(), "events").schema
+    val stream = Events.normalizeTs(
+      spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(sf()))
+    val q = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+    val batch = Events.normalizeTs(t("events")).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"))
+    assert(back.orderBy(col("event_id")).collect().toSeq ===
+      batch.orderBy(col("event_id")).collect().toSeq)
+    // exactly-once bookkeeping is on disk, not in memory
+    assert(new java.io.File(s"$dir/ckpt").exists())
+  }
+
   test("streaming hourly agg equals batch hourly agg") {
     val batch = Events.hourlyByType(t("events")).collect()
     val stream = graft.streaming.StreamingOps.hourlyByTypeStream(spark, sf()).collect()
