@@ -200,6 +200,7 @@ object SparkEntry {
     }),
     // ---- Extensions: events / temporal ----
     "q_events_hourly" -> ((s, dir) => Events.hourlyByType(rd(s, dir, "events"))),
+    "q_events_sliding" -> ((s, dir) => Events.slidingHourlyByType(rd(s, dir, "events"))),
     "q_events_json" -> ((s, dir) => Events.propsKStats(rd(s, dir, "events"))),
     "q_events_sessions" -> ((s, dir) => Events.sessionCounts(rd(s, dir, "events"))),
     "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
@@ -510,6 +511,15 @@ JOIN supplier s ON t.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 ORDER BY total_value DESC, l_suppkey LIMIT 15""",
     "q_sql_segment_revenue" -> segmentRevenueSql,
+    // sliding 1h/30m windows: each event belongs to window starts
+    // floor30(ts) and floor30(ts) - 30min
+    "q_events_sliding" ->
+      """WITH b AS (SELECT event_type, CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS k FROM events)
+SELECT ws, event_type, COUNT(*) AS n FROM (
+  SELECT k AS ws, event_type FROM b
+  UNION ALL
+  SELECT k - 1800, event_type FROM b)
+GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q_events_hourly" -> eventsHourlyOracle,
     "q_events_json" ->
       """SELECT event_type,

@@ -47,6 +47,22 @@ object Events {
       .orderBy(col("hour_epoch"), col("event_type"))
   }
 
+  /** SLIDING hourly windows (30-minute slide): every event lands in two
+    * overlapping windows — the moving-average / rolling-rate shape.
+    * Still one partial-first aggregate: `window(ts, 1h, 30m)` expands
+    * each row to its two windows BEFORE the shuffle, so the exchange
+    * carries (window, type) partials exactly like the tumbling case,
+    * just 2x of them.
+    */
+  def slidingHourlyByType(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
   /** JSON extraction from the `props` column (`{"k": 87}`) — the
     * fixtures' motivation for from_json/get_json_object (SURVEY.md §1).
     * get_json_object is a codegen'd path extractor; no UDF.
