@@ -225,6 +225,15 @@ object SparkEntry {
     "e_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), 0L, 10)),
     "e_ann_lsh" -> ((s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 0L, 10)),
     "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
+    // materialized IVF: one-time partitioned layout, partition-pruned probe
+    "e_ann_ivf_idx" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+      val centroids = Similarity.ivfBuildIndex(emb, tmp)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      Similarity.ivfTopKIndexed(s, tmp, centroids, q, 10, nProbe = 4, excludeVecId = Some(0L))
+    }),
     "e_embedding_neardup" -> ((s, dir) => Similarity.topCosinePairs(rd(s, dir, "embeddings"), 20)),
     "e_knn_join" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")

@@ -235,45 +235,45 @@ object Similarity {
     * Complements [[annTopK]] (sign-LSH): IVF adapts to the data
     * distribution (learned centroids) where LSH is data-oblivious.
     */
-  def ivfTopK(
+  private[ext] def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  private[ext] def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * cv(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Spherical k-means coarse quantizer: deterministic spread init (the
+    * numCentroids vectors with smallest xxhash64(vec_id) — a seeded
+    * pseudo-random sample without an RNG), `iters` distributed Lloyd
+    * rounds. Per round only numCentroids x dim partial sums cross the
+    * wire (aggregateByKey), nothing row-proportional.
+    */
+  private[ext] def trainCentroids(
       embeddings: DataFrame,
-      queryVecId: Long,
-      k: Int,
-      numCentroids: Int = 16,
-      nProbe: Int = 4,
-      iters: Int = 2): DataFrame = {
+      numCentroids: Int,
+      iters: Int): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val ds = embeddings
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-
-    def normalize(v: Array[Double]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0) v else v.map(_ / n)
-    }
-    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
-      var best = 0; var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val cv = cs(c)
-        var d = 0.0; var i = 0
-        while (i < v.length) { d += v(i) * cv(i); i += 1 }
-        if (d > bestDot) { bestDot = d; best = c }
-        c += 1
-      }
-      best
-    }
-
-    // Deterministic spread init: the numCentroids vectors with smallest
-    // xxhash64(vec_id) (a seeded pseudo-random sample without an RNG).
     var centroids: Array[Array[Double]] = ds
       .select(xxhash64(col("vec_id")).as("h"), col("embedding"))
       .orderBy(col("h")).limit(numCentroids)
       .as[(Long, Array[Double])].collect().map(p => normalize(p._2))
-
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val dim = centroids.head.length
@@ -291,6 +291,22 @@ object Similarity {
           .getOrElse(centroids(c)) // empty cluster keeps its centroid
       }.toArray
     }
+    centroids
+  }
+
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ds = embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val centroids = trainCentroids(embeddings, numCentroids, iters)
 
     val bcFinal = spark.sparkContext.broadcast(centroids)
     val qRows = ds.filter(_._1 == queryVecId).take(1)
@@ -392,6 +408,61 @@ object Similarity {
     partTop.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k).drop("rnk")
       .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** MATERIALIZED IVF index: train the coarse quantizer once, assign
+    * every vector to its centroid map-side, persist the corpus
+    * PARTITIONED BY cluster id. This is the at-scale shape the ad-hoc
+    * [[ivfTopK]] scaladoc promises: the one-time layout cost turns
+    * every probe into a partition-PRUNED read (~nProbe/numCentroids of
+    * the files never open), instead of a full scan + filter. Returns
+    * the centroids for the query side (numCentroids x dim — the only
+    * driver-resident artifact, same size class as a broadcast dim).
+    */
+  def ivfBuildIndex(
+      embeddings: DataFrame,
+      path: String,
+      numCentroids: Int = 16,
+      iters: Int = 2): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, numCentroids, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearest(bc.value, normalize(v))) }
+      .toDF("vec_id", "embedding", "cluster")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(path)
+    centroids
+  }
+
+  /** Probe a materialized IVF index: rank centroids against the query,
+    * read ONLY the `nProbe` nearest clusters' partitions (pruned before
+    * the scan — visible as PartitionFilters in the plan), score those
+    * candidates exactly, top-k.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      queryVec: Array[Double],
+      k: Int,
+      nProbe: Int = 4,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(spark)
+    val qn = normalize(queryVec)
+    val probes = centroids.indices
+      .sortBy { c => -centroids(c).zip(qn).map { case (a, b) => a * b }.sum }
+      .take(nProbe)
+    val qLit = array(queryVec.map(lit(_)): _*)
+    val idx = spark.read.parquet(path)
+      .filter(col("cluster").isInCollection(probes))
+    excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), Num.trunc4(cosine(col("embedding"), qLit)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Sign-LSH-blocked near-dup pair sweep — the 100 TB path for

@@ -301,6 +301,27 @@ class ExtSpec extends SparkSpec {
     assert(exact.take(1).intersect(ann).nonEmpty, s"exact top-1 ${exact.head} missing from ANN ${ann.mkString(",")}")
   }
 
+  test("materialized IVF index: partition-pruned probe, probe-all equals brute force") {
+    val emb = t("embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val centroids = Similarity.ivfBuildIndex(emb, tmp, numCentroids = 8)
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+    // probing ALL clusters degenerates to exact search
+    val all = Similarity.ivfTopKIndexed(spark, tmp, centroids, q, 3, nProbe = 8,
+      excludeVecId = Some(0L)).collect().map(_.getLong(0))
+    val exact = Similarity.bruteForceTopK(emb, 0L, 3).collect().map(_.getLong(0))
+    assert(all.toSeq === exact.toSeq)
+    // pruned probe: the cluster filter is a PARTITION filter (pruned
+    // before the scan), not a data filter
+    val pruned = Similarity.ivfTopKIndexed(spark, tmp, centroids, q, 3, nProbe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"cluster probe should prune partitions, plan:\n${plan.take(600)}")
+    assert(pruned.collect().length === 3)
+  }
+
   test("IVF top-k: prunes to probed lists, high-recall settings find exact top-1") {
     val exact = Similarity.bruteForceTopK(t("embeddings"), 0L, 3).collect().map(_.getLong(0))
     // probe ALL lists -> IVF degenerates to exact search: same top ids
