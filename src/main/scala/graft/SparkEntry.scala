@@ -235,6 +235,14 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s, tmp, centroids, q, 10, nProbe = 4, excludeVecId = Some(0L))
     }),
     "e_embedding_neardup" -> ((s, dir) => Similarity.topCosinePairs(rd(s, dir, "embeddings"), 20)),
+    // int8 quantization emits exact integers -> hash-comparable via a
+    // digest (raw arrays aren't driver-sortable)
+    "e_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(rd(s, dir, "embeddings"))
+        .select(col("vec_id"), Num.trunc4(col("scale")).as("scale4"),
+          md5(concat_ws(",", col("qvec").cast("array<string>"))).as("q_md5"),
+          array_min(col("qvec")).as("q_min"), array_max(col("qvec")).as("q_max"))
+        .orderBy(col("vec_id"))),
     "e_knn_join" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), 3)
@@ -620,6 +628,17 @@ b AS (SELECT doc_id,
 FROM w GROUP BY doc_id)
 SELECT doc_id, concat($bits) AS simhash_bits FROM b ORDER BY doc_id"""
     },
+    "e_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+q AS (SELECT vec_id, sc,
+        CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+             ELSE list_transform(v, x -> CAST(floor(x / sc + 0.5) AS INTEGER)) END AS qv
+      FROM s)
+SELECT vec_id, floor(sc * 10000) / 10000.0 AS scale4,
+  md5(array_to_string(qv, ',')) AS q_md5,
+  list_min(qv) AS q_min, list_max(qv) AS q_max
+FROM q ORDER BY vec_id""",
     "e_cosine_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, floor((${cos("embedding::DOUBLE[]", "qv")}) * 10000) / 10000.0 AS cos_sim

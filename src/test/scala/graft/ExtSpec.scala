@@ -301,6 +301,20 @@ class ExtSpec extends SparkSpec {
     assert(exact.take(1).intersect(ann).nonEmpty, s"exact top-1 ${exact.head} missing from ANN ${ann.mkString(",")}")
   }
 
+  test("int8 quantization: values bounded, round-trip cosine recall holds") {
+    val emb = t("embeddings")
+    val q = Similarity.quantizeInt8(emb)
+    import spark.implicits._
+    assert(q.filter(array_max(col("qvec")) > 127 || array_min(col("qvec")) < -127).count() === 0)
+    // round-trip: top-3 neighbours of vec 0 survive quantization
+    val deq = Similarity.dequantize(q)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, 0L, 3).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.bruteForceTopK(deq, 0L, 5).collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(approx).size >= 2,
+      s"quantization degraded ranking too far: exact=$exact approx=$approx")
+  }
+
   test("materialized IVF index: partition-pruned probe, probe-all equals brute force") {
     val emb = t("embeddings")
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
