@@ -175,6 +175,24 @@ object SparkEntry {
     "q_top_customers" -> ((s, dir) =>
       Aggregates.topCustomers(rd(s, dir, "orders"), rd(s, dir, "customer"))),
     "q_order_stats" -> ((s, dir) => Aggregates.orderStats(rd(s, dir, "orders"))),
+    "q_profile" -> ((s, dir) =>
+      Aggregates.profile(rd(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))),
+    // keyed upsert (MERGE) into a parquet copy of nation: 3 updated
+    // rows + 1 new key, then read the merged table back
+    "k7_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ups").toString + "/nation"
+      val nation = rd(s, dir, "nation")
+      Sinks.parquet(nation, tmp)
+      val updates = nation.filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey"), concat(lit("UPDATED_"), col("n_name")).as("n_name"),
+          col("n_regionkey"))
+        .unionByName(nation.limit(1).select(
+          lit(99).cast(nation.schema("n_nationkey").dataType).as("n_nationkey"),
+          lit("NEWLAND").cast("string").as("n_name"),
+          lit(0).cast(nation.schema("n_regionkey").dataType).as("n_regionkey")))
+      Sinks.upsertParquet(s, tmp, updates, "n_nationkey").orderBy(col("n_nationkey"))
+    }),
     "q_quantiles" -> ((s, dir) => Aggregates.orderValueQuantiles(rd(s, dir, "orders"))),
     "q_order_stats_approx" -> ((s, dir) => Aggregates.orderStatsApprox(rd(s, dir, "orders"))),
     "q_window_top_order" -> ((s, dir) =>
@@ -479,6 +497,24 @@ FROM (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
       FROM orders GROUP BY o_custkey) t
 JOIN customer c ON t.o_custkey = c.c_custkey
 ORDER BY total_spend DESC, o_custkey LIMIT 10""",
+    "q_profile" -> {
+      def c(name: String) =
+        s"""SELECT '$name' AS column_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT($name) AS n_null, COUNT(DISTINCT $name) AS n_distinct,
+  CAST(MIN($name) AS VARCHAR) AS min_s, CAST(MAX($name) AS VARCHAR) AS max_s
+FROM customer"""
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .map(c).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+    },
+    "k7_upsert" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+  SELECT n_nationkey,
+    CASE WHEN n_nationkey < 3 THEN 'UPDATED_' || n_name ELSE n_name END AS n_name,
+    n_regionkey
+  FROM nation
+  UNION ALL
+  SELECT 99, 'NEWLAND', 0
+) ORDER BY n_nationkey""",
     "q_order_stats" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total

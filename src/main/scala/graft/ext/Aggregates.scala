@@ -118,6 +118,33 @@ object Aggregates {
       .orderBy(col("o_custkey"))
   }
 
+  /** Column profiling — the data-quality staple (row count, nulls,
+    * distincts, min/max per column) in ONE aggregate pass over the
+    * table, presented long-format via `stack`. min/max are stringified
+    * so heterogeneous column types share the output schema; at 100 TB
+    * this is a single partial-first aggregation, not a job per column.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__total"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_distinct, min_s, max_s)"))
+      .select(col("column_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col("n")).as("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy(col("column_name"))
+  }
+
   /** Running (cumulative) spend per customer in order-date order — the
     * window-FRAME aggregate next to the row_number ranking op: one
     * shuffle on the partition key, frame accumulation inside the

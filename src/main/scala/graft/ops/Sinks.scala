@@ -86,12 +86,50 @@ object Sinks {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / (targetFileMB * 1024.0 * 1024.0)).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_tmp")
-    spark.read.parquet(path).repartition(files)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"compactParquet: rename $tmp -> $p failed")
-    spark.read.parquet(path)
+    swapRewrite(spark, p) { tmp =>
+      spark.read.parquet(path).repartition(files)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
+
+  /** Keyed UPSERT (merge) into a parquet directory: rows of `updates`
+    * replace same-key existing rows, new keys append — anti-join +
+    * union + atomic swap, the plain-parquet shape of MERGE INTO (a
+    * transactional table format adds concurrency/conflict handling on
+    * top; the data rewrite is the same). Whole-table rewrite here; on a
+    * date/tenant-partitioned 100 TB table restrict the rewrite to the
+    * partitions the update keys touch (dynamic partition overwrite).
+    */
+  def upsertParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    // the anti-join must materialize BEFORE the target is replaced:
+    // stage merged rows into the temp dir first, swap after
+    swapRewrite(spark, p) { tmp =>
+      val existing = spark.read.parquet(path)
+      val merged = existing.join(updates, Seq(keyCol), "left_anti")
+        .unionByName(updates.select(
+          existing.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
+
+  /** Rewrite `target` via temp-sibling + rename: `write` produces the
+    * new content at the temp path; only after it succeeds does the
+    * original get replaced — readers never observe a partial directory.
+    */
+  private def swapRewrite(
+      spark: org.apache.spark.sql.SparkSession,
+      target: org.apache.hadoop.fs.Path)(write: String => Unit): DataFrame = {
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__rewrite_tmp")
+    write(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target), s"swapRewrite: rename $tmp -> $target failed")
+    spark.read.parquet(target.toString)
   }
 
   /** K3 — JDBC write (reference: simple_etl.py:390-404,

@@ -225,6 +225,24 @@ class OpsSpec extends SparkSpec {
       products.orderBy(col("Product_ID")).collect().map(_.toSeq).toSeq)
   }
 
+  test("K7 upsertParquet: same-key rows replaced, new keys appended, others untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString + "/p"
+    Sinks.parquet(products, dir)
+    import spark.implicits._
+    val updates = Seq(
+      ("P-001", "Gaming Mouse", "Electronics"), // replaces
+      ("P-009", "Headset", "Audio"))            // new key
+      .toDF("Product_ID", "Product_Name", "Category")
+    val merged = Sinks.upsertParquet(spark, dir, updates, "Product_ID")
+    assert(merged.count() === 6)
+    val byId = merged.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId("P-001") === "Gaming Mouse")
+    assert(byId("P-009") === "Headset")
+    assert(byId("P-002") === "Keyboard") // untouched
+    // the swap replaced the directory: a fresh read agrees
+    assert(spark.read.parquet(dir).count() === 6)
+  }
+
   test("K6 compactParquet collapses a fragmented directory, preserves data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString + "/n"
     val nation = t("nation")
