@@ -27,6 +27,22 @@ object Sources {
     }
   }
 
+  /** S1b — CSV scan that SURFACES malformed rows instead of silently
+    * degrading: PERMISSIVE mode routes any row that fails the schema
+    * into a `_corrupt` column (nulls elsewhere), so a pipeline can
+    * split clean/dirty and quarantine the dirty — the principled
+    * version of the reference's coerce-everything-to-string fallback
+    * (simple_etl.py:165-169). At 100 TB silently dropping or stringly
+    * typing bad rows is how corrupt feeds go unnoticed for months.
+    */
+  def csvWithQuarantine(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schemaDdl + ", _corrupt STRING")
+      .csv(path)
+
   /** S3 — Parquet scan (reference: simple_etl.py:73-74). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

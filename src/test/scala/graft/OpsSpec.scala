@@ -225,6 +225,21 @@ class OpsSpec extends SparkSpec {
       products.orderBy(col("Product_ID")).collect().map(_.toSeq).toSeq)
   }
 
+  test("S1b csvWithQuarantine surfaces malformed rows in _corrupt, keeps clean rows typed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv")
+    java.nio.file.Files.writeString(dir.resolve("d.csv"),
+      "id,qty\n1,10\n2,not_a_number\n3,30\n")
+    val df = Sources.csvWithQuarantine(spark, dir.toString + "/d.csv", "id INT, qty INT")
+    df.cache() // PERMISSIVE corrupt-column reads need a single pass
+    val clean = df.filter(col("_corrupt").isNull)
+    val dirty = df.filter(col("_corrupt").isNotNull)
+    assert(clean.count() === 2)
+    assert(clean.schema("qty").dataType === IntegerType)
+    assert(dirty.count() === 1)
+    assert(dirty.head().getAs[String]("_corrupt").contains("not_a_number"))
+    df.unpersist()
+  }
+
   test("K7 upsertParquet: same-key rows replaced, new keys appended, others untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ups").toString + "/p"
     Sinks.parquet(products, dir)
