@@ -233,6 +233,12 @@ object SparkEntry {
     "d_top_terms" -> ((s, dir) => TextOps.topTerms(rd(s, dir, "documents"))),
     // ---- Extensions: dedup ----
     "d_dedup_exact" -> ((s, dir) => Dedup.exactDedup(rd(s, dir, "documents"))),
+    // curation: keep 50% of English docs, 10% of the rest — selected by
+    // key hash, so the sample is reproducible and engine-independent
+    "d_sample_stratified" -> ((s, dir) =>
+      Cleaning.stratifiedSample(rd(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(rd(s, dir, "documents"))),
     "d_minhash_lsh" -> ((s, dir) => Dedup.minhashDedup(rd(s, dir, "documents"))),
     "d_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(rd(s, dir, "documents"))),
@@ -645,6 +651,11 @@ FROM q ORDER BY doc_id""",
     "d_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents ORDER BY doc_id""",
+    "d_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.1 END) * 4294967296
+ORDER BY doc_id""",
     "d_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
   md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

@@ -41,4 +41,29 @@ object Cleaning {
     * (simple_etl.py:207). Two actions — call sparingly.
     */
   def dedupRemovedCount(df: DataFrame): Long = df.count() - df.dropDuplicates().count()
+
+  /** Deterministic stratified sample — the training-data curation op
+    * (downsample dominant languages/sources, keep rare strata): keep
+    * `fractions(stratum)` (default `defaultFraction`) of each group,
+    * selected by Knuth's multiplicative hash of the row KEY rather than
+    * `rand()`. Hash selection makes the sample (a) reproducible across
+    * runs, cluster layouts, and partitionings; (b) stable under
+    * re-appends (a row's fate never changes); (c) pure integer
+    * arithmetic, so any engine computes the identical sample — which is
+    * how the oracle checks it. Fully map-side: filter fuses into the
+    * scan, no shuffle, no sampling state.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val u = pmod(col(keyCol).cast("long") * lit(2654435761L), lit(4294967296L))
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac * lit(4294967296L))
+  }
 }

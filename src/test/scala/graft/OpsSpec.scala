@@ -63,6 +63,30 @@ class OpsSpec extends SparkSpec {
     assert(Cleaning.dedup(Cleaning.dedup(sales)).count() === 5)
   }
 
+  test("stratifiedSample: deterministic, per-stratum fractions, append-stable") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "id")).toDF("doc_id", "lang")
+    val s1 = Cleaning.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 0.5), defaultFraction = 0.1)
+    // deterministic: identical twice, regardless of partitioning
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted
+    val ids2 = Cleaning.stratifiedSample(docs.repartition(7), "lang", "doc_id",
+      Map("en" -> 0.5), defaultFraction = 0.1).select("doc_id").as[Long].collect().sorted
+    assert(ids1.sameElements(ids2))
+    // fractions land near target per stratum (hash is uniform-ish)
+    val en = s1.filter($"lang" === "en").count().toDouble / 500
+    val id = s1.filter($"lang" === "id").count().toDouble / 1500
+    assert(en > 0.35 && en < 0.65, s"en fraction $en")
+    assert(id > 0.05 && id < 0.15, s"id fraction $id")
+    // append-stable: a row's fate never changes when the corpus grows
+    val grown = (0L until 4000L).map(i => (i, if (i % 4 == 0) "en" else "id")).toDF("doc_id", "lang")
+    val idsGrown = Cleaning.stratifiedSample(grown, "lang", "doc_id", Map("en" -> 0.5),
+      defaultFraction = 0.1).select("doc_id").as[Long].filter(_ < 2000L).collect().sorted
+    assert(ids1.sameElements(idsGrown))
+    // default fraction 0.0 drops unlisted strata entirely
+    assert(Cleaning.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 0.5))
+      .filter($"lang" === "id").count() === 0)
+  }
+
   test("T3 replaceValue rewrites only exact matches (Jkt -> Jakarta)") {
     val fixed = Mutation.replaceValue(sales, "Region", "Jkt", "Jakarta")
     assert(fixed.filter(col("Region") === "Jkt").count() === 0)
