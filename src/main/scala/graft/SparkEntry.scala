@@ -265,12 +265,17 @@ object SparkEntry {
       Similarity.quantizeInt8(rd(s, dir, "embeddings"))
         .select(col("vec_id"), Num.trunc4(col("scale")).as("scale4"),
           md5(concat_ws(",", col("qvec").cast("array<string>"))).as("q_md5"),
-          array_min(col("qvec")).as("q_min"), array_max(col("qvec")).as("q_max"))
+          array_min(col("qvec")).cast("int").as("q_min"),
+          array_max(col("qvec")).cast("int").as("q_max"))
         .orderBy(col("vec_id"))),
     "e_knn_join" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), 3)
     }),
+    // sign-LSH-blocked all-pairs sweep (approximate -> rows-only check;
+    // recall vs the exact sweep is pinned by ExtSpec's planted-dup test)
+    "e_ann_pairs" -> ((s, dir) =>
+      Similarity.lshCosinePairs(rd(s, dir, "embeddings"), 20)),
     // ---- Extensions: multimodal plumbing ----
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(rd(s, dir, "documents"))),
     "m_frame_hash" -> ((s, dir) => Multimodal.frameSample(rd(s, dir, "documents"))),
@@ -372,8 +377,8 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (=> driver rows-only check):
     * q_order_stats_approx / d_simhash64 / d_simhash_neardup / e_ann_lsh /
-    * e_ann_ivf (engine-specific hashing/sketches, approximate by
-    * design), m_features (opaque binary decode stub).
+    * e_ann_ivf / e_ann_pairs (engine-specific hashing/sketches,
+    * approximate by design), m_features (opaque binary decode stub).
     */
   def oracleSql: Map[String, String] = Map(
     "t5_transpose" ->
@@ -630,7 +635,8 @@ FROM documents ORDER BY doc_id""",
   ${hitsSql(deStop)} AS de_hits, ${hitsSql(frStop)} AS fr_hits
 FROM documents)
 SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
-  CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'unknown'
+  CASE WHEN en_hits IS NULL THEN 'unknown'
+       WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'unknown'
        WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
        WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
        WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
@@ -653,7 +659,7 @@ FROM q ORDER BY doc_id""",
 FROM documents ORDER BY doc_id""",
     "d_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 <
+WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
       (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.1 END) * 4294967296
 ORDER BY doc_id""",
     "d_dedup_exact" ->

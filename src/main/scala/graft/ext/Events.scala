@@ -65,12 +65,20 @@ object Events {
 
   /** JSON extraction from the `props` column (`{"k": 87}`) — the
     * fixtures' motivation for from_json/get_json_object (SURVEY.md §1).
-    * get_json_object is a codegen'd path extractor; no UDF.
+    * Uses from_json with an explicit ONE-FIELD schema: Jackson parses
+    * straight into a single-int struct and skips unrequested fields,
+    * where get_json_object re-walks the document per path expression;
+    * with a declared schema the parse also stays a vectorizable
+    * projection (no path-string interpretation per row).
     */
   def propsKStats(eventsRaw: DataFrame): DataFrame = {
     val events = eventsRaw
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", IntegerType))))
+          .getField("k"))
       .groupBy(col("event_type"))
       .agg(
         sum(col("k").cast(LongType)).as("sum_k"),
@@ -122,8 +130,8 @@ object Events {
 
   /** Range-join over the event stream: purchases within 30 minutes
     * AFTER each click by the same user, counted per click (conversion-
-    * window attribution). Inner range join + re-join against clicks for
-    * left semantics (zero-count clicks kept).
+    * window attribution). Left-semantics range join (zero-count clicks
+    * kept as null-match rows; count(p_id) skips nulls → 0).
     */
   def clickPurchaseCounts(eventsRaw: DataFrame, windowMinutes: Int = 30): DataFrame = {
     val events = normalizeTs(eventsRaw)
@@ -131,13 +139,11 @@ object Events {
       .select(col("event_id"), col("user_id"), col("ts"))
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pts"), col("event_id").as("p_id"))
-    val paired = graft.ops.Relational.rangeJoin(
+    graft.ops.Relational.rangeJoin(
       clicks, purchases, Seq("user_id"), "ts", "pts",
-      lowerUs = 0L, upperUs = windowMinutes.toLong * 60L * 1000000L)
-      .groupBy(col("event_id")).agg(count(col("p_id")).as("n_purchases"))
-    clicks.join(paired, Seq("event_id"), "left")
-      .select(col("event_id"), col("user_id"),
-        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      lowerUs = 0L, upperUs = windowMinutes.toLong * 60L * 1000000L, how = "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("p_id")).as("n_purchases"))
       .orderBy(col("event_id"))
   }
 

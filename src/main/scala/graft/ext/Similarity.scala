@@ -411,9 +411,11 @@ object Similarity {
   }
 
   /** int8 embedding quantization — the storage-scale lever: per-vector
-    * symmetric scale (max|x|/127), elements become small ints — 4x
-    * smaller than float32 at ~1/254 max relative element error, which
-    * near-dup-grade cosine ranking tolerates (recall-tested).
+    * symmetric scale (max|x|/127), elements are TINYINT (1 byte) — the
+    * 4x-vs-float32 saving is real in memory and on the shuffle wire,
+    * not just after parquet encoding — at ~1/254 max relative element
+    * error, which near-dup-grade cosine ranking tolerates
+    * (recall-tested).
     *
     * Cross-engine determinism: round-half-up is spelled as
     * floor(x/s + 0.5) — identical IEEE ops in any engine — instead of
@@ -425,9 +427,9 @@ object Similarity {
       .withColumn("scale", array_max(transform(col("emb_d"), x => abs(x))) / lit(127.0))
       .withColumn("qvec",
         when(col("scale") === 0.0,
-          transform(col("emb_d"), _ => lit(0)))
+          transform(col("emb_d"), _ => lit(0).cast("tinyint")))
           .otherwise(transform(col("emb_d"),
-            x => floor(x / col("scale") + lit(0.5)).cast("int"))))
+            x => floor(x / col("scale") + lit(0.5)).cast("tinyint"))))
       .select(col("vec_id"), col("scale"), col("qvec"))
 
   /** Dequantized vectors: qvec * scale, back to array<double>. */
@@ -460,7 +462,33 @@ object Similarity {
       .toDF("vec_id", "embedding", "cluster")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(path)
+    // Persist the quantizer WITH the index: an `_`-prefixed sibling is
+    // invisible to spark.read.parquet(path) (hidden-path convention), so
+    // the data read is untouched, and a FRESH session can probe the
+    // index via ivfLoadIndex without retraining.
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(centroidsPath(path))
     centroids
+  }
+
+  private def centroidsPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "/_centroids"
+
+  /** Load the coarse quantizer persisted by [[ivfBuildIndex]] — the
+    * missing half of probe-from-a-fresh-session (centroids are
+    * numCentroids x dim, a driver-sized artifact by construction).
+    */
+  def ivfLoadIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(centroidsPath(path))
+      .select(col("cluster").cast("int"), col("centroid").cast("array<double>"))
+      .as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
   }
 
   /** Probe a materialized IVF index: rank centroids against the query,
@@ -494,8 +522,16 @@ object Similarity {
     * [[topCosinePairs]]: bucket every vector into `numTables`
     * independent sign-LSH buckets, self-join WITHIN buckets only (the
     * shuffle key is the bucket, so no cross join ever materializes),
-    * score candidates exactly, global top-k. Approximate: recall is the
-    * standard sign-LSH bound (high for near-duplicate-grade cosines).
+    * deduplicate candidate ID pairs, then score each surviving pair
+    * exactly ONCE, global top-k. Approximate: recall is the standard
+    * sign-LSH bound (high for near-duplicate-grade cosines).
+    *
+    * Candidate generation is ids-only: the bucket self-join and the
+    * `.distinct()` shuffle 2 longs per candidate — a pair that collides
+    * in several tables is scored once, not once per table (the earlier
+    * shape cosine-scored per table and distinct'd SCORED rows: duplicate
+    * O(dim) work and a vector-wide shuffle). Vectors are fetched for
+    * surviving pairs only, via two id-joins against the corpus.
     */
   def lshCosinePairs(
       embeddings: DataFrame,
@@ -507,17 +543,21 @@ object Similarity {
     graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
     val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
     val bucketed = embeddings.select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"),
       explode(array(tables.zipWithIndex.map { case (planes, t) =>
         struct(lit(t).as("tbl"), lshBucket(col("embedding"), planes).as("bkt"))
       }: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val a = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("tbl", "bkt")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val a = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_a"))
+    val b = bucketed.select(col("tbl"), col("bkt"), col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("tbl", "bkt")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         Num.trunc4(cosine(col("emb_a"), col("emb_b"))).as("cos_sim"))
-      .distinct()
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }

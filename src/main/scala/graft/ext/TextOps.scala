@@ -68,7 +68,12 @@ object TextOps {
       col("text") +: langs.map(l => array(stopwords(l).map(lit): _*)): _*)
     val h = Seq.tabulate(4)(i => element_at(col("hits"), i + 1))
     val g = greatest(h: _*)
-    val pred = when(g === 0L, "unknown")
+    // Null text ⇒ graft_word_hits returns null ⇒ every comparison below
+    // is null (false); without the explicit guard the CASE would fall
+    // through to the final otherwise() and silently classify null docs
+    // as "fr". (Guard on `hits`, which survives the projection.)
+    val pred = when(col("hits").isNull, "unknown")
+      .when(g === 0L, "unknown")
       .when(h(0) === g, "en").when(h(1) === g, "es").when(h(2) === g, "de")
       .otherwise("fr")
     docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"), hitsArr.as("hits"))

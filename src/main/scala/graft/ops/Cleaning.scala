@@ -52,6 +52,14 @@ object Cleaning {
     * arithmetic, so any engine computes the identical sample — which is
     * how the oracle checks it. Fully map-side: filter fuses into the
     * scan, no shuffle, no sampling state.
+    *
+    * Contract: the key must be NON-NEGATIVE (ids, hashes). The key is
+    * reduced mod 2^31 before the multiply so `key * 2654435761` cannot
+    * overflow int64 (2^31 * 2654435761 ≈ 5.7e18 < 2^63): both engines
+    * stay in exact integer range instead of Spark wrapping silently
+    * where an ANSI engine would error. For negative keys Spark's pmod
+    * and SQL `%` disagree on sign, so the cross-engine-identical claim
+    * holds only for the documented non-negative domain.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -60,7 +68,8 @@ object Cleaning {
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.functions._
-    val u = pmod(col(keyCol).cast("long") * lit(2654435761L), lit(4294967296L))
+    val u = pmod(pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
     val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
       when(col(strataCol) === k, lit(f)).otherwise(acc)
     }

@@ -110,9 +110,13 @@ object Relational {
     * (key, window) instead of rows-per-key-squared. Each true pair is
     * produced exactly once (the right row has one bin).
     *
-    * Inner join only: an outer variant would duplicate unmatched left
-    * rows once per exploded bin. Compose with a re-join against the
-    * left side for left semantics (see Events.clickPurchaseCounts).
+    * `how`: "inner" (default) or "left". A naive left join would emit an
+    * unmatched left row once PER EXPLODED BIN; instead, matched rows
+    * pass through and a match-free left row keeps exactly its min-bin
+    * null row, decided by a window over the left row's full column
+    * tuple — deterministic, no synthetic row id. The window costs one
+    * extra shuffle of the (already bin-joined) output; identical left
+    * rows each keep their own null row, so multiplicity is preserved.
     */
   def rangeJoin(
       left: DataFrame,
@@ -121,25 +125,46 @@ object Relational {
       leftTs: String,
       rightTs: String,
       lowerUs: Long,
-      upperUs: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, expr, lit, sequence, unix_micros}
+      upperUs: Long,
+      how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, expr, lit, max, min, sequence, unix_micros, when}
     require(upperUs > lowerUs, s"empty range [$lowerUs, $upperUs]")
+    require(how == "inner" || how == "left", s"rangeJoin supports inner/left, got '$how'")
     val width = upperUs - lowerUs
+    // Right-side join-internal columns (keys, bin, ts-micros) get UNIQUE
+    // names before the join: both sides often derive from the same source
+    // DataFrame (self-join), where dropping an ambiguous `r(key)` AFTER
+    // extra projections can mis-resolve to the LEFT attribute (observed:
+    // null keys on every unmatched left row). Unique names make every
+    // later reference and drop unambiguous by construction.
     val l = left
       .withColumn("__lus", unix_micros(col(leftTs)))
-      .withColumn("__bin", explode(sequence(
+      .withColumn("__lbin", explode(sequence(
         expr(s"(unix_micros($leftTs) + ${lowerUs}L) div ${width}L"),
         expr(s"(unix_micros($leftTs) + ${upperUs}L) div ${width}L"))))
-    val r = right
+    val r = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"__rk_$k"))
       .withColumn("__rus", unix_micros(col(rightTs)))
-      .withColumn("__bin", expr(s"unix_micros($rightTs) div ${width}L"))
-    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
-      l("__bin") === r("__bin") &&
+      .withColumn("__rbin", expr(s"unix_micros($rightTs) div ${width}L"))
+    val cond = keys.map(k => l(k) === r(s"__rk_$k")).reduce(_ && _) &&
+      l("__lbin") === r("__rbin") &&
       r("__rus") >= l("__lus") + lit(lowerUs) &&
       r("__rus") <= l("__lus") + lit(upperUs)
-    val joined = l.join(r, cond, "inner")
-    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
-      .drop(l("__bin")).drop(r("__bin")).drop(l("__lus")).drop(r("__rus"))
+    val joined = l.join(r, cond, how)
+    val filtered =
+      if (how == "inner") joined
+      else {
+        // a matched row always has a non-null __rus (the range check
+        // cannot pass on null); partition by the left row identity
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(left.columns.map(l(_)).toIndexedSeq: _*)
+        joined
+          .withColumn("__has_match", max(when(col("__rus").isNotNull, 1).otherwise(0)).over(w))
+          .withColumn("__min_bin", min(col("__lbin")).over(w))
+          .filter(col("__rus").isNotNull ||
+            (col("__has_match") === 0 && col("__lbin") === col("__min_bin")))
+          .drop("__has_match", "__min_bin")
+      }
+    filtered.drop(keys.map(k => s"__rk_$k") ++ Seq("__lbin", "__rbin", "__lus", "__rus"): _*)
   }
 
   /** Salted equi-join for skewed keys: the big (left) side is split into

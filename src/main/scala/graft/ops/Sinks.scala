@@ -117,18 +117,26 @@ object Sinks {
     }
   }
 
-  /** Rewrite `target` via temp-sibling + rename: `write` produces the
-    * new content at the temp path; only after it succeeds does the
-    * original get replaced — readers never observe a partial directory.
+  /** Rewrite `target` via temp-sibling + rename-aside: `write` produces
+    * the new content at the temp path; the original is renamed aside
+    * (not deleted) before the temp renames into place, so a crash at any
+    * point leaves EITHER the old or the new complete directory
+    * recoverable on disk — never neither. Not atomic for concurrent
+    * readers: between the two renames the target path is briefly absent
+    * (directory renames are not transactional on HDFS/object stores; a
+    * table format's metadata pointer is what closes that window).
     */
   private def swapRewrite(
       spark: org.apache.spark.sql.SparkSession,
       target: org.apache.hadoop.fs.Path)(write: String => Unit): DataFrame = {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__rewrite_tmp")
+    val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__rewrite_old")
     write(tmp.toString)
-    fs.delete(target, true)
+    fs.delete(old, true) // leftover from a previous crashed swap
+    require(fs.rename(target, old), s"swapRewrite: rename-aside $target -> $old failed")
     require(fs.rename(tmp, target), s"swapRewrite: rename $tmp -> $target failed")
+    fs.delete(old, true)
     spark.read.parquet(target.toString)
   }
 

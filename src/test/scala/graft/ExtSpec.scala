@@ -63,6 +63,17 @@ class ExtSpec extends SparkSpec {
     assert(r.filter(col("lang_pred").isNull).count() === 0)
   }
 
+  test("langId: null text classifies as unknown, not a language") {
+    import spark.implicits._
+    // null hits make every CASE comparison null; without the explicit
+    // guard the fall-through branch would have claimed "fr"
+    val df = Seq((1L, Option("the cat sat on the mat"), "en"),
+      (2L, None: Option[String], "en")).toDF("doc_id", "text", "lang")
+    val preds = TextOps.langId(df).collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(preds(1L) === "en")
+    assert(preds(2L) === "unknown")
+  }
+
   test("quality score in [0,1]") {
     val r = TextOps.qualityScore(t("documents"))
     assert(r.filter(col("quality") < 0 || col("quality") > 1).count() === 0)
@@ -210,6 +221,31 @@ class ExtSpec extends SparkSpec {
     val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
     val cc = Dedup.clusterPairs(chain).collect().map(r => r.getLong(1)).distinct
     assert(cc.toSeq === Seq(0L))
+    // non-convergence within maxIter must FAIL, not return wrong labels
+    intercept[IllegalArgumentException] {
+      Dedup.clusterPairs(chain, maxIter = 3).collect()
+    }
+  }
+
+  test("clusterPairsStar: same labels as propagation; 1000-node chain in O(log n) rounds") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val c = Dedup.clusterPairsStar(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // adversarial topology for label propagation: a 1000-node path graph
+    // (diameter 999 — propagation would need 999 rounds / 999 shuffles;
+    // star contraction folds it in O(log n) alternating rounds)
+    val chain = (0L until 1000L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterPairsStar(chain, maxIter = 30).collect()
+    assert(labels.length === 1000)
+    assert(labels.map(_.getLong(1)).distinct.toSeq === Seq(0L))
+    // random multi-component graph: star and propagation must agree
+    val rnd = new scala.util.Random(7)
+    val randomPairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val viaStar = Dedup.clusterPairsStar(randomPairs).collect().map(_.toString).toSeq
+    val viaProp = Dedup.clusterPairs(randomPairs).collect().map(_.toString).toSeq
+    assert(viaStar === viaProp)
   }
 
   test("simhash: near-identical docs get near-identical fingerprints") {
@@ -305,6 +341,11 @@ class ExtSpec extends SparkSpec {
     val emb = t("embeddings")
     val q = Similarity.quantizeInt8(emb)
     import spark.implicits._
+    // elements are genuinely 1-byte (tinyint) — the 4x-vs-float32 claim
+    // holds in memory and on the shuffle wire, not only after encoding
+    assert(q.schema("qvec").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType,
+      s"qvec should be array<tinyint>, got ${q.schema("qvec").dataType}")
     assert(q.filter(array_max(col("qvec")) > 127 || array_min(col("qvec")) < -127).count() === 0)
     // round-trip: top-3 neighbours of vec 0 survive quantization
     val deq = Similarity.dequantize(q)
@@ -334,6 +375,17 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cluster"),
       s"cluster probe should prune partitions, plan:\n${plan.take(600)}")
     assert(pruned.collect().length === 3)
+    // fresh-session probe: the quantizer persists WITH the index — loading
+    // it back must reproduce the training-time centroids and probe results
+    val loaded = Similarity.ivfLoadIndex(spark, tmp)
+    assert(loaded.length === centroids.length)
+    assert(loaded.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+      "persisted centroids differ from training-time centroids")
+    val viaLoaded = Similarity.ivfTopKIndexed(spark, tmp, loaded, q, 3, nProbe = 8,
+      excludeVecId = Some(0L)).collect().map(_.toString).toSeq
+    val viaTrained = Similarity.ivfTopKIndexed(spark, tmp, centroids, q, 3, nProbe = 8,
+      excludeVecId = Some(0L)).collect().map(_.toString).toSeq
+    assert(viaLoaded === viaTrained)
   }
 
   test("IVF top-k: prunes to probed lists, high-recall settings find exact top-1") {

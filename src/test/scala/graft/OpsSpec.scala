@@ -212,6 +212,21 @@ class OpsSpec extends SparkSpec {
     // exactly-once: no duplicate pairs despite the left-side bin explode
     val cnt = Relational.rangeJoin(l, r, Seq("k"), "lts", "rts", 0L, W).count()
     assert(cnt === 2)
+
+    // left semantics: matched rows identical to inner; the match-free left
+    // row (u2) appears exactly ONCE with null right columns — not once per
+    // exploded bin
+    val lout = Relational.rangeJoin(l, r, Seq("k"), "lts", "rts", 0L, W, how = "left")
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(lout === Set(
+      (1000L * W + 7L, 1000L * W + 7L),
+      (1000L * W + 7L, 1001L * W + 7L),
+      (5000L * W, -1L)))
+    assert(Relational.rangeJoin(l, r, Seq("k"), "lts", "rts", 0L, W, how = "left").count() === 3)
+    // duplicate left rows keep their multiplicity in the unmatched case
+    val lDup = tsDf("l", Seq(("u2", 5000L * W), ("u2", 5000L * W)), "lts", "lid")
+    assert(Relational.rangeJoin(lDup, r, Seq("k"), "lts", "rts", 0L, W, how = "left").count() === 2)
   }
 
   test("saltedJoin matches plain join result (skew path)") {
