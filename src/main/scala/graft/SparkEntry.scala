@@ -118,6 +118,16 @@ object SparkEntry {
       Sources.csv(s, tmp, schemaDdl = Some("r_regionkey INT, r_name STRING"))
         .orderBy(col("r_regionkey"))
     }),
+    // S2+K2b: region -> .xlsx workbook (dependency-free writer) -> Excel
+    // reader (type inference types r_regionkey bigint) -> same oracle
+    // shape as the other source round-trips.
+    "s2_excel_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx").toString + "/region.xlsx"
+      graft.ops.ExcelSink.xlsx(rd(s, dir, "region"), tmp)
+      Sources.excel(s, tmp)
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
     // S5+K3+S4 live: write nation to an embedded Derby database (the
     // Derby driver ships in /opt/spark/jars), assert the catalog listing
     // sees it (S4), read it back through the PARTITIONED jdbc path
@@ -422,6 +432,8 @@ FROM customer ORDER BY c_custkey""",
 FROM orders ORDER BY o_orderkey""",
     "s1_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s2_excel_roundtrip" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "k1_parquet_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s5_jdbc_roundtrip" ->

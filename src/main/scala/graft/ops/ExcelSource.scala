@@ -31,8 +31,22 @@ object ExcelSource {
   /** Read .xlsx file(s) at `path` (a file or a directory of files) into
     * a DataFrame. `header=true` takes row 1 of each sheet as column
     * names (all files must agree); otherwise columns are `_c0.._cN`.
+    *
+    * `inferTypes=true` (default) types each column the way openpyxl's
+    * primary path hands cells to the reference (simple_etl.py:71-72):
+    * a column whose every non-null value is an integral number becomes
+    * bigint, else all-numeric becomes double, else it stays string
+    * (date-styled cells surface as ISO strings — compose with
+    * `Mutation.castColumn` for date typing). Inference is one aggregate
+    * job over the parsed strings — the same eager-scan contract as
+    * `spark.read.csv(inferSchema=true)`. `inferTypes=false` keeps the
+    * reference's all-string fallback (simple_etl.py:169).
     */
-  def xlsx(spark: SparkSession, path: String, header: Boolean = true): DataFrame = {
+  def xlsx(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true,
+      inferTypes: Boolean = true): DataFrame = {
     val files = spark.sparkContext.binaryFiles(path)
     def requireRows(rows: Seq[Array[String]], src: String): Seq[Array[String]] = {
       if (rows.isEmpty) throw new IllegalArgumentException(
@@ -61,7 +75,40 @@ object ExcelSource {
           if (i < cells.length && cells(i) != null && cells(i).nonEmpty) cells(i) else null))
       }
     val schema = StructType(headerRow.map(n => StructField(n, StringType, nullable = true)))
-    spark.createDataFrame(dataRdd, schema)
+    val raw = spark.createDataFrame(dataRdd, schema)
+    if (inferTypes) inferColumnTypes(raw) else raw
+  }
+
+  /** Per-column type inference over an all-string frame: ONE aggregate
+    * computes, for every column, (non-null count, integral count,
+    * double-castable count); a column is bigint when every non-null
+    * value is integral, else double when every non-null value
+    * double-casts, else string. "Integral" is double-castable AND
+    * numerically equal to its bigint truncation — the explicit check
+    * matters because the ANSI-off string→bigint cast does NOT reject
+    * "2.5", it silently truncates it to 2. Mixed columns and ISO date
+    * strings fail the double cast and stay strings.
+    */
+  private def inferColumnTypes(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, sum, when}
+    val aggs = raw.columns.flatMap { c =>
+      val asDouble = col(c).cast("double")
+      val integral = asDouble.isNotNull && col(c).cast("bigint").cast("double") === asDouble
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        sum(when(integral, 1L).otherwise(0L)).as(s"__l_$c"),
+        sum(when(asDouble.isNotNull, 1L).otherwise(0L)).as(s"__d_$c"))
+    }
+    val stats = raw.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    val typed = raw.columns.map { c =>
+      val n = stats.getAs[Long](s"__n_$c")
+      val nLong = stats.getAs[Long](s"__l_$c")
+      val nDouble = stats.getAs[Long](s"__d_$c")
+      if (n > 0 && nLong == n) col(c).cast("bigint").as(c)
+      else if (n > 0 && nDouble == n) col(c).cast("double").as(c)
+      else col(c)
+    }
+    raw.select(typed.toIndexedSeq: _*)
   }
 
   /** Parse one workbook's bytes: returns rows of cell strings (ragged —

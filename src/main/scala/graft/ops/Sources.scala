@@ -112,8 +112,12 @@ object Sources {
     * see [[ExcelSource]] for the parsing + distribution model. Values
     * are strings (the reference's own fallback schema); cast downstream.
     */
-  def excel(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
-    ExcelSource.xlsx(spark, path, header)
+  def excel(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true,
+      inferTypes: Boolean = true): DataFrame =
+    ExcelSource.xlsx(spark, path, header, inferTypes)
 
   /** S6 — n-ary union of named tables (reference: simple_etl.py:134-145,
     * `pd.concat(ignore_index=True)`). pandas concat aligns BY NAME and

@@ -378,11 +378,19 @@ class OpsSpec extends SparkSpec {
     writeXlsx("a.xlsx", sheet, shared, styles)
     val df = Sources.excel(spark, dir.toString + "/a.xlsx")
     assert(df.columns.toSeq === Seq("id", "name", "qty", "when"))
+    // inference (openpyxl-primary behavior): all-integral id -> bigint;
+    // qty mixes "2.5"/"true" and `when` mixes ISO dates with a raw
+    // serial, so both stay strings
+    assert(df.schema("id").dataType === LongType)
     val rows = df.orderBy(col("id")).collect()
     assert(rows.length === 3)
-    assert(rows(0).toSeq === Seq("1", "Mouse", "2.5", "2024-01-30"))
-    assert(rows(1).toSeq === Seq("2", "Keyboard", null, "2024-01-30 12:00:00")) // rich-text runs concat; sparse cell -> null
-    assert(rows(2).toSeq === Seq("3", "Cable", "true", "45321")) // no date style -> raw serial
+    assert(rows(0).toSeq === Seq(1L, "Mouse", "2.5", "2024-01-30"))
+    assert(rows(1).toSeq === Seq(2L, "Keyboard", null, "2024-01-30 12:00:00")) // rich-text runs concat; sparse cell -> null
+    assert(rows(2).toSeq === Seq(3L, "Cable", "true", "45321")) // no date style -> raw serial
+    // the reference's all-string fallback stays available
+    val rawDf = Sources.excel(spark, dir.toString + "/a.xlsx", inferTypes = false)
+    assert(rawDf.schema.fields.forall(_.dataType === StringType))
+    assert(rawDf.orderBy(col("id")).collect()(0).toSeq === Seq("1", "Mouse", "2.5", "2024-01-30"))
     // cast composes downstream, as the reference's T8 would: the two
     // date-styled cells become real dates, the unstyled serial nulls out
     val typed = Mutation.castColumn(Mutation.castColumn(df, "qty", "float"), "when", "date")
@@ -402,6 +410,36 @@ class OpsSpec extends SparkSpec {
     assert(ExcelSource.colIndex("Z9") === 25)
     assert(ExcelSource.colIndex("AA3") === 26)
     assert(ExcelSource.colIndex("BC7") === 54)
+  }
+
+  test("K2b Excel sink: typed write → reader round-trip (numbers, dates, escaping)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-sink")
+    val path = dir.resolve("out.xlsx").toString
+    val df = Seq(
+      (1L, 2.5, true, "a<b&c>d", "2024-01-30", "2024-01-30 12:34:56"),
+      (2L, -0.125, false, "plain", "1999-12-31", "2000-01-01 00:00:00"))
+      .toDF("id", "x", "flag", "txt", "d", "ts")
+      .withColumn("d", col("d").cast("date"))
+      .withColumn("ts", col("ts").cast("timestamp"))
+    ExcelSink.xlsx(df, path)
+    val back = Sources.excel(spark, path)
+    assert(back.columns.toSeq === df.columns.toSeq)
+    // inference restores numeric types; date-styled serials surface as
+    // ISO strings (castColumn-composable); booleans/text stay strings
+    assert(back.schema("id").dataType === LongType)
+    assert(back.schema("x").dataType === DoubleType)
+    val rows = back.orderBy(col("id")).collect()
+    assert(rows(0).toSeq === Seq(1L, 2.5, "true", "a<b&c>d", "2024-01-30", "2024-01-30 12:34:56"))
+    assert(rows(1).toSeq === Seq(2L, -0.125, "false", "plain", "1999-12-31", "2000-01-01"))
+    // typed date column round-trips exactly through castColumn
+    val dBack = Mutation.castColumn(back, "d", "date").select(col("id"), col("d"))
+    assert(dBack.orderBy(col("id")).collect().map(_.get(1).toString).toSeq ===
+      Seq("2024-01-30", "1999-12-31"))
+    // row-cap guard fails fast instead of silently truncating
+    intercept[IllegalArgumentException] {
+      ExcelSink.xlsx(df, dir.resolve("cap.xlsx").toString, maxRows = 1)
+    }
   }
 
   test("Pipeline composes stages lazily and binds results into the catalog") {
