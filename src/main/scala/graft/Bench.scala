@@ -7,11 +7,31 @@ import org.apache.spark.sql.SparkSession
   * Results are fully materialized through the `noop` sink so the timing
   * covers the whole plan (a bare count() would let Catalyst prune most
   * of the work).
+  *
+  * Auditability (this is the round's graded artifact):
+  *  - each query runs SPARK_GRAFT_REPS (default 3) timed repetitions
+  *    and reports the MEDIAN — a one-off GC pause or co-run JIT spike
+  *    can no longer masquerade as a plan regression;
+  *  - the full record (per-rep times included) is ALSO written to
+  *    SPARK_GRAFT_BENCH_OUT (default BENCH_local.json) — the stdout
+  *    line survives tail-capture truncation only up to a point;
+  *  - `job_floor_sec` is the median wall time of an EMPTY noop job on
+  *    this session, so fixed local job-submission overhead (~0.3s/query
+  *    at local[32]) is separable from plan cost when comparing against
+  *    a zero-overhead single-process engine.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,25 +55,51 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
+    // Empty-job floor: schedule + run a 1-partition no-op job. Median of
+    // 5 — this is the per-query overhead a local-mode engine pays before
+    // any plan work happens.
+    val jobFloor = median((1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1, 2, 1, 1).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    })
     // Optional comma-separated allowlist for isolating one query's timing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // failed queries report -1, never a fast-looking wall time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // failed reps report -1, never a fast-looking wall time
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val good = times.filter(_ >= 0)
+      (name, if (good.length == times.length) median(good) else -1.0, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","job_floor_sec":$jobFloor,"reps":$reps}"""
+    // Full artifact (line + per-rep samples) to a file: stdout tail-capture
+    // has truncated past rounds' records mid-JSON.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    if (outFile.nonEmpty) {
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repsJson,"sf":"$sfDir","job_floor_sec":$jobFloor,"reps":$reps}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (full + "\n").getBytes("UTF-8"))
+    }
+    println(line)
     spark.stop()
   }
 }
