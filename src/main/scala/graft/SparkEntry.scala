@@ -249,6 +249,36 @@ object SparkEntry {
       Cleaning.stratifiedSample(rd(s, dir, "documents"), "lang", "doc_id",
         Map("en" -> 0.5), defaultFraction = 0.1)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // ---- Extensions: curation (split / PII / repetition / tf-idf /
+    // contamination) ----
+    "d_split_assign" -> ((s, dir) =>
+      Curation.splitAssign(rd(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split")).orderBy(col("doc_id"))),
+    // planted PII (address/phone/IP built from doc_id) so redaction has
+    // observable, engine-identical input on the synthetic corpus
+    "d_pii_redact" -> ((s, dir) => {
+      val pii = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-123-4567 at 192.168."),
+        pmod(col("doc_id"), lit(256L)).cast("string"), lit(".1"))
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(pii, lit(Curation.emailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(Curation.redactPiiCol(pii),
+          lit(Curation.emailRe + "|" + Curation.ipv4Re), lit(0)))
+          .cast("bigint").as("n_left"),
+        md5(Curation.redactPiiCol(pii)).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "d_repetition" -> ((s, dir) => Curation.repetitionStats(rd(s, dir, "documents"))),
+    "d_tfidf" -> ((s, dir) => Curation.tfIdfTop(rd(s, dir, "documents"))),
+    // 5-gram screen: 3-grams flag ~95% of the synthetic corpus (natural
+    // vocabulary overlap), 5-grams isolate the planted near-dups
+    "d_contamination" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Curation.contaminationScreen(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), n = 5)
+    }),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(rd(s, dir, "documents"))),
     "d_minhash_lsh" -> ((s, dir) => Dedup.minhashDedup(rd(s, dir, "documents"))),
     "d_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(rd(s, dir, "documents"))),
@@ -269,6 +299,16 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s, tmp, centroids, q, 10, nProbe = 4, excludeVecId = Some(0L))
     }),
     "e_embedding_neardup" -> ((s, dir) => Similarity.topCosinePairs(rd(s, dir, "embeddings"), 20)),
+    // embedding near-dup CLUSTERS: exact top-50 cosine pairs as the edge
+    // set -> star-contraction connected components (checked against a
+    // recursive-CTE transitive closure over the same top-50 pairs)
+    "e_neardup_clusters" -> ((s, dir) => {
+      val pairs = Similarity.topCosinePairs(rd(s, dir, "embeddings"), 50)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.clusterPairsStar(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
     // int8 quantization emits exact integers -> hash-comparable via a
     // digest (raw arrays aren't driver-sortable)
     "e_quantize_int8" -> ((s, dir) =>
@@ -674,6 +714,54 @@ FROM documents ORDER BY doc_id""",
 WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
       (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.1 END) * 4294967296
 ORDER BY doc_id""",
+    "d_split_assign" ->
+      """SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 100 AS bucket,
+  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'train'
+       WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 95 THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id""",
+    "d_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+  text || ' contact user' || doc_id || '@example.com or +1-555-123-4567 at 192.168.' || (doc_id % 256) || '.1' AS t
+FROM documents),
+r AS (SELECT doc_id, t,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '${Curation.emailRe}', '<EMAIL>', 'g'),
+    '${Curation.ipv4Re}', '<IP>', 'g'),
+    '${Curation.phoneRe}', '<PHONE>', 'g') AS red
+FROM p)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '${Curation.emailRe}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(red, '${Curation.emailRe}|${Curation.ipv4Re}')) AS BIGINT) AS n_left,
+  md5(red) AS redacted_md5
+FROM r ORDER BY doc_id""",
+    "d_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+b AS (SELECT doc_id, t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg FROM w)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+  floor((1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 10000) / 10000.0 AS word_rep,
+  CASE WHEN len(t) < 2 THEN 0.0
+       ELSE floor((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (len(t) - 1)) * 10000) / 10000.0
+  END AS bigram_rep
+FROM b ORDER BY doc_id""",
+    "d_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, tf, df, floor(CAST(tf AS DOUBLE) / df * 10000) / 10000.0 AS score
+FROM tf JOIN dfq USING (term)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, term) <= 3
+ORDER BY doc_id, score DESC, term""",
+    "d_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+       FROM pos),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh JOIN ev USING (s) WHERE sh.doc_id >= 50
+GROUP BY 1 ORDER BY 1""",
     "d_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
   md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
@@ -722,6 +810,18 @@ ORDER BY query_id, cos_sim DESC, vec_id""",
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, floor((${cos("a.v", "b.v")}) * 10000) / 10000.0 AS cos_sim
 FROM e a, e b WHERE a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""",
+    "e_neardup_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        floor((${cos("a.v", "b.v")}) * 10000) / 10000.0 AS cs
+      FROM e a, e b WHERE a.vec_id < b.vec_id
+      ORDER BY cs DESC, va, vb LIMIT 50),
+edges AS (SELECT va AS u, vb AS v FROM p UNION SELECT vb, va FROM p),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e2.v FROM reach r JOIN edges e2 ON r.b = e2.u)
+SELECT a AS vec_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a ORDER BY vec_id""",
     "m_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames

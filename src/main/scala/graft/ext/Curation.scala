@@ -1,0 +1,151 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * split assignment, PII redaction, intra-document repetition signals
+  * (the Gopher/RefinedWeb-style quality heuristics), TF-IDF term
+  * ranking, and benchmark-contamination screening. The reference app has
+  * none of these (SURVEY.md §2.4); they extend the engine toward the
+  * 100 TB curation workload the same way Dedup/Similarity do.
+  *
+  * Everything is built-in functions only (codegen'd, zero UDFs) and
+  * engine-neutral arithmetic (integer hashes, exact divisions, trunc4)
+  * so every operator carries a DuckDB hash oracle.
+  */
+object Curation {
+
+  /** Deterministic train/valid/test split: bucket = Knuth multiplicative
+    * hash of the row key mod 100, split by percentile thresholds. Same
+    * contract as [[graft.ops.Cleaning.stratifiedSample]] (reproducible
+    * across runs/cluster layouts/appends, non-negative keys, pure
+    * map-side filter — no shuffle, no RNG state). A row's assignment
+    * NEVER changes as the corpus grows, which is what keeps eval sets
+    * stable across dataset versions.
+    */
+  def splitAssign(
+      df: DataFrame,
+      keyCol: String,
+      trainPct: Int = 90,
+      validPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"invalid split percentages train=$trainPct valid=$validPct")
+    val bucket = pmod(
+      pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L), lit(100L))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
+  // Patterns are RE2-compatible (no lookaround/backrefs), so Spark's
+  // java.util.regex and DuckDB's RE2 match identically on them. Public:
+  // callers compose them for match-counting alongside redaction.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: emails, phone-shaped digit runs, and IPv4 literals
+    * become typed placeholder tokens. Order matters — emails first (an
+    * address can contain digits), IPs before phones would also work but
+    * phones must not eat IP dots, hence IP second. Pure per-row
+    * regexp_replace chain: fuses into the scan, no shuffle.
+    */
+  def redactPiiCol(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, redactPiiCol(col(textCol)))
+
+  /** Intra-document repetition: fraction of duplicate words and duplicate
+    * word-bigrams — the strongest cheap signal for boilerplate/spam docs
+    * (high repetition => low quality). Per-row array ops only (no
+    * explode, no shuffle): at 100 TB this runs inside WholeStageCodegen
+    * over the scan like the other quality signals.
+    *
+    * Ratios are trunc4'd double divisions of exact integers — the same
+    * cross-engine determinism policy as [[TextOps.qualityScore]].
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import Num.trunc4
+    val t = split(col("text"), " ")
+    val n = size(t)
+    val wordRep = lit(1.0) - size(array_distinct(t)).cast("double") / n.cast("double")
+    val bg = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val bgRep = lit(1.0) - size(array_distinct(bg)).cast("double") / (n - 1).cast("double")
+    docs.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      trunc4(wordRep).as("word_rep"),
+      // single-token docs have no bigrams; guarded (sequence(1,0) would
+      // count DOWN in Spark, not return empty)
+      when(n < 2, lit(0.0)).otherwise(trunc4(bgRep)).as("bigram_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF-style term ranking: top-k terms per document scored by
+    * tf/df (term frequency over corpus document frequency). The score
+    * deliberately avoids ln(): tf/df is ONE exactly-rounded IEEE
+    * division of two integers, so both engines compute bit-identical
+    * scores, where libm log implementations may differ in the last ulp
+    * (rank-preserving for fixed tf since 1/df is monotone in df).
+    *
+    * Shape: explode -> two partial-first aggregates -> shuffled join on
+    * term (document frequencies are data-dependent — no forced
+    * broadcast; AQE broadcasts when small) -> per-doc window top-k.
+    */
+  def tfIdfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") / col("df").cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(score.desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        Num.trunc4(score).as("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  /** Benchmark-contamination screen: for every corpus document, the
+    * number of distinct word-3-grams it shares with an eval/benchmark
+    * set — the standard n-gram-overlap decontamination check run before
+    * training. Returns only contaminated docs (n_shared > 0).
+    *
+    * This oracle-parity formulation joins on shingle STRINGS; the
+    * at-scale variant is the same plan over
+    * [[Dedup.shingleHashes]] 8-byte hashes (strings never shuffle).
+    * The eval side is DISTINCT'd before the join and is typically tiny
+    * (a benchmark suite), so AQE turns the join broadcast at runtime;
+    * it is not forced, since eval-set size is caller data.
+    */
+  def contaminationScreen(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      n: Int = 8): DataFrame = {
+    def shingles(df: DataFrame): DataFrame = {
+      val t = split(col("text"), " ")
+      val sh = transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))
+      df.filter(size(t) >= n)
+        .select(col("doc_id"), explode(array_distinct(sh)).as("s"))
+    }
+    val ev = shingles(evalSet).select(col("s")).distinct()
+    shingles(corpus)
+      .join(ev, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -546,4 +546,83 @@ class ExtSpec extends SparkSpec {
       .filter(col("n_events") =!= col("n_batch") || col("sum_value") =!= col("v_batch"))
     assert(joined.count() === 0)
   }
+
+  test("curation: split assignment is complete, disjoint, reproducible, ~respects percentages") {
+    val docs = t("documents")
+    val s1 = Curation.splitAssign(docs, "doc_id")
+    val total = docs.count()
+    val bySplit = s1.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum === total)
+    assert(bySplit("train") > bySplit.getOrElse("valid", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+    // hash assignment: identical on re-run (no RNG state)
+    val s2 = Curation.splitAssign(docs, "doc_id")
+    assert(s1.select("doc_id", "split").except(s2.select("doc_id", "split")).count() === 0)
+    // assignment of an existing row is append-stable BY CONSTRUCTION
+    // (pure function of the key): a subset gets identical splits
+    val sub = Curation.splitAssign(docs.filter(col("doc_id") < 100), "doc_id")
+    assert(sub.select("doc_id", "split")
+      .except(s1.select("doc_id", "split")).count() === 0)
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(docs, "doc_id", trainPct = 96, validPct = 5)
+    }
+  }
+
+  test("curation: PII redaction removes emails/phones/IPs, leaves clean text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co.uk thanks"),
+      (2L, "call +44 (0)20-7946-0958 or 555-867-5309 now"),
+      (3L, "server at 10.0.255.3 responded"),
+      (4L, "no pii in this perfectly ordinary sentence")).toDF("doc_id", "text")
+    val red = Curation.redactPii(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) === "reach me at <EMAIL> thanks")
+    assert(red(2L) === "call <PHONE> or <PHONE> now")
+    assert(red(3L) === "server at <IP> responded")
+    assert(red(4L) === "no pii in this perfectly ordinary sentence")
+    // nothing PII-shaped survives on the fixture query's planted input
+    val leftover = Curation.redactPii(df, "text")
+      .filter(col("text").rlike(Curation.emailRe + "|" + Curation.ipv4Re))
+    assert(leftover.count() === 0)
+  }
+
+  test("curation: repetition stats separate repetitive from diverse docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "four fresh distinct words"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val r = Curation.repetitionStats(df).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L) === ((0.75, 0.6666))) // 1-1/4; bigrams: 3x "spam spam" -> 1-1/3
+    assert(r(2L) === ((0.0, 0.0)))
+    assert(r(3L) === ((0.0, 0.0))) // single token: no bigrams, guarded
+  }
+
+  test("curation: tf-idf ranks document-specific terms above corpus-wide ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "shared shared alpha"),
+      (2L, "shared shared beta"),
+      (3L, "shared shared gamma")).toDF("doc_id", "text")
+    // "shared" has tf=2 but df=3 (score 0.66); the unique term tf=1 df=1
+    // (score 1.0) must outrank it
+    val top1 = Curation.tfIdfTop(df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
+  test("curation: contamination screen flags n-gram overlap with the eval set only") {
+    import spark.implicits._
+    val evalSet = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "we saw the quick brown fox jumps over a fence"), // shares 5-grams
+      (11L, "completely unrelated clean training document text here"),
+      (12L, "short doc")).toDF("doc_id", "text") // < n tokens: filtered, not crashed
+    val hits = Curation.contaminationScreen(corpus, evalSet, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq === Seq((10L, 2L))) // "the quick brown fox jumps", "quick brown fox jumps over"
+  }
 }
