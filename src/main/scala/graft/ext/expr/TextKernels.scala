@@ -105,6 +105,33 @@ object TextKernels {
     UTF8String.fromBytes(out)
   }
 
+  /** Repetition counts in ONE pass: [n_tokens, n_distinct_tokens,
+    * n_distinct_bigrams]. Token semantics are Spark's `split(text, " ")`
+    * (limit -1: EVERY run between spaces counts, empties included) —
+    * the same convention as DuckDB string_split, so counts equal the
+    * built-in `size(array_distinct(...))` formulation exactly (HashSet
+    * distinct on full strings: no hash-collision caveat). Bigram
+    * identity is the space-joined token pair — unambiguous because
+    * tokens cannot contain the separator. Replaces two materialized
+    * string arrays + two array_distinct passes per row.
+    */
+  def repCounts(s: UTF8String): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val tokSet = new java.util.HashSet[String]()
+    val bgSet = new java.util.HashSet[String]()
+    var prev: String = null
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      tokSet.add(w)
+      if (prev != null) bgSet.add(prev + " " + w)
+      prev = w
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(toks.length.toLong, tokSet.size.toLong, bgSet.size.toLong))
+  }
+
   /** Per-set membership counts over whitespace tokens: one pass over the
     * text, one compiled HashSet probe per (token, set). Empty tokens
     * match nothing, so exact split-edge semantics don't matter here.
@@ -205,6 +232,52 @@ object Simhash16Expr {
 
   val builder: Seq[Expression] => Expression = {
     case Seq(t) => Simhash16Expr(t)
+    case other => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${other.size}")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+}
+
+/** `graft_rep_counts(text)` — [n_tokens, n_distinct_tokens,
+  * n_distinct_bigrams] in one codegen'd pass; the kernel behind
+  * [[graft.ext.Curation.repetitionStats]] (the built-in formulation
+  * materializes a token array AND a bigram string array per row, then
+  * array_distinct's both — measured ~4x slower at sf0.1).
+  */
+case class RepCountsExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = RepCountsExpr.name
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.expr.TextKernels.repCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepCountsExpr =
+    copy(child = newChild)
+}
+
+object RepCountsExpr {
+  val name = "graft_rep_counts"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[RepCountsExpr].getName, null, name,
+    "_FUNC_(text) - [n_tokens, n_distinct_tokens, n_distinct_bigrams] over " +
+      "whitespace tokens in one pass (codegen'd).", "")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(t) => RepCountsExpr(t)
     case other => throw new IllegalArgumentException(
       s"$name expects exactly 1 argument, got ${other.size}")
   }

@@ -599,6 +599,15 @@ class ExtSpec extends SparkSpec {
     assert(r(1L) === ((0.75, 0.6666))) // 1-1/4; bigrams: 3x "spam spam" -> 1-1/3
     assert(r(2L) === ((0.0, 0.0)))
     assert(r(3L) === ((0.0, 0.0))) // single token: no bigrams, guarded
+    // kernel path == built-in array formulation on the real fixture, and
+    // it must not fall out of the columnar stage
+    val docs = t("documents")
+    val viaKernel = Curation.repetitionStats(docs).collect().map(_.toString).toSeq
+    val viaArrays = Curation.repetitionStatsExpanded(docs).collect().map(_.toString).toSeq
+    assert(viaKernel === viaArrays)
+    val plan = Curation.repetitionStats(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"repetitionStats should stay columnar, plan:\n${plan.take(800)}")
   }
 
   test("curation: tf-idf ranks document-specific terms above corpus-wide ones") {
