@@ -162,6 +162,15 @@ object SparkEntry {
       Sinks.orc(rd(s, dir, "nation"), tmp)
       Sources.orc(s, tmp).orderBy(col("n_nationkey"))
     }),
+    // JSON re-infers types on read (ints widen to long) -> explicit casts
+    "k8_json_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/nation"
+      Sinks.json(rd(s, dir, "nation"), tmp)
+      Sources.json(s, tmp)
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
     // Bucketed layout: both sides written bucketBy(custkey), then a
     // join + groupBy on that key — at scale this whole pipeline runs
     // with ZERO shuffle (bucket co-location; asserted in OpsSpec).
@@ -209,6 +218,8 @@ object SparkEntry {
       Aggregates.largestOrderPerCustomer(rd(s, dir, "orders"))),
     "q_window_running" -> ((s, dir) =>
       Aggregates.runningCustomerSpend(rd(s, dir, "orders"))),
+    "q_window_nav" -> ((s, dir) =>
+      Aggregates.windowNavigation(rd(s, dir, "orders"))),
     "q_rollup" -> ((s, dir) =>
       Aggregates.customerRollup(rd(s, dir, "customer"), rd(s, dir, "nation"), rd(s, dir, "region"))),
     "q_cube" -> ((s, dir) =>
@@ -334,6 +345,8 @@ object SparkEntry {
     "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
     "st_events_hourly_wm" -> ((s, dir) => StreamingOps.hourlyByTypeStreamAppend(s, dir)),
     "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir)),
+    // streaming MERGE: pre-seeded stale rows must be REPLACED per batch
+    "st_upsert" -> ((s, dir) => StreamingOps.upsertPurchasesStream(s, dir)),
     "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir)),
     "st_enrich_segment" -> ((s, dir) => StreamingOps.enrichedSegmentStream(s, dir)),
     "st_sessions" -> ((s, dir) => StreamingOps.sessionCountsStream(s, dir)),
@@ -480,6 +493,10 @@ FROM orders ORDER BY o_orderkey""",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k5_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k8_json_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+  CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation ORDER BY n_nationkey""",
     "k6_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     // session_window merges on a half-open interval, so a gap of
@@ -603,6 +620,15 @@ ORDER BY o_custkey""",
     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
 FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q_window_nav" ->
+      """SELECT o_orderkey, o_custkey,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  floor(percent_rank() OVER w * 10000) / 10000.0 AS pr
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_orderkey""",
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
@@ -674,6 +700,9 @@ GROUP BY 1, 2 ORDER BY 1""",
     // => equals the batch distinct (see StreamingOps scaladoc).
     "st_dedup" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1",
+    "st_upsert" ->
+      """SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' ORDER BY event_id""",
     "d_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
   CAST(length(text) AS BIGINT) AS len_chars

@@ -163,6 +163,31 @@ object Aggregates {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Navigation/ranking window functions over each customer's order
+    * history: previous/next order value (lag/lead), spend quartile
+    * within the customer (ntile), and percentile position
+    * (percent_rank). One shuffle on o_custkey serves all four — they
+    * share a single window definition, so Spark evaluates them in ONE
+    * Window operator pass, not four.
+    *
+    * Cross-engine determinism: lag/lead are raw value passthrough;
+    * ntile's bucket-size rule (earlier buckets get the extra rows) is
+    * the SQL-standard one both engines implement; percent_rank is
+    * (rank-1)/(n-1) — one exact IEEE division, trunc4'd like every
+    * ratio.
+    */
+  def windowNavigation(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      ntile(4).over(w).cast("bigint").as("quartile"),
+      graft.ext.Num.trunc4(percent_rank().over(w)).as("pr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Revenue by part brand: fact-to-dimension join where the dimension
     * (part) broadcasts and the fact (lineitem) streams — the canonical
     * star-schema aggregate. Exact-decimal revenue (input-cast, see

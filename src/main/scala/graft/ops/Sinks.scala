@@ -27,6 +27,17 @@ object Sinks {
     df
   }
 
+  /** JSON-lines write — interchange sink counterpart of
+    * [[Sources.json]]: one JSON object per line, distributed writer
+    * (one file per partition). Schema is carried in the data, so a
+    * round-trip re-infers types (ints widen to long) — an interchange
+    * format, not a lakehouse one.
+    */
+  def json(df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    df
+  }
+
   /** ORC write — columnar sink counterpart of [[Sources.orc]]; same
     * distributed writer contract as parquet (overwrite, optional
     * partition columns for pruned reads).

@@ -307,4 +307,44 @@ object StreamingOps {
         (col("s.sum_cents").cast("double") / 10000.0).as("sum_value"))
       .orderBy(col("user_id"))
   }
+
+  /** Streaming MERGE into a parquet table: `foreachBatch` routes every
+    * micro-batch through the keyed upsert
+    * ([[graft.ops.Sinks.upsertParquet]]) — the standard CDC-apply /
+    * incremental-materialization shape (a table format would add
+    * transactional metadata; the per-batch data rewrite is the same).
+    *
+    * The target is PRE-SEEDED with stale sentinel rows (value = -999)
+    * for a third of the keys, so the final table equals the batch
+    * source only if same-key REPLACEMENT actually executed — insert-only
+    * or append-only behavior would leave sentinels behind and fail the
+    * oracle hash.
+    */
+  def upsertPurchasesStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    def purchases(df: DataFrame): DataFrame =
+      df.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+    val target = s"$tmp/tbl"
+    purchases(graft.Tables.read(spark, dir, "events"))
+      .filter(pmod(col("event_id"), lit(3L)) === 0L)
+      .withColumn("value", lit(-999.0))
+      .write.parquet(target)
+    val stream = purchases(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    withStreamPartitions(spark, streamParts) {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Sinks.upsertParquet(spark, target, batch, "event_id")
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.parquet(target).orderBy(col("event_id"))
+  }
 }
