@@ -21,29 +21,40 @@ object Reshape {
     * cast-to-string -> unpivot (Spark 4 `melt`) -> `groupBy(col).pivot(row)`.
     */
   def transpose(df: DataFrame, idColumn: String, maxRows: Int = 1000): DataFrame = {
-    // ONE eager action covers both guards (this op is driver-bound by
-    // construction, but there is no reason to scan the input twice):
-    // row-count cap, and duplicate id detection — duplicate id values
-    // would silently collapse into one pivoted column (pivot + first
-    // keeps an arbitrary row), so refuse instead. countDistinct skips
-    // nulls, hence the explicit null-presence term.
+    // ONE eager action serves three needs (an un-valued pivot() would
+    // itself run a hidden distinct-collect job before planning, so this
+    // single pass is the MINIMUM for the op, not an extra): the row-cap
+    // guard, duplicate-id detection — duplicate ids would silently
+    // collapse into one pivoted column (pivot + first keeps an
+    // arbitrary row), so refuse instead — and the pivot value list,
+    // passed explicitly so the returned plan is fully lazy from here on
+    // (composing callers pay no further hidden scan).
     val g = df.limit(maxRows + 1)
-      .agg(count(lit(1)).as("n"), count_distinct(col(idColumn)).as("nd"),
+      .agg(count(lit(1)).as("n"),
+        collect_list(col(idColumn).cast("string")).as("ids"),
         max(col(idColumn).isNull).as("has_null"))
       .head()
     val n = g.getLong(0)
-    val nDistinct = g.getLong(1) + (if (!g.isNullAt(2) && g.getBoolean(2)) 1L else 0L)
+    val ids = g.getSeq[String](1) // collect_list drops nulls
+    val hasNull = !g.isNullAt(2) && g.getBoolean(2)
+    val distinctIds = ids.distinct
     require(n <= maxRows, s"transpose guard: > $maxRows rows (reference was pandas-only too)")
-    require(nDistinct == n,
+    require(distinctIds.size + (if (hasNull) 1 else 0) == n,
       s"transpose: idColumn '$idColumn' has duplicate values; rows would be lost")
     val valueCols = df.columns.filter(_ != idColumn)
-    val strDf = valueCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("string")))
+    // everything stringifies: output column names are strings anyway, and
+    // pivoting on the string form keeps column order deterministic
+    // (lexicographic) regardless of the id column's original type
+    val strDf = df.columns.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("string")))
     val melted = strDf.melt(
       ids = Array(col(idColumn)),
       values = valueCols.map(col),
       variableColumnName = "column_name",
       valueColumnName = "value")
-    melted.groupBy("column_name").pivot(idColumn).agg(first("value"))
+    // a null id keeps its pivoted "null" column (un-valued pivot's
+    // behavior) instead of silently dropping the row
+    val pivotVals: Seq[Any] = distinctIds.sorted ++ (if (hasNull) Seq(null) else Nil)
+    melted.groupBy("column_name").pivot(idColumn, pivotVals).agg(first("value"))
   }
 
   /** Distributed pivot aggregate — groupBy().pivot(): the scale-safe
