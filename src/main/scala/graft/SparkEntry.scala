@@ -220,6 +220,8 @@ object SparkEntry {
       Aggregates.runningCustomerSpend(rd(s, dir, "orders"))),
     "q_window_nav" -> ((s, dir) =>
       Aggregates.windowNavigation(rd(s, dir, "orders"))),
+    "q_window_range" -> ((s, dir) =>
+      Aggregates.rollingCustomerSpend(rd(s, dir, "orders"))),
     "q_rollup" -> ((s, dir) =>
       Aggregates.customerRollup(rd(s, dir, "customer"), rd(s, dir, "nation"), rd(s, dir, "region"))),
     "q_cube" -> ((s, dir) =>
@@ -245,6 +247,7 @@ object SparkEntry {
     "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
     "q_asof_click_view" -> ((s, dir) => Events.clickLastView(rd(s, dir, "events"))),
     "q_range_click_purchase" -> ((s, dir) => Events.clickPurchaseCounts(rd(s, dir, "events"))),
+    "q_funnel" -> ((s, dir) => Events.dailyConversion(rd(s, dir, "events"))),
     // ---- Extensions: text analysis ----
     "d_token_count" -> ((s, dir) => TextOps.tokenCount(rd(s, dir, "documents"))),
     "d_subword_count" -> ((s, dir) => TextOps.subwordCount(rd(s, dir, "documents"))),
@@ -620,6 +623,12 @@ ORDER BY o_custkey""",
     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
 FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+    RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "q_window_nav" ->
       """SELECT o_orderkey, o_custkey,
   lag(o_totalprice) OVER w AS prev_price,
@@ -689,6 +698,17 @@ views AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE e
 SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, epoch_us(v.view_ts) AS view_us, v.view_id
 FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.view_ts
 ORDER BY c.event_id""",
+    "q_funnel" ->
+      """WITH v AS (SELECT CAST(ts AS DATE) AS day, user_id, MIN(epoch_us(ts)) AS fv
+       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+p AS (SELECT CAST(ts AS DATE) AS day, user_id, MAX(epoch_us(ts)) AS lp
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT v.day, CAST(COUNT(*) AS BIGINT) AS n_view_users,
+  CAST(COALESCE(SUM(CASE WHEN p.lp > v.fv THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_converted,
+  floor(CAST(COALESCE(SUM(CASE WHEN p.lp > v.fv THEN 1 ELSE 0 END), 0) AS DOUBLE)
+        / COUNT(*) * 10000) / 10000.0 AS conv_rate
+FROM v LEFT JOIN p ON v.day = p.day AND v.user_id = p.user_id
+GROUP BY 1 ORDER BY 1""",
     "q_range_click_purchase" ->
       """WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
 purch AS (SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase')

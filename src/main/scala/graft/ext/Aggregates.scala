@@ -163,6 +163,28 @@ object Aggregates {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Rolling event-time window: each order's total customer spend over
+    * the trailing `days`-day window — a RANGE frame over epoch
+    * microseconds (rows at the same instant are peers and aggregate
+    * together, which a ROWS frame would get wrong). The frame bound is
+    * pure integer arithmetic on unix_micros, identical in any engine;
+    * the sum is input-cast exact decimal like every money aggregate
+    * here.
+    */
+  def rollingCustomerSpend(orders: DataFrame, days: Int = 7): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the
+    // session runs UTC, so the cast is an exact reinterpretation
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-(days.toLong - 1L) * 86400L * 1000000L, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("rolling_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** Navigation/ranking window functions over each customer's order
     * history: previous/next order value (lag/lead), spend quartile
     * within the customer (ntile), and percentile position

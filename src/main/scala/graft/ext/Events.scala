@@ -147,6 +147,31 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Daily view→purchase conversion funnel: of the users who viewed on
+    * a day, how many purchased LATER that same day (strictly after their
+    * first view — event-order-aware, not just co-occurrence). Two
+    * partial-first aggregates + one equi-join on (day, user) + one final
+    * aggregate; timestamps compare as exact epoch-microsecond integers,
+    * the rate is one trunc4'd IEEE division.
+    */
+  def dailyConversion(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_view_us"))
+    val p = events.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_purchase_us"))
+    v.join(p, Seq("day", "user_id"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_view_users"),
+        sum(when(col("last_purchase_us") > col("first_view_us"), 1L).otherwise(0L))
+          .as("n_converted"))
+      .withColumn("conv_rate", graft.ext.Num.trunc4(
+        col("n_converted").cast("double") / col("n_view_users").cast("double")))
+      .orderBy(col("day"))
+  }
+
   /** Per-type daily counts — partition-prunable shape: if `events` were
     * written partitioned by date (Sinks.parquet(partitionBy=day)), this
     * query reads only matching partitions at 100 TB.
