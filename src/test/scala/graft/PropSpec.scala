@@ -165,4 +165,46 @@ class PropSpec extends SparkSpec {
       assert(pivotTotals === groupTotals)
     }
   }
+
+  // adversarial text: words, runs of spaces (empty tokens!), leading/
+  // trailing spaces — the split-edge semantics where kernels diverge
+  // from built-ins if anything is off
+  private val textGen: Gen[String] = Gen.choose(0, 10).flatMap { n =>
+    Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "a", "", " ", "dd"))
+      .map(_.mkString(" "))
+  }
+
+  test("prop: graft_rep_counts kernel equals the array_distinct formulation on edge-case text") {
+    import graft.ext.expr.TextKernels
+    cases(Gen.listOfN(6, textGen)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val viaKernel = graft.ext.Curation.repetitionStats(docs).collect().map(_.toString).toSeq
+      val viaArrays = graft.ext.Curation.repetitionStatsExpanded(docs).collect().map(_.toString).toSeq
+      assert(viaKernel === viaArrays)
+      // and the raw counts agree with a direct reference computation
+      texts.foreach { t =>
+        val toks = t.split(" ", -1)
+        val rc = TextKernels.repCounts(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)).toLongArray()
+        assert(rc(0) === toks.length)
+        assert(rc(1) === toks.distinct.length)
+        assert(rc(2) === toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq.distinct.length)
+      }
+    }
+  }
+
+  test("prop: splitAssign covers every row exactly once with valid buckets") {
+    cases(rowsGen) { rows =>
+      val in = df(rows).withColumn("key", abs(col("k")).cast("long"))
+      val assigned = graft.ext.Curation.splitAssign(in, "key")
+      assert(assigned.count() === rows.size)
+      assert(assigned.filter(col("bucket") < 0 || col("bucket") > 99).count() === 0)
+      assert(assigned.filter(!col("split").isin("train", "valid", "test")).count() === 0)
+      // deterministic: same key always lands in the same split
+      val perKey = assigned.groupBy(col("key"))
+        .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1)
+      assert(perKey.count() === 0)
+    }
+  }
 }
