@@ -285,6 +285,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "d_repetition" -> ((s, dir) => Curation.repetitionStats(rd(s, dir, "documents"))),
+    "d_quality_gate" -> ((s, dir) => Curation.qualityGate(rd(s, dir, "documents"))),
     "d_tfidf" -> ((s, dir) => Curation.tfIdfTop(rd(s, dir, "documents"))),
     // 5-gram screen: 3-grams flag ~95% of the synthetic corpus (natural
     // vocabulary overlap), 5-grams isolate the planted near-dups
@@ -343,6 +344,7 @@ object SparkEntry {
     // ---- Extensions: multimodal plumbing ----
     "m_binary_meta" -> ((s, dir) => Multimodal.binaryMeta(rd(s, dir, "documents"))),
     "m_frame_hash" -> ((s, dir) => Multimodal.frameSample(rd(s, dir, "documents"))),
+    "m_frame_dedup" -> ((s, dir) => Multimodal.frameDedup(rd(s, dir, "documents"))),
     "m_features" -> ((s, dir) => Multimodal.featureDigest(rd(s, dir, "documents"))),
     // ---- Extensions: structured streaming ----
     "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
@@ -784,6 +786,36 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(red, '${Curation.emailRe}|${Curation.ipv4Re}')) AS BIGINT) AS n_left,
   md5(red) AS redacted_md5
 FROM r ORDER BY doc_id""",
+    "d_quality_gate" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+  ${hitsSql(enStop)} AS en_hits, ${hitsSql(esStop)} AS es_hits,
+  ${hitsSql(deStop)} AS de_hits, ${hitsSql(frStop)} AS fr_hits
+FROM documents),
+l AS (SELECT doc_id, lang,
+  CASE WHEN en_hits IS NULL THEN 'unknown'
+       WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'unknown'
+       WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+       WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+       WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM h),
+q AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  ${hitsSql(enStop)} AS stop_hits
+FROM documents),
+qs AS (SELECT doc_id,
+  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7
+        + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3) * 10000) / 10000.0 AS quality
+FROM q),
+r AS (SELECT doc_id,
+  floor((1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' '))) * 10000) / 10000.0 AS word_rep
+FROM documents)
+SELECT l.doc_id, l.lang, l.lang_pred, qs.quality, r.word_rep,
+  CAST(CASE WHEN l.lang_pred = l.lang AND qs.quality >= 0.3 AND r.word_rep <= 0.6
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM l JOIN qs ON l.doc_id = qs.doc_id JOIN r ON l.doc_id = r.doc_id
+ORDER BY l.doc_id""",
     "d_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 b AS (SELECT doc_id, t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg FROM w)
@@ -881,6 +913,13 @@ FROM documents ORDER BY doc_id""",
 FROM documents, (SELECT unnest(range(4)) AS i)
 WHERE length(text) >= i * 32 + 1
 ORDER BY doc_id, frame_idx""",
+    "m_frame_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
+  FROM documents, (SELECT unnest(range(4)) AS i)
+  WHERE length(text) >= i * 32 + 1)
+SELECT frame_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  MIN(doc_id) AS first_doc
+FROM f GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY frame_md5""",
     "st_events_hourly" -> eventsHourlyOracle,
     // Append-mode watermarked stream: emitted windows are exactly those
     // whose end the final watermark (max ts - 2h) has passed.

@@ -164,6 +164,30 @@ object Curation {
     * join broadcast at runtime; it is not forced, since eval-set size
     * is caller data.
     */
+  /** End-to-end curation GATE: the keep/drop decision a training-data
+    * pipeline actually ships — language-ID must confirm the document's
+    * tag, composite quality must clear `minQuality`, word repetition
+    * must stay under `maxWordRep`. Signals compose relationally on
+    * doc_id: each is a per-row projection over the same scan, the
+    * joins are co-partitioned after the first shuffle, and every
+    * signal stays independently testable/oracle-checked (at extreme
+    * scale you would fuse the projections into one pass; the join
+    * formulation is what keeps the components reusable).
+    */
+  def qualityGate(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      maxWordRep: Double = 0.6): DataFrame = {
+    val lang = TextOps.langId(docs).select(col("doc_id"), col("lang"), col("lang_pred"))
+    val qual = TextOps.qualityScore(docs).select(col("doc_id"), col("quality"))
+    val rep = repetitionStats(docs).select(col("doc_id"), col("word_rep"))
+    lang.join(qual, "doc_id").join(rep, "doc_id")
+      .withColumn("keep",
+        (col("lang_pred") === col("lang") &&
+          col("quality") >= minQuality && col("word_rep") <= maxWordRep).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   def contaminationScreen(
       corpus: DataFrame,
       evalSet: DataFrame,

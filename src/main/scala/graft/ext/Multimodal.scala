@@ -91,4 +91,17 @@ object Multimodal {
         md5(concat_ws(",", col("features").cast("array<string>"))).as("features_md5"),
         expr("array_position(features, array_max(features))").cast("bigint").as("argmax_bin"))
       .orderBy(col("doc_id"))
+
+  /** Cross-document FRAME dedup: fingerprints occurring in more than
+    * one (doc, frame) slot — the video/image dedup shape (near-identical
+    * media share frames even when containers differ). GroupBy on the
+    * 16-byte digest: the shuffle never carries payload bytes, exactly
+    * like text exact-dedup ([[graft.ext.Dedup.exactDedup]]).
+    */
+  def frameDedup(docs: DataFrame, frameChars: Int = 32, maxFrames: Int = 4): DataFrame =
+    frameSample(docs, frameChars, maxFrames)
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("frame_md5"))
 }

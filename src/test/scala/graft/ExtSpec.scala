@@ -623,6 +623,27 @@ class ExtSpec extends SparkSpec {
     assert(top1 === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
   }
 
+  test("curation: quality gate thresholds behave monotonically") {
+    val docs = t("documents")
+    val strict = Curation.qualityGate(docs, minQuality = 0.3, maxWordRep = 0.6)
+    val lax = Curation.qualityGate(docs, minQuality = 0.0, maxWordRep = 1.0)
+    val nStrict = strict.filter(col("keep") === 1).count()
+    val nLax = lax.filter(col("keep") === 1).count()
+    assert(nStrict > 0 && nStrict < docs.count())
+    assert(nLax >= nStrict)
+    // with thresholds fully open, keep == (language prediction confirms tag)
+    val mismatchKept = lax.filter(col("keep") === 1 && col("lang_pred") =!= col("lang")).count()
+    assert(mismatchKept === 0)
+    // zh-tagged docs can never pass (predictor covers en/es/de/fr only)
+    assert(lax.filter(col("lang") === "zh" && col("keep") === 1).count() === 0)
+  }
+
+  test("multimodal: frame dedup finds shared frames across planted dup docs") {
+    val dups = Multimodal.frameDedup(t("documents")).collect()
+    assert(dups.nonEmpty) // planted near-dup docs share identical 32-char frames
+    assert(dups.forall(_.getLong(1) > 1))
+  }
+
   test("curation: contamination screen flags n-gram overlap with the eval set only") {
     import spark.implicits._
     val evalSet = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
