@@ -239,6 +239,16 @@ object SparkEntry {
         .foreach(t => rd(s, dir, t).createOrReplaceTempView(t))
       s.sql(segmentRevenueSql)
     }),
+    // GROUPING SETS: the irregular-combination member of the grouping
+    // family (rollup/cube are its prefix/powerset special cases). One
+    // ANSI text runs on both engines — grouping-set expansion happens
+    // BEFORE the shuffle (one partial-first aggregate pass over the
+    // expanded rows, like rollup/cube).
+    "q_grouping_sets" -> ((s, dir) => {
+      Seq("customer", "nation")
+        .foreach(t => rd(s, dir, t).createOrReplaceTempView(t))
+      s.sql(groupingSetsSql)
+    }),
     // ---- Extensions: events / temporal ----
     "q_events_hourly" -> ((s, dir) => Events.hourlyByType(rd(s, dir, "events"))),
     "q_events_sliding" -> ((s, dir) => Events.slidingHourlyByType(rd(s, dir, "events"))),
@@ -302,6 +312,18 @@ object SparkEntry {
     "d_simhash64" -> ((s, dir) => Dedup.simhash64(rd(s, dir, "documents"))),
     // ---- Extensions: similarity search ----
     "e_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), 0L, 10)),
+    // retrieval round-trip: ANN hits -> document metadata (vec_id and
+    // doc_id are aligned in the fixtures); the top-k side is 10 rows, so
+    // the metadata fetch is a broadcast join against it
+    "e_semantic_fetch" -> ((s, dir) => {
+      val top = Similarity.bruteForceTopK(rd(s, dir, "embeddings"), 0L, 10)
+      val meta = rd(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("vec_id"), col("lang"),
+          col("n_chars").cast("bigint").as("n_chars"))
+      top.join(meta, "vec_id")
+        .select(col("vec_id"), col("cos_sim"), col("lang"), col("n_chars"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }),
     "e_ann_lsh" -> ((s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 0L, 10)),
     "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
     // materialized IVF: one-time partitioned layout, partition-pruned probe
@@ -417,6 +439,15 @@ FROM reach GROUP BY a ORDER BY doc_id"""
   private val cosSql =
     "list_dot_product(%A%, %B%) / (sqrt(list_dot_product(%A%, %A%)) * sqrt(list_dot_product(%B%, %B%)))"
   private def cos(a: String, b: String) = cosSql.replace("%A%", a).replace("%B%", b)
+
+  /** GROUPING SETS aggregate — one ANSI text, two engines (count-only:
+    * no decimal-sum divergence to manage).
+    */
+  private val groupingSetsSql =
+    """SELECT c_mktsegment, n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST"""
 
   /** TPC-H-Q3-shaped revenue query — one SQL text, two engines. */
   private val segmentRevenueSql =
@@ -640,6 +671,7 @@ FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_orderkey""",
+    "q_grouping_sets" -> groupingSetsSql,
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
@@ -878,6 +910,14 @@ FROM q ORDER BY vec_id""",
 SELECT vec_id, floor((${cos("embedding::DOUBLE[]", "qv")}) * 10000) / 10000.0 AS cos_sim
 FROM embeddings, q WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "e_semantic_fetch" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+top AS (SELECT vec_id, floor((${cos("embedding::DOUBLE[]", "qv")}) * 10000) / 10000.0 AS cos_sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10)
+SELECT top.vec_id, top.cos_sim, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM top JOIN documents d ON d.doc_id = top.vec_id
+ORDER BY top.cos_sim DESC, top.vec_id""",
     "e_knn_join" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)
