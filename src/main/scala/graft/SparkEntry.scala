@@ -162,6 +162,20 @@ object SparkEntry {
       Sinks.orc(rd(s, dir, "nation"), tmp)
       Sources.orc(s, tmp).orderBy(col("n_nationkey"))
     }),
+    // schema drift: batch 1 lacks n_regionkey, batch 2 carries it;
+    // mergeSchema surfaces nulls for the early rows
+    "k9_schema_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+      val nation = rd(s, dir, "nation")
+      nation.filter(col("n_nationkey") < 13)
+        .select(col("n_nationkey"), col("n_name"))
+        .write.parquet(s"$tmp/b1")
+      nation.filter(col("n_nationkey") >= 13)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.parquet(s"$tmp/b2")
+      Sources.parquetMerged(s, s"$tmp/b1", s"$tmp/b2")
+        .orderBy(col("n_nationkey"))
+    }),
     // JSON re-infers types on read (ints widen to long) -> explicit casts
     "k8_json_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/nation"
@@ -529,6 +543,10 @@ FROM orders ORDER BY o_orderkey""",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k5_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k9_schema_merge" ->
+      """SELECT n_nationkey, n_name,
+  CASE WHEN n_nationkey >= 13 THEN n_regionkey ELSE NULL END AS n_regionkey
+FROM nation ORDER BY n_nationkey""",
     "k8_json_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
   CAST(n_regionkey AS BIGINT) AS n_regionkey

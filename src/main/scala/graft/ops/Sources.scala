@@ -47,6 +47,16 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet scan with schema MERGING across files — the ingestion
+    * schema-drift case: later batches add columns, rows from earlier
+    * files surface nulls there. mergeSchema unions all file footers at
+    * planning time; at very large file counts pin an explicit schema
+    * (or use a table format) instead — the footer merge reads every
+    * file's metadata.
+    */
+  def parquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** JSON-lines scan — not in the reference UI but `props` JSON columns
     * in the fixtures motivate it (FIXTURES.md).
     */
