@@ -547,6 +547,36 @@ class ExtSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("streaming: multi-micro-batch run (maxFilesPerTrigger=1) equals batch aggregate") {
+    // the fixture is one file => every declared stream drains in a single
+    // micro-batch; this test splits events into 4 files and throttles to
+    // one file per trigger, so state genuinely accumulates ACROSS batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-multibatch").toString
+    val events = Events.normalizeTs(Tables.read(spark, sf(), "events"))
+    events.repartition(4).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("graft_multibatch").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 non-empty micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    val streamed = spark.table("graft_multibatch")
+      .select(unix_timestamp(col("w.start")).as("h"), col("event_type"), col("n"))
+      .orderBy(col("h"), col("event_type")).collect().map(_.toString).toSeq
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("h"), col("event_type"), col("n"))
+      .orderBy(col("h"), col("event_type")).collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
+
   test("curation: split assignment is complete, disjoint, reproducible, ~respects percentages") {
     val docs = t("documents")
     val s1 = Curation.splitAssign(docs, "doc_id")
