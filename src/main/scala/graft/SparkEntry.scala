@@ -162,6 +162,20 @@ object SparkEntry {
       Sinks.orc(rd(s, dir, "nation"), tmp)
       Sources.orc(s, tmp).orderBy(col("n_nationkey"))
     }),
+    // z-order layout: write events clustered by the (user_id, day)
+    // interleave key, read the laid-out table back, emit the z-keys —
+    // row groups are then tight in BOTH dimensions for min/max skipping
+    "k10_zorder" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/events_z"
+      val ev = Events.normalizeTs(rd(s, dir, "events"))
+        .select(col("event_id"), col("user_id"),
+          datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("bigint").as("day_num"))
+      val laid = Sinks.zorderedParquet(ev, "user_id", "day_num", tmp)
+      laid.select(col("event_id"), col("user_id"), col("day_num"),
+        Sinks.zOrderKey(col("user_id"), col("day_num")).as("zkey"))
+        .orderBy(col("zkey"), col("event_id"))
+    }),
     // schema drift: batch 1 lacks n_regionkey, batch 2 carries it;
     // mergeSchema surfaces nulls for the early rows
     "k9_schema_merge" -> ((s, dir) => {
@@ -543,6 +557,12 @@ FROM orders ORDER BY o_orderkey""",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k5_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k10_zorder" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num FROM events)
+SELECT event_id, user_id, day_num,
+  ${Sinks.zOrderKeySql("user_id", "day_num")} AS zkey
+FROM e ORDER BY zkey, event_id""",
     "k9_schema_merge" ->
       """SELECT n_nationkey, n_name,
   CASE WHEN n_nationkey >= 13 THEN n_regionkey ELSE NULL END AS n_regionkey

@@ -27,6 +27,53 @@ object Sinks {
     df
   }
 
+  /** Z-ORDER interleave key for two non-negative integer dimensions
+    * (16 bits each): bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Rows close in BOTH dimensions get close z-values, so sorting
+    * by z-key clusters multi-dimensional locality into the same parquet
+    * row groups — min/max stats then prune scans filtered on EITHER
+    * dimension, where a plain sort only serves its leading column.
+    * Built-ins only (shift/and/or are codegen'd and the identical
+    * expression runs on any engine for the oracle).
+    */
+  def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The same z-key as ANSI SQL text (for the DuckDB oracle): generated
+    * from the identical bit positions, so both engines compute the same
+    * integers.
+    */
+  def zOrderKeySql(a: String, b: String): String =
+    (0 until 16).map { i =>
+      s"(((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
+
+  /** Z-ordered parquet layout: range-partition + sort by the interleave
+    * key of two dimensions, then write. One-time layout cost; afterwards
+    * every row group's min/max stats are tight in BOTH dimensions, so
+    * selective filters on either column skip most of the file — the
+    * standard lakehouse OPTIMIZE ZORDER shape.
+    */
+  def zorderedParquet(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      path: String,
+      numFiles: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zOrderKey(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** JSON-lines write — interchange sink counterpart of
     * [[Sources.json]]: one JSON object per line, distributed writer
     * (one file per partition). Schema is carried in the data, so a

@@ -442,6 +442,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("K10 z-order: interleave key is exact and the layout clusters both dimensions") {
+    import spark.implicits._
+    // hand-checked interleave: a-bits at even positions, b-bits at odd
+    val z = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Sinks.zOrderKey(col("a"), col("b")).as("z")).as[Long].collect()
+    assert(z.toSeq === Seq(0L, 1L, 2L, 39L, 4294967295L))
+    // bijective on the 16-bit domain sample: distinct pairs <-> distinct keys
+    val pairs = Seq.tabulate(200)(i => ((i * 7 % 100).toLong, (i * 13 % 100).toLong)).distinct
+    val keys = pairs.toDF("a", "b").select(Sinks.zOrderKey(col("a"), col("b"))).distinct().count()
+    assert(keys === pairs.size)
+    // layout: after z-ordering, each output file covers a narrow slice of
+    // BOTH dimensions (sum of per-file ranges ~ total range, not files x range)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
+    val df = Seq.tabulate(4096)(i => (i.toLong % 64, (i / 64).toLong)).toDF("x", "y")
+    Sinks.zorderedParquet(df, "x", "y", dir, numFiles = 8)
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg((max(col("x")) - min(col("x"))).as("xr"), (max(col("y")) - min(col("y"))).as("yr"))
+      .collect()
+    assert(perFile.length > 1)
+    val meanXr = perFile.map(_.getLong(1)).sum.toDouble / perFile.length
+    val meanYr = perFile.map(_.getLong(2)).sum.toDouble / perFile.length
+    // full range is 63 in each dim; z-clustered files must be far tighter
+    // in both dims simultaneously (a plain sort on x would give yr ~ 63)
+    assert(meanXr < 48 && meanYr < 48, s"z-order not clustering: xr=$meanXr yr=$meanYr")
+  }
+
   test("Pipeline composes stages lazily and binds results into the catalog") {
     val cat = new Catalog(spark)
     cat.register("sales", sales)
