@@ -211,6 +211,34 @@ class ExtSpec extends SparkSpec {
       s"simhash64 should stay columnar, plan:\n${p64.take(800)}")
   }
 
+  test("KernelRewriteRule: HOF stopword count rewrites to graft_word_hits, same results") {
+    import spark.implicits._
+    val words = Seq("the", "a", "of", "and", "to", "in", "is")
+    val hof = t("documents").select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => w.isInCollection(words))).as("n"))
+    // the optimizer (injected via GraftExtensions) must swap the
+    // interpreted lambda for the compiled kernel
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_word_hits"),
+      s"rewrite did not fire:\n${optimized.take(600)}")
+    assert(!optimized.contains("array_filter") && !optimized.contains("ArrayFilter"),
+      s"HOF survived the rewrite:\n${optimized.take(600)}")
+    // counts match a direct per-row reference computation
+    val got = hof.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ref = t("documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, tx) =>
+        id -> tx.split(" ", -1).count(words.contains(_))
+      }.toMap
+    assert(got === ref)
+    // this session runs ANSI off => size() has LEGACY null semantics
+    // (null array -> -1); the rewrite must preserve that exactly
+    val withNull = Seq((1L, "the cat"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = withNull.select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => w.isInCollection(words))).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r === Map(1L -> 1, 2L -> -1))
+  }
+
   test("clusterPairs: components labelled by min id, transitivity respected") {
     import spark.implicits._
     // components: {1,2,3} via 1-2, 2-3 (transitive); {10,11}; 20 untouched
