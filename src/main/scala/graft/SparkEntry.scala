@@ -333,6 +333,9 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), n = 5)
     }),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(rd(s, dir, "documents"))),
+    // windows of 30 tokens re-occurring from earlier docs (the planted
+    // near-dups share long exact spans; unrelated docs share none)
+    "d_substring_dup" -> ((s, dir) => Dedup.substringDup(rd(s, dir, "documents"))),
     "d_minhash_lsh" -> ((s, dir) => Dedup.minhashDedup(rd(s, dir, "documents"))),
     "d_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(rd(s, dir, "documents"))),
     "d_simhash_neardup" -> ((s, dir) => Dedup.simhashNearDup(rd(s, dir, "documents"))),
@@ -903,6 +906,16 @@ SELECT doc_id, term, tf, df, floor(CAST(tf AS DOUBLE) / df * 10000) / 10000.0 AS
 FROM tf JOIN dfq USING (term)
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, term) <= 3
 ORDER BY doc_id, score DESC, term""",
+    "d_substring_dup" -> {
+      val terms = (0 until 30).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 28)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, $terms AS s FROM pos),
+fs AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM sh JOIN fs USING (s) WHERE sh.doc_id > fs.first_doc
+GROUP BY 1 ORDER BY 1"""
+    },
     "d_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM t),
