@@ -324,6 +324,30 @@ object SparkEntry {
     }),
     "d_repetition" -> ((s, dir) => Curation.repetitionStats(rd(s, dir, "documents"))),
     "d_quality_gate" -> ((s, dir) => Curation.qualityGate(rd(s, dir, "documents"))),
+    // the CAPSTONE curation decision: quality gate AND not a non-canonical
+    // near-dup AND not benchmark-contaminated — the keep-list a training
+    // pipeline actually materializes, composed from the three
+    // independently-oracle-checked sub-pipelines
+    "d_curate_final" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val gate = Curation.qualityGate(docs).select(col("doc_id"), col("keep").as("gate_keep"))
+      val dups = Dedup.nearDupClusters(docs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(1).as("d"))
+      val contam = Curation.contaminationScreen(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), n = 5)
+        .select(col("doc_id"), lit(1).as("c"))
+      docs.select(col("doc_id"))
+        .join(gate, "doc_id")
+        .join(dups, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gate_keep"),
+          coalesce(col("d"), lit(0)).cast("int").as("is_dup"),
+          coalesce(col("c"), lit(0)).cast("int").as("is_contaminated"),
+          (col("gate_keep") === 1 && col("d").isNull && col("c").isNull)
+            .cast("int").as("kept"))
+        .orderBy(col("doc_id"))
+    }),
     "d_tfidf" -> ((s, dir) => Curation.tfIdfTop(rd(s, dir, "documents"))),
     // 5-gram screen: 3-grams flag ~95% of the synthetic corpus (natural
     // vocabulary overlap), 5-grams isolate the planted near-dups
@@ -906,6 +930,61 @@ SELECT doc_id, term, tf, df, floor(CAST(tf AS DOUBLE) / df * 10000) / 10000.0 AS
 FROM tf JOIN dfq USING (term)
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, term) <= 3
 ORDER BY doc_id, score DESC, term""",
+    "d_curate_final" ->
+      s"""WITH RECURSIVE h AS (SELECT doc_id, lang,
+  ${hitsSql(enStop)} AS en_hits, ${hitsSql(esStop)} AS es_hits,
+  ${hitsSql(deStop)} AS de_hits, ${hitsSql(frStop)} AS fr_hits
+FROM documents),
+l AS (SELECT doc_id, lang,
+  CASE WHEN en_hits IS NULL THEN 'unknown'
+       WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'unknown'
+       WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+       WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+       WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM h),
+qx AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  ${hitsSql(enStop)} AS stop_hits
+FROM documents),
+qs AS (SELECT doc_id,
+  floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7
+        + (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3) * 10000) / 10000.0 AS quality
+FROM qx),
+rx AS (SELECT doc_id,
+  floor((1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' '))) * 10000) / 10000.0 AS word_rep
+FROM documents),
+gate AS (SELECT l.doc_id,
+  CASE WHEN l.lang_pred = l.lang AND qs.quality >= 0.3 AND rx.word_rep <= 0.6
+       THEN 1 ELSE 0 END AS gate_keep
+FROM l JOIN qs ON l.doc_id = qs.doc_id JOIN rx ON l.doc_id = rx.doc_id),
+$shingleCtes,
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+          WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= 0.9),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r2.a, e2.v FROM reach r2 JOIN edges e2 ON r2.b = e2.u),
+clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+dup AS (SELECT doc_id FROM clus WHERE doc_id <> cluster_id),
+c5 AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM t),
+sh5 AS (SELECT DISTINCT doc_id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s5
+        FROM c5),
+ev AS (SELECT DISTINCT s5 FROM sh5 WHERE doc_id < 50),
+contam AS (SELECT DISTINCT sh5.doc_id FROM sh5 JOIN ev USING (s5) WHERE sh5.doc_id >= 50)
+SELECT d.doc_id, CAST(g.gate_keep AS INT) AS gate_keep,
+  CAST(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+  CAST(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_contaminated,
+  CAST(CASE WHEN g.gate_keep = 1 AND dup.doc_id IS NULL AND ct.doc_id IS NULL
+       THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents d
+JOIN gate g ON g.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id
+LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+ORDER BY d.doc_id""",
     "d_substring_dup" -> {
       val terms = (0 until 30).map(j => s"w[i+$j]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
