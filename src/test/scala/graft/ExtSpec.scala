@@ -276,6 +276,21 @@ class ExtSpec extends SparkSpec {
     assert(viaStar === viaProp)
   }
 
+  test("substringDup: counts exactly the windows shared with EARLIER docs") {
+    import spark.implicits._
+    // a 35-token span has 35-30+1 = 6 distinct 30-token windows; doc 2
+    // embeds the same span behind a different prefix, so exactly those 6
+    // windows re-occur; doc 3 shares nothing
+    val span = (1 to 35).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, span + " tail1 tail2"),
+      (2L, "prefix " + span),
+      (3L, Seq.fill(40)("zzz").zipWithIndex.map { case (w, i) => s"$w$i" }.mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDup(df, n = 30).collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq === Seq((2L, 6L)))
+  }
+
   test("simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val df = Seq(
