@@ -863,11 +863,14 @@ WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
       (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.1 END) * 4294967296
 ORDER BY doc_id""",
     "d_split_assign" ->
-      """SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 100 AS bucket,
-  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90 THEN 'train'
-       WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 95 THEN 'valid'
+      """WITH b AS (SELECT doc_id,
+  ((((doc_id % 2147483648) * 2654435761) % 4294967296) * 100) >> 32 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'valid'
        ELSE 'test' END AS split
-FROM documents ORDER BY doc_id""",
+FROM b ORDER BY doc_id""",
     "d_pii_redact" ->
       s"""WITH p AS (SELECT doc_id,
   text || ' contact user' || doc_id || '@example.com or +1-555-123-4567 at 192.168.' || (doc_id % 256) || '.1' AS t

@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Deterministic train/valid/test split: bucket = Knuth multiplicative
-    * hash of the row key mod 100, split by percentile thresholds. Same
+    * hash of the row key, split by percentile thresholds. Same
     * contract as [[graft.ops.Cleaning.stratifiedSample]] (reproducible
     * across runs/cluster layouts/appends, non-negative keys, pure
     * map-side filter — no shuffle, no RNG state). A row's assignment
     * NEVER changes as the corpus grows, which is what keeps eval sets
     * stable across dataset versions.
+    *
+    * The bucket comes from the HIGH bits of the 32-bit product,
+    * `bucket = (((k mod 2^31) * 2654435761) mod 2^32) * 100 div 2^32`:
+    * taking the product mod 100 directly would make the bucket a fixed
+    * permutation of the key's last two decimal digits (since
+    * `(k*c) mod 100` depends only on `k mod 100`) — keys that are all
+    * multiples of 100 would land in ONE bucket. The low bits of a
+    * multiplicative hash carry no mixing; the high bits do (Knuth,
+    * TAOCP vol 3 §6.4). All ops are exact 64-bit integer arithmetic,
+    * identical in Spark and DuckDB.
     */
   def splitAssign(
       df: DataFrame,
@@ -31,8 +41,12 @@ object Curation {
       validPct: Int = 5): DataFrame = {
     require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
       s"invalid split percentages train=$trainPct valid=$validPct")
-    val bucket = pmod(
-      pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L), lit(100L))
+    val prod = pmod(
+      pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    // (prod*100) < 2^39 and non-negative, so `>> 32` IS `div 2^32`,
+    // exactly, in 64-bit integers — in both engines
+    val bucket = shiftright(prod * lit(100L), 32)
     df.withColumn("bucket", bucket)
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
@@ -144,26 +158,6 @@ object Curation {
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 
-  /** Benchmark-contamination screen: for every corpus document, the
-    * number of distinct word-3-grams it shares with an eval/benchmark
-    * set — the standard n-gram-overlap decontamination check run before
-    * training. Returns only contaminated docs (n_shared > 0).
-    *
-    * Shingling runs through [[Dedup.shingleHashes]] — the same
-    * mapPartitions kernel the Jaccard/MinHash pipelines use: per-doc
-    * DISTINCT 8-byte FNV hashes straight off the tokens, so the
-    * explode-equivalent, the shuffle, and the join all carry longs,
-    * never n-word strings (a higher-order `transform` building shingle
-    * strings per row measured ~10x slower — HOFs evaluate interpreted,
-    * outside codegen). Counts equal the string-join formulation unless
-    * two DIFFERENT shingles collide in the same 64-bit bucket across
-    * the corpus x eval sets — odds ~ |corpus| x |eval| / 2^64,
-    * negligible even at 100 TB (and the oracle gate, which joins
-    * strings, would catch it). The eval side is DISTINCT'd before the
-    * join and is typically tiny (a benchmark suite), so AQE turns the
-    * join broadcast at runtime; it is not forced, since eval-set size
-    * is caller data.
-    */
   /** End-to-end curation GATE: the keep/drop decision a training-data
     * pipeline actually ships — language-ID must confirm the document's
     * tag, composite quality must clear `minQuality`, word repetition
@@ -188,6 +182,29 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark-contamination screen: for every corpus document, the
+    * number of distinct word-n-grams (default n = 8, the usual
+    * decontamination shingle size; the declared query uses n = 5 to
+    * match the fixture's planted spans) it shares with an
+    * eval/benchmark set — the standard n-gram-overlap decontamination
+    * check run before training. Returns only contaminated docs
+    * (n_shared > 0).
+    *
+    * Shingling runs through [[Dedup.shingleHashes]] — the same
+    * mapPartitions kernel the Jaccard/MinHash pipelines use: per-doc
+    * DISTINCT 8-byte FNV hashes straight off the tokens, so the
+    * explode-equivalent, the shuffle, and the join all carry longs,
+    * never n-word strings (a higher-order `transform` building shingle
+    * strings per row measured ~10x slower — HOFs evaluate interpreted,
+    * outside codegen). Counts equal the string-join formulation unless
+    * two DIFFERENT shingles collide in the same 64-bit bucket across
+    * the corpus x eval sets — odds ~ |corpus| x |eval| / 2^64,
+    * negligible even at 100 TB (and the oracle gate, which joins
+    * strings, would catch it). The eval side is DISTINCT'd before the
+    * join and is typically tiny (a benchmark suite), so AQE turns the
+    * join broadcast at runtime; it is not forced, since eval-set size
+    * is caller data.
+    */
   def contaminationScreen(
       corpus: DataFrame,
       evalSet: DataFrame,

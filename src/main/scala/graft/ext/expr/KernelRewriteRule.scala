@@ -60,9 +60,16 @@ object KernelRewriteRule extends Rule[LogicalPlan] {
 
   /** Bare membership test of the lambda variable against constant
     * strings: `v IN (lit...)` / post-OptimizeIn `InSet(v, set)`.
+    *
+    * Rejects sets containing "" — `size(filter(split(text,' ',-1),...))`
+    * counts trailing empty tokens, but the kernel tokenizes with
+    * `String.split(' ')` which DROPS trailing empties, so the rewrite
+    * would change results on text with trailing spaces. With every
+    * constant non-empty, empty tokens provably can't match and the two
+    * formulations agree.
     */
   private def constantWords(cond: Expression, v: NamedLambdaVariable): Option[Seq[String]] =
-    cond match {
+    (cond match {
       case In(value: NamedLambdaVariable, list)
           if value.exprId == v.exprId &&
             list.forall(l => l.isInstanceOf[Literal] && l.dataType == StringType &&
@@ -73,5 +80,5 @@ object KernelRewriteRule extends Rule[LogicalPlan] {
             !hset.contains(null) =>
         Some(hset.toSeq.map(_.asInstanceOf[UTF8String].toString))
       case _ => None
-    }
+    }).filter(_.forall(_.nonEmpty))
 }

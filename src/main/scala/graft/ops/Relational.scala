@@ -164,7 +164,22 @@ object Relational {
             (col("__has_match") === 0 && col("__lbin") === col("__min_bin")))
           .drop("__has_match", "__min_bin")
       }
-    filtered.drop(keys.map(k => s"__rk_$k") ++ Seq("__lbin", "__rbin", "__lus", "__rus"): _*)
+    val result = filtered
+      .drop(keys.map(k => s"__rk_$k") ++ Seq("__lbin", "__rbin", "__lus", "__rus"): _*)
+    if (how == "inner") result
+    else {
+      // a null-ts left row never enters the bin explode
+      // (explode(sequence(null,null)) emits zero rows), so it would be
+      // silently dropped, contradicting the left-join contract. Route
+      // those rows around the join: they match nothing by definition
+      // (the range check cannot pass on a null timestamp), so each
+      // keeps exactly one null-extended row.
+      val rightOut = right.schema.fields.filterNot(f => keys.contains(f.name))
+      val nullTs = left.filter(col(leftTs).isNull)
+        .select(left.columns.map(col) ++
+          rightOut.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      result.unionByName(nullTs)
+    }
   }
 
   /** Salted equi-join for skewed keys: the big (left) side is split into
