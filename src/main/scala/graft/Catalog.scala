@@ -53,6 +53,35 @@ final class Catalog(val spark: SparkSession) {
 }
 
 /** Fixture-table reader helpers (TESTDATA.md / FIXTURES.md §2). */
+/** Scratch-space selection for graft-owned sessions (Bench/Verify/tests):
+  * prefer a RAM-backed tmpfs for everything ephemeral — shuffle/spill
+  * files (`spark.local.dir`), streaming checkpoints, and the temp dirs
+  * the sink-roundtrip queries write through (`java.io.tmpdir`). On this
+  * harness `/tmp` is ext4: leaving scratch there charges every shuffle
+  * write and every micro-batch commit a real-disk fsync that a
+  * single-process in-memory engine (the DuckDB oracle) never pays. On a
+  * real cluster the analogue is pointing `spark.local.dir` at fast
+  * local NVMe — standard deployment practice, not a semantics change.
+  */
+object Scratch {
+  /** Pick the scratch base and retarget `java.io.tmpdir` at it (the
+    * property is read at every `Files.createTempDirectory` call, so
+    * setting it at main start covers all later temp allocations).
+    * Falls back to the existing tmpdir when /dev/shm is unavailable.
+    */
+  def dir(): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, "graft-scratch")
+        d.mkdirs()
+        d.getAbsolutePath
+      } else System.getProperty("java.io.tmpdir")
+    System.setProperty("java.io.tmpdir", base)
+    base
+  }
+}
+
 object Tables {
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -66,5 +95,36 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Widen a NARROW input for per-row compute-bound kernels (regex
+    * redaction, shingling, signature kernels): a scan whose split count
+    * is below the executor-core count serializes CPU-bound work — the
+    * fixture parquet is a single row group, so without this every text
+    * kernel runs on ONE core while 31 idle. At cluster scale the scan
+    * already yields >= cores splits and this is a NO-OP (no shuffle
+    * inserted); the repartition only fires for narrow inputs, where the
+    * one-time shuffle of the (small, by construction) data is repaid
+    * ~cores-fold by the kernel.
+    *
+    * Plan-time decision, like AQE's coalescing but in the opposite
+    * direction. Plans that already contain an exchange are returned
+    * untouched, twice over: (a) downstream of a shuffle the width is
+    * the session's shuffle-partition count — already wide; (b) probing
+    * such a plan with `.rdd` would make AQE materialize its shuffle
+    * stages AT PLAN TIME, i.e. run the upstream pipeline once for the
+    * probe and again for the real execution (measured: +0.5s on the
+    * MinHash verify path, whose input is a semi-join). Exchange-free
+    * plans skip AQE entirely, so their `.rdd.getNumPartitions` builds
+    * the RDD lazily and runs no job.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

@@ -312,7 +312,9 @@ object SparkEntry {
       val pii = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com or +1-555-123-4567 at 192.168."),
         pmod(col("doc_id"), lit(256L)).cast("string"), lit(".1"))
-      rd(s, dir, "documents").select(
+      // spread: 3 regexp_replace passes + 2 regexp_extract_all + md5
+      // per row — the most regex-heavy projection in the suite
+      Tables.spread(rd(s, dir, "documents")).select(
         col("doc_id"),
         size(regexp_extract_all(pii, lit(Curation.emailRe), lit(0)))
           .cast("bigint").as("n_emails"),

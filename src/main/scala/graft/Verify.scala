@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val tmpBase = Scratch.dir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", s"$tmpBase/spark-local")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // ANSI off: null-on-bad-cast semantics, matching the reference's

@@ -93,7 +93,7 @@ object Curation {
     import Num.trunc4
     graft.ext.expr.RepCountsExpr.ensureRegistered(docs.sparkSession)
     val rc = call_function(graft.ext.expr.RepCountsExpr.name, col("text"))
-    docs.select(col("doc_id"), rc.as("rc"))
+    graft.Tables.spread(docs).select(col("doc_id"), rc.as("rc"))
       .select(
         col("doc_id"),
         element_at(col("rc"), 1).as("n_tokens"),
@@ -142,7 +142,7 @@ object Curation {
     * broadcast; AQE broadcasts when small) -> per-doc window top-k.
     */
   def tfIdfTop(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = docs
+    val tf = graft.Tables.spread(docs)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

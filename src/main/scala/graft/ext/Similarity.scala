@@ -97,7 +97,10 @@ object Similarity {
     val bucketCols = tables.zipWithIndex.map { case (planes, t) =>
       lshBucket(col("embedding"), planes).as(s"bkt$t")
     }
-    val withBuckets = embeddings.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+    // spread: numTables*numPlanes dim-length dots per row to compute
+    // the bucket signatures (see Tables.spread; no-op on wide scans)
+    val withBuckets =
+      graft.Tables.spread(embeddings).select(col("vec_id") +: col("embedding") +: bucketCols: _*)
     val q = broadcast(
       withBuckets.filter(col("vec_id") === queryVecId)
         .select(col("embedding").as("q_emb") +:
@@ -267,8 +270,10 @@ object Similarity {
       iters: Int): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val ds = embeddings
-      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    // spread: normalize + nearest-centroid is numCentroids*dim mults
+    // per row per Lloyd round (see Tables.spread; no-op on wide scans)
+    val ds = graft.Tables.spread(embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>")))
       .as[(Long, Array[Double])]
     var centroids: Array[Array[Double]] = ds
       .select(xxhash64(col("vec_id")).as("h"), col("embedding"))
@@ -303,8 +308,8 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val ds = embeddings
-      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+    val ds = graft.Tables.spread(embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>")))
       .as[(Long, Array[Double])]
     val centroids = trainCentroids(embeddings, numCentroids, iters)
 

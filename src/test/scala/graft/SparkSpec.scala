@@ -15,9 +15,11 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    val tmpBase = Scratch.dir()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .config("spark.local.dir", s"$tmpBase/spark-local")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
