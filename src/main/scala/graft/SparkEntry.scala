@@ -282,6 +282,20 @@ object SparkEntry {
     "q_events_sliding" -> ((s, dir) => Events.slidingHourlyByType(rd(s, dir, "events"))),
     "q_events_json" -> ((s, dir) => Events.propsKStats(rd(s, dir, "events"))),
     "q_events_sessions" -> ((s, dir) => Events.sessionCounts(rd(s, dir, "events"))),
+    "q_tpch_q3" -> ((s, dir) =>
+      Aggregates.shippingPriority(
+        rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
+    // sha256-pseudonymized per-user daily activity: the anonymized
+    // engagement table a privacy-preserving pipeline exports
+    "d_anonymize" -> ((s, dir) => {
+      val ev = Events.normalizeTs(rd(s, dir, "events"))
+      Curation.pseudonymize(ev, "user_id", "graft-pepper")
+        .groupBy(col("user_id").as("user_pseud"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .orderBy(col("user_pseud"), col("day"))
+    }),
+    "d_passage_dedup" -> ((s, dir) => Dedup.passageDedup(rd(s, dir, "documents"))),
     "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
     "q_asof_click_view" -> ((s, dir) => Events.clickLastView(rd(s, dir, "events"))),
     "q_range_click_purchase" -> ((s, dir) => Events.clickPurchaseCounts(rd(s, dir, "events"))),
@@ -789,6 +803,27 @@ SELECT user_id,
   CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
   COUNT(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey AS orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, orderdate_epoch, orderkey LIMIT 10""",
+    "d_anonymize" ->
+      """SELECT sha256('graft-pepper|' || CAST(user_id AS VARCHAR)) AS user_pseud,
+  CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d_passage_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, md5(array_to_string(w[(i*20+1):(i*20+20)], ' ')) AS h
+      FROM d, unnest(range(0, len(w) // 20)) AS t(i))
+SELECT h, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+FROM c GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY first_doc, h""",
     "q_events_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
   COUNT(DISTINCT user_id) AS n_users

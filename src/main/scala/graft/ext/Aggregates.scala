@@ -289,4 +289,41 @@ object Aggregates {
         Int128Sum.sumFixed(col("c_acctbal"), 2).cast("double").as("total_bal"))
       .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
   }
+
+  /** TPC-H Q3 "shipping priority" shape: unshipped-as-of-`cut` revenue
+    * per order for one market segment, top 10 by revenue. The classic
+    * 3-way star query: both date filters and the segment filter reach
+    * the scans (pushdown), the filtered customer dimension joins first
+    * (AQE turns it broadcast when the segment slice is small — not
+    * forced, the dimension is data-dependent at 100 TB), the lineitem
+    * fact joins last on the already-reduced orders, and the final top-10
+    * is TakeOrderedAndProject, never a global sort.
+    *
+    * Money determinism: revenue = sum(extprice * (1 - discount))
+    * computed entirely in decimal (inputs cast BEFORE the multiply —
+    * casting the double product would round differently per engine),
+    * one cast to double after the exact sum.
+    */
+  def shippingPriority(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      segment: String = "BUILDING",
+      cut: String = "1998-06-01"): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+    val o = orders.filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val rev = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+    val l = lineitem.filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+      .select(col("l_orderkey"), rev.as("rev"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("l_orderkey").as("orderkey"), col("revenue"),
+        unix_timestamp(col("o_orderdate")).as("orderdate_epoch"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("orderdate_epoch"), col("orderkey"))
+      .limit(10)
+  }
 }

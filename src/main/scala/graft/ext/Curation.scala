@@ -205,6 +205,18 @@ object Curation {
     * join broadcast at runtime; it is not forced, since eval-set size
     * is caller data.
     */
+  /** Deterministic pseudonymization: replace an identifier column with
+    * sha256(pepper | value) — the standard reversibility-free user-key
+    * anonymization for training corpora (same input always maps to the
+    * same pseudonym, so per-user aggregation/joins still work after
+    * anonymization; without the pepper the hash is a trivially
+    * brute-forceable dictionary for small key spaces). Pure map-side
+    * projection — codegen'd sha2, no shuffle, no driver state.
+    */
+  def pseudonymize(df: DataFrame, keyCol: String, pepper: String): DataFrame =
+    df.withColumn(keyCol,
+      sha2(concat_ws("|", lit(pepper), col(keyCol).cast("string")), 256))
+
   def contaminationScreen(
       corpus: DataFrame,
       evalSet: DataFrame,

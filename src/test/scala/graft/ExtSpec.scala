@@ -728,4 +728,55 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(hits.toSeq === Seq((10L, 2L))) // "the quick brown fox jumps", "quick brown fox jumps over"
   }
+
+  test("dedup: passage dedup catches aligned chunk copies, ignores unaligned and partial") {
+    import spark.implicits._
+    val base = (1 to 8).map(i => s"w$i").mkString(" ") // one full 4-token-chunk x2
+    val docs = Seq(
+      (1L, base),                        // chunks: [w1..w4], [w5..w8]
+      (2L, base),                        // exact copy: both chunks shared
+      (3L, "x0 " + base),                // shifted by 1: NOT aligned, no match
+      (4L, "w1 w2 w3")                   // partial chunk only: dropped
+    ).toDF("doc_id", "text")
+    val dups = Dedup.passageDedup(docs, size = 4).collect()
+    assert(dups.length === 2) // the two aligned chunks, each in docs {1,2}
+    assert(dups.forall(r => r.getLong(1) === 2L && r.getLong(2) === 1L))
+  }
+
+  test("curation: pseudonymize is deterministic, distinct per key, and join-stable") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("user_id", "v")
+    val p1 = Curation.pseudonymize(df, "user_id", "pep").collect()
+    val p2 = Curation.pseudonymize(df, "user_id", "pep").collect()
+    assert(p1.map(_.getString(0)).toSeq === p2.map(_.getString(0)).toSeq) // stable
+    val byKey = p1.groupBy(_.getString(1)).view.mapValues(_.head.getString(0))
+    assert(byKey("a") === byKey("c")) // same key -> same pseudonym
+    assert(byKey("a") !== byKey("b")) // different key -> different pseudonym
+    assert(byKey("a").length === 64 && byKey("a").matches("[0-9a-f]+"))
+    // a different pepper changes every pseudonym
+    val p3 = Curation.pseudonymize(df, "user_id", "other").collect()
+    assert(p3.map(_.getString(0)).toSet.intersect(p1.map(_.getString(0)).toSet).isEmpty)
+  }
+
+  test("aggregates: shipping priority matches a hand-computed top order") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, ts("1998-01-01 00:00:00"), "1-URGENT"),  // qualifies
+      (11L, 1L, ts("1998-07-01 00:00:00"), "2-HIGH"),    // after cut: excluded
+      (12L, 2L, ts("1998-01-01 00:00:00"), "3-MEDIUM"))  // wrong segment
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (10L, 100.0, 0.1, ts("1998-08-01 00:00:00")),  // 100*0.9 = 90
+      (10L, 50.0, 0.0, ts("1998-09-01 00:00:00")),   // +50 -> 140
+      (10L, 70.0, 0.0, ts("1998-01-02 00:00:00")),   // shipped before cut: excluded
+      (12L, 999.0, 0.0, ts("1998-08-01 00:00:00")))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val r = Aggregates.shippingPriority(customer, orders, lineitem).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 10L)
+    assert(r.head.getDouble(1) === 140.0)
+  }
 }
