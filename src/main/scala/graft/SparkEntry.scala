@@ -285,6 +285,19 @@ object SparkEntry {
     "q_tpch_q3" -> ((s, dir) =>
       Aggregates.shippingPriority(
         rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
+    // bloom-pruned semi join: lineitems of high-value orders — the
+    // manual runtime-filter shape; result is EXACT (verify join covers
+    // the bloom's false positives)
+    "q_bloom_join" -> ((s, dir) => {
+      val hi = rd(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      Relational.bloomPrunedSemiJoin(
+          rd(s, dir, "lineitem"), hi, "l_orderkey", "o_orderkey",
+          expectedItems = 1 << 20)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
     // sha256-pseudonymized per-user daily activity: the anonymized
     // engagement table a privacy-preserving pipeline exports
     "d_anonymize" -> ((s, dir) => {
@@ -546,11 +559,14 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (=> driver rows-only check):
-    * q_order_stats_approx / d_simhash64 / d_simhash_neardup / e_ann_lsh /
+    * q_order_stats_approx / d_simhash64 / d_simhash_neardup /
     * e_ann_ivf / e_ann_pairs (engine-specific hashing/sketches,
     * approximate by design), m_features (opaque binary decode stub).
+    * e_ann_lsh IS oracle-gated: its seeded hyperplanes are embedded as
+    * literals in generated SQL ([[Similarity.annTopKOracleSql]]).
     */
   def oracleSql: Map[String, String] = Map(
+    "e_ann_lsh" -> Similarity.annTopKOracleSql(),
     "t5_transpose" ->
       """SELECT 'r_regionkey' AS column_name, * FROM (
   PIVOT (SELECT r_name, CAST(r_regionkey AS VARCHAR) AS v FROM region) ON r_name USING first(v)
@@ -812,6 +828,12 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, orderdate_epoch, orderkey LIMIT 10""",
+    "q_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+GROUP BY 1 ORDER BY 1""",
     "d_anonymize" ->
       """SELECT sha256('graft-pepper|' || CAST(user_id AS VARCHAR)) AS user_pseud,
   CAST(ts AS DATE) AS day, COUNT(*) AS n_events,

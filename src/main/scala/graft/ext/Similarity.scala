@@ -117,6 +117,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** DuckDB oracle for [[annTopK]]: the sign-LSH bucketing is fully
+    * deterministic (seeded driver-side hyperplanes), so the oracle can
+    * state the SAME computation in ANSI SQL with the plane vectors
+    * embedded as double literals — `Double.toString` emits the shortest
+    * round-trip decimal, which DuckDB's strtod parses back to the
+    * identical bit pattern, and `list_dot_product` accumulates in index
+    * order exactly like `graft_dot`. This turns the "approximate by
+    * design" query into a hash-gated one: approximate vs brute force,
+    * but bit-deterministic given the seed.
+    */
+  def annTopKOracleSql(
+      queryVecId: Long = 0L,
+      k: Int = 10,
+      numPlanes: Int = 8,
+      numTables: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): String = {
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
+    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    def bucketExpr(planes: Array[Array[Double]]): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val bcols = tables.zipWithIndex
+      .map { case (ps, t) => s"${bucketExpr(ps)} AS bkt$t" }.mkString(",\n  ")
+    val qcols = (0 until numTables).map(t => s"bkt$t AS qb$t").mkString(", ")
+    val cond = (0 until numTables).map(t => s"b.bkt$t = q.qb$t").mkString(" OR ")
+    val cosExpr = "list_dot_product(b.v, q.qv) / " +
+      "(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+  $bcols
+  FROM e),
+q AS (SELECT v AS qv, $qcols FROM b WHERE vec_id = $queryVecId)
+SELECT b.vec_id, floor(($cosExpr) * 10000) / 10000.0 AS cos_sim
+FROM b, q
+WHERE b.vec_id <> $queryVecId AND ($cond)
+ORDER BY cos_sim DESC, b.vec_id LIMIT $k"""
+  }
+
   /** Top pairwise cosine pairs (embedding near-dup sweep). Exact O(n^2)
     * compute, fully distributed — NOTHING is ever materialized on the
     * driver (the previous revision collect()ed the corpus; that ceiling

@@ -215,4 +215,44 @@ object Relational {
     */
   def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
   def except(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** Bloom-pruned LEFT SEMI join: build a bloom filter over the right
+    * side's (long) keys, pre-filter the big left side with the
+    * codegen'd probe [[graft.ext.expr.BloomMightContain]], then
+    * re-verify survivors with an exact semi join. The RESULT is exactly
+    * `left SEMI JOIN right` — the bloom's false positives are caught by
+    * the verify join; its true negatives (exact by construction) are
+    * rows that never enter the join's shuffle.
+    *
+    * This is the manual form of the runtime filter Spark injects with
+    * `spark.sql.optimizer.runtime.bloomFilter.enabled`, exposed as an
+    * operator so a pipeline can apply it where the optimizer's
+    * heuristics wouldn't (e.g. the filter side is an already-computed
+    * intermediate). At 100 TB the economics: shuffling the unpruned
+    * fact table is O(|fact|); the bloom is O(bits) broadcast once, and
+    * only ~selectivity + fpp of the fact reaches the shuffle.
+    *
+    * Eager by contract (like the reference's transpose guard): building
+    * the filter RUNS the right side's aggregate at call time —
+    * `expectedItems`/`fpp` bound the driver-held bits
+    * (1M items @ 1% ~ 1.2 MB), independent of right-side row count.
+    */
+  def bloomPrunedSemiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    graft.ext.expr.BloomMightContain.ensureRegistered(left.sparkSession)
+    val bf = right.stat.bloomFilter(rightKey, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val pruned = left.filter(
+      call_function(graft.ext.expr.BloomMightContain.name,
+        lit(bos.toByteArray), col(leftKey).cast("long")))
+    pruned.join(right.select(col(rightKey)),
+      pruned(leftKey) === right(rightKey), "left_semi")
+  }
 }

@@ -758,6 +758,27 @@ class ExtSpec extends SparkSpec {
     assert(p3.map(_.getString(0)).toSet.intersect(p1.map(_.getString(0)).toSet).isEmpty)
   }
 
+  test("relational: bloom-pruned semi join is exact even at a terrible fpp") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "v")
+    val small = Seq(3L, 7L, 1999L, 4242L).toDF("sk") // 4242 matches nothing
+    // fpp 0.5: the bloom lets ~half of everything through — the verify
+    // join must still reduce the result to the exact semi join
+    val got = ops.Relational.bloomPrunedSemiJoin(big, small, "k", "sk",
+      expectedItems = 10, fpp = 0.5).select("k").as[Long].collect().sorted
+    assert(got.toSeq === Seq(3L, 7L, 1999L))
+    // the probe must sit BEFORE the join: the pruned side's plan
+    // contains the bloom filter under the join. (A parquet-backed input
+    // — ConvertToLocalRelation folds filters over in-memory relations
+    // away entirely, which would vacuously pass/fail this.)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    big.write.mode("overwrite").parquet(tmp)
+    val plan = ops.Relational.bloomPrunedSemiJoin(
+        spark.read.parquet(tmp), small, "k", "sk")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"))
+  }
+
   test("aggregates: shipping priority matches a hand-computed top order") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
