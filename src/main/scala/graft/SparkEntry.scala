@@ -285,6 +285,10 @@ object SparkEntry {
     "q_tpch_q3" -> ((s, dir) =>
       Aggregates.shippingPriority(
         rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
+    "q_tpch_q5" -> ((s, dir) =>
+      Aggregates.localSupplierVolume(
+        rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"),
+        rd(s, dir, "supplier"), rd(s, dir, "nation"), rd(s, dir, "region"))),
     // bloom-pruned semi join: lineitems of high-value orders — the
     // manual runtime-filter shape; result is EXACT (verify join covers
     // the bloom's false positives)
@@ -443,8 +447,9 @@ object SparkEntry {
       val emb = rd(s, dir, "embeddings")
       Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), 3)
     }),
-    // sign-LSH-blocked all-pairs sweep (approximate -> rows-only check;
-    // recall vs the exact sweep is pinned by ExtSpec's planted-dup test)
+    // sign-LSH-blocked all-pairs sweep: approximate vs the exact sweep
+    // (recall pinned by ExtSpec's planted-dup test) but bit-deterministic
+    // given the seed -> hash-gated via generated literal-embedded SQL
     "e_ann_pairs" -> ((s, dir) =>
       Similarity.lshCosinePairs(rd(s, dir, "embeddings"), 20)),
     // ---- Extensions: multimodal plumbing ----
@@ -560,13 +565,17 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (=> driver rows-only check):
     * q_order_stats_approx / d_simhash64 / d_simhash_neardup /
-    * e_ann_ivf / e_ann_pairs (engine-specific hashing/sketches,
-    * approximate by design), m_features (opaque binary decode stub).
-    * e_ann_lsh IS oracle-gated: its seeded hyperplanes are embedded as
-    * literals in generated SQL ([[Similarity.annTopKOracleSql]]).
+    * e_ann_ivf (engine-specific hashing / data-order-dependent Lloyd
+    * sums, approximate by design), m_features (opaque binary decode
+    * stub). e_ann_lsh and e_ann_pairs ARE oracle-gated despite being
+    * approximate: their seeded hyperplanes are embedded as round-trip
+    * double literals in generated SQL ([[Similarity.annTopKOracleSql]],
+    * [[Similarity.lshCosinePairsOracleSql]]), making them
+    * bit-deterministic given the seed.
     */
   def oracleSql: Map[String, String] = Map(
     "e_ann_lsh" -> Similarity.annTopKOracleSql(),
+    "e_ann_pairs" -> Similarity.lshCosinePairsOracleSql(),
     "t5_transpose" ->
       """SELECT 'r_regionkey' AS column_name, * FROM (
   PIVOT (SELECT r_name, CAST(r_regionkey AS VARCHAR) AS v FROM region) ON r_name USING first(v)
@@ -828,6 +837,18 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, orderdate_epoch, orderkey LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_bloom_join" ->
       """SELECT l_returnflag, COUNT(*) AS n,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty

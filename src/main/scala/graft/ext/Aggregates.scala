@@ -304,6 +304,45 @@ object Aggregates {
     * casting the double product would round differently per engine),
     * one cast to double after the exact sum.
     */
+  /** TPC-H Q5 "local supplier volume": revenue per nation from orders
+    * where the customer and the line's supplier sit in the SAME nation,
+    * for one region and one order-date year. The 6-table star: nation
+    * and region are bounded dimensions (broadcast — a fixed catalog,
+    * not data-dependent), supplier/customer join on their keys with the
+    * same-nation predicate as part of the supplier join condition, the
+    * date filter reaches the orders scan. Revenue follows the exact
+    * decimal policy (inputs cast before multiply, one final double
+    * cast).
+    */
+  def localSupplierVolume(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      regionName: String = "ASIA",
+      yearStart: String = "1997-01-01",
+      yearEnd: String = "1998-01-01"): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+    val l = lineitem.select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+    customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   def shippingPriority(
       customer: DataFrame,
       orders: DataFrame,

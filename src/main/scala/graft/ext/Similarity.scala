@@ -157,6 +157,44 @@ WHERE b.vec_id <> $queryVecId AND ($cond)
 ORDER BY cos_sim DESC, b.vec_id LIMIT $k"""
   }
 
+  /** DuckDB oracle for [[lshCosinePairs]] — same literal-embedding idea
+    * as [[annTopKOracleSql]]: per-table candidate generation is an
+    * EQUI-join on the bucket id (union over tables, then DISTINCT),
+    * mirroring the Spark plan's shape so the oracle runs as hash joins,
+    * not an O(n^2) OR-condition nested loop.
+    */
+  def lshCosinePairsOracleSql(
+      k: Int = 20,
+      numPlanes: Int = 8,
+      numTables: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): String = {
+    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
+    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    def bucketExpr(planes: Array[Array[Double]]): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val bcols = tables.zipWithIndex
+      .map { case (ps, t) => s"${bucketExpr(ps)} AS bkt$t" }.mkString(",\n  ")
+    val unions = (0 until numTables).map { t =>
+      s"SELECT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a JOIN b c ON a.bkt$t = c.bkt$t AND a.vec_id < c.vec_id"
+    }.mkString("\n  UNION ALL\n  ")
+    val cosExpr = "list_dot_product(ba.v, bb.v) / " +
+      "(sqrt(list_dot_product(ba.v, ba.v)) * sqrt(list_dot_product(bb.v, bb.v)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+  $bcols
+  FROM e),
+cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+  $unions)),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b, floor(($cosExpr) * 10000) / 10000.0 AS cos_sim
+  FROM cand JOIN b ba ON ba.vec_id = cand.vec_a JOIN b bb ON bb.vec_id = cand.vec_b)
+SELECT vec_a, vec_b, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
+  }
+
   /** Top pairwise cosine pairs (embedding near-dup sweep). Exact O(n^2)
     * compute, fully distributed — NOTHING is ever materialized on the
     * driver (the previous revision collect()ed the corpus; that ceiling

@@ -779,6 +779,26 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("graft_bloom_might_contain"))
   }
 
+  test("aggregates: local supplier volume requires customer and supplier in the SAME nation") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val customer = Seq((1L, 10), (2L, 20)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 1L, ts("1997-06-01 00:00:00")),
+      (200L, 2L, ts("1997-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (100L, 5L, 100.0, 0.0),  // supplier 5 is in nation 10 = customer 1's: counts
+      (200L, 5L, 999.0, 0.0))  // customer 2 in nation 20 != supplier nation: dropped
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supplier = Seq((5L, 10)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((10, "JAPAN", 0), (20, "FRANCE", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val r = Aggregates.localSupplierVolume(
+      customer, orders, lineitem, supplier, nation, region).collect()
+    assert(r.map(x => (x.getString(0), x.getDouble(1))).toSeq === Seq(("JAPAN", 100.0)))
+  }
+
   test("aggregates: shipping priority matches a hand-computed top order") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
