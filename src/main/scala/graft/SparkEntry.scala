@@ -313,6 +313,21 @@ object SparkEntry {
         .orderBy(col("user_pseud"), col("day"))
     }),
     "d_passage_dedup" -> ((s, dir) => Dedup.passageDedup(rd(s, dir, "documents"))),
+    // the curation pipeline's terminal sink: materialize the corpus
+    // partitioned BY SPLIT (train/valid/test dirs a trainer consumes),
+    // then read back and re-aggregate — split assignment must survive
+    // the write/read roundtrip including the partition-column encode
+    "k11_split_write" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_splits").toString + "/docs"
+      val assigned = Curation.splitAssign(rd(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))
+      Sinks.parquet(assigned, tmp, partitionBy = Seq("split"))
+      s.read.parquet(tmp)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    }),
     "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
     "q_asof_click_view" -> ((s, dir) => Events.clickLastView(rd(s, dir, "events"))),
     "q_range_click_purchase" -> ((s, dir) => Events.clickPurchaseCounts(rd(s, dir, "events"))),
@@ -860,6 +875,14 @@ GROUP BY 1 ORDER BY 1""",
   CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "k11_split_write" ->
+      """WITH b AS (SELECT doc_id,
+  ((((doc_id % 2147483648) * 2654435761) % 4294967296) * 100) >> 32 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM b GROUP BY 1 ORDER BY 1""",
     "d_passage_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 c AS (SELECT doc_id, md5(array_to_string(w[(i*20+1):(i*20+20)], ' ')) AS h
