@@ -377,7 +377,11 @@ object SparkEntry {
     // pipeline actually materializes, composed from the three
     // independently-oracle-checked sub-pipelines
     "d_curate_final" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
+      // spread ONCE at the composition root: every sub-pipeline's
+      // internal spread then sees a plan with an exchange and no-ops,
+      // so the corpus text is shuffled wide once per branch instead of
+      // re-probed per kernel
+      val docs = Tables.spread(rd(s, dir, "documents"))
       val gate = Curation.qualityGate(docs).select(col("doc_id"), col("keep").as("gate_keep"))
       val dups = Dedup.nearDupClusters(docs)
         .filter(col("doc_id") =!= col("cluster_id"))
@@ -410,6 +414,8 @@ object SparkEntry {
     "d_substring_dup" -> ((s, dir) => Dedup.substringDup(rd(s, dir, "documents"))),
     "d_minhash_lsh" -> ((s, dir) => Dedup.minhashDedup(rd(s, dir, "documents"))),
     "d_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(rd(s, dir, "documents"))),
+    // the decision layer over the clusters: keep the longest member
+    "d_dedup_keep" -> ((s, dir) => Dedup.dedupKeepList(rd(s, dir, "documents"))),
     "d_simhash_neardup" -> ((s, dir) => Dedup.simhashNearDup(rd(s, dir, "documents"))),
     "d_simhash" -> ((s, dir) => Dedup.simhash16(rd(s, dir, "documents"))),
     "d_simhash64" -> ((s, dir) => Dedup.simhash64(rd(s, dir, "documents"))),
@@ -528,7 +534,11 @@ ORDER BY doc_a, doc_b"""
     * closure (recursive CTE) + per-node min — the oracle for
     * d_dedup_clusters.
     */
-  private val clustersSql =
+  /** Shared transitive-closure prefix: shingle CTEs -> verified pairs ->
+    * symmetric edges -> recursive reachability. Consumed by the cluster
+    * oracle and the keep-list oracle.
+    */
+  private val clusterReachSql =
     s"""WITH RECURSIVE $shingleCtes,
 pairs AS (SELECT doc_a, doc_b
           FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
@@ -536,9 +546,23 @@ pairs AS (SELECT doc_a, doc_b
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
 reach(a, b) AS (SELECT u, v FROM edges
                 UNION
-                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)"""
+
+  private val clustersSql =
+    s"""$clusterReachSql
 SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
 FROM reach GROUP BY a ORDER BY doc_id"""
+
+  private val dedupKeepSql =
+    s"""$clusterReachSql,
+cl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY a)
+SELECT d.doc_id, cl.cluster_id,
+  CASE WHEN ROW_NUMBER() OVER (
+         PARTITION BY cl.cluster_id ORDER BY d.n_chars DESC, d.doc_id) = 1
+       THEN 1 ELSE 0 END AS keep
+FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+ORDER BY d.doc_id"""
 
   private val cosSql =
     "list_dot_product(%A%, %B%) / (sqrt(list_dot_product(%A%, %A%)) * sqrt(list_dot_product(%B%, %B%)))"
@@ -1118,6 +1142,7 @@ FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_minhash_lsh" -> jaccardSql(0.9),
     "d_dedup_clusters" -> clustersSql,
+    "d_dedup_keep" -> dedupKeepSql,
     "d_simhash" -> {
       val high = "('8','9','a','b','c','d','e','f')"
       val bitSums = (0 until 16).map(j =>

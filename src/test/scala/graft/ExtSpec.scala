@@ -758,6 +758,20 @@ class ExtSpec extends SparkSpec {
     assert(p3.map(_.getString(0)).toSet.intersect(p1.map(_.getString(0)).toSet).isEmpty)
   }
 
+  test("dedup: keep-list keeps the longest cluster member, min doc_id on ties") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, body, 100L),           // cluster {1,2,3}: 2 is longest
+      (2L, body + " extra", 300L),
+      (3L, body, 100L),           // ties 1 on n_chars; 1 wins by id
+      (9L, (100 to 160).map(i => s"z$i").mkString(" "), 50L) // unclustered: absent
+    ).toDF("doc_id", "text", "n_chars")
+    val r = Dedup.dedupKeepList(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(r.toSeq === Seq((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0)))
+  }
+
   test("relational: bloom-pruned semi join is exact even at a terrible fpp") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "v")
