@@ -285,6 +285,14 @@ object SparkEntry {
     "q_tpch_q3" -> ((s, dir) =>
       Aggregates.shippingPriority(
         rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
+    // declarative data-quality gate over lineitem: two passing rules,
+    // one planted range violation, one real duplicate-key finding
+    "q_quality_checks" -> ((s, dir) =>
+      Quality.check(rd(s, dir, "lineitem"),
+        Seq(Quality.notNull("l_orderkey"),
+          Quality.inRange("l_quantity", 1, 50),
+          Quality.inRange("l_discount", 0, 0.05)),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))),
     "q_tpch_q5" -> ((s, dir) =>
       Aggregates.localSupplierVolume(
         rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"),
@@ -876,6 +884,20 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, orderdate_epoch, orderkey LIMIT 10""",
+    "q_quality_checks" ->
+      """SELECT rule, n_rows, n_violations, CAST(n_violations = 0 AS INT) AS pass FROM (
+  SELECT 'not_null_l_orderkey' AS rule, COUNT(*) AS n_rows,
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM lineitem
+  UNION ALL
+  SELECT 'range_l_quantity', COUNT(*),
+    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'range_l_discount', COUNT(*),
+    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'unique_l_orderkey_l_linenumber', COUNT(*),
+    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+) ORDER BY rule""",
     "q_tpch_q5" ->
       """SELECT n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (the Deequ/dbt-tests shape): a rule
+  * set is validated in ONE aggregate pass over the data — every
+  * row-level rule becomes a conditional sum in the same partial-first
+  * aggregation, so checking 20 rules costs one scan, not 20. Key
+  * uniqueness (not expressible as a row predicate) runs as its own
+  * count-distinct aggregate per key set.
+  *
+  * Output: one row per rule — (rule, n_rows, n_violations, pass) — the
+  * table a pipeline gates promotion on ("fail the load if any pass=0").
+  *
+  * Scale: row rules are map-side conditional sums (shuffle = one
+  * partial row per partition); uniqueness is a count-distinct whose
+  * shuffle carries the key columns only. Nothing row-proportional
+  * reaches the driver.
+  */
+object Quality {
+
+  /** A named row-level rule: `violation` is the predicate that marks a
+    * row BAD (null-safe by construction of the helpers below).
+    */
+  final case class Rule(name: String, violation: Column)
+
+  def notNull(c: String): Rule = Rule(s"not_null_$c", col(c).isNull)
+
+  /** Closed-interval range check; a null value counts as a violation
+    * (a row that can't prove it's in range isn't in range).
+    */
+  def inRange(c: String, lo: Double, hi: Double): Rule =
+    Rule(s"range_$c", col(c).isNull || col(c) < lo || col(c) > hi)
+
+  /** Membership check against an allowed value set; nulls violate. */
+  def inSet(c: String, allowed: Seq[String]): Rule =
+    Rule(s"in_set_$c", col(c).isNull || !col(c).isin(allowed: _*))
+
+  /** Run all rules; `uniqueKeys` adds one uniqueness check per key set
+    * (n_violations = n_rows - n_distinct). Note Spark's countDistinct
+    * skips rows where any key column is null — declare notNull rules on
+    * the key columns alongside if nulls are possible.
+    */
+  def check(
+      df: DataFrame,
+      rules: Seq[Rule],
+      uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
+    val parts: Seq[DataFrame] =
+      (if (rules.isEmpty) Nil
+       else {
+         val aggs = count(lit(1)).cast("bigint").as("n_rows") +:
+           rules.map(r => sum(when(r.violation, 1L).otherwise(0L)).as(r.name))
+         val one = df.agg(aggs.head, aggs.tail: _*)
+         Seq(one.select(col("n_rows"),
+             explode(array(rules.map(r =>
+               struct(lit(r.name).as("rule"), col(r.name).as("n_violations"))): _*)).as("x"))
+           .select(col("x.rule").as("rule"), col("n_rows"), col("x.n_violations").as("n_violations")))
+       }) ++
+      uniqueKeys.map { ks =>
+        df.agg(count(lit(1)).cast("bigint").as("n_rows"),
+            (count(lit(1)) - countDistinct(col(ks.head), ks.tail.map(col): _*))
+              .cast("bigint").as("n_violations"))
+          .select(lit(s"unique_${ks.mkString("_")}").as("rule"),
+            col("n_rows"), col("n_violations"))
+      }
+    parts.reduce(_ unionByName _)
+      .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+      .orderBy(col("rule"))
+  }
+}

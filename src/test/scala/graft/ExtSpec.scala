@@ -758,6 +758,24 @@ class ExtSpec extends SparkSpec {
     assert(p3.map(_.getString(0)).toSet.intersect(p1.map(_.getString(0)).toSet).isEmpty)
   }
 
+  test("quality: one-pass rule check counts violations per rule, nulls violate ranges") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 5.0, "a"), (2L, 99.0, "b"), (null, 1.0, "c"), (4L, null, "a"), (1L, 2.0, "z"))
+      .toDF("k", "v", "cat")
+    val rows = Quality.check(df,
+      Seq(Quality.notNull("k"), Quality.inRange("v", 0, 10),
+        Quality.inSet("cat", Seq("a", "b", "c"))),
+      uniqueKeys = Seq(Seq("k")))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    assert(rows.toSeq === Seq(
+      ("in_set_cat", 5L, 1L, 0),      // "z"
+      ("not_null_k", 5L, 1L, 0),      // the null key
+      ("range_v", 5L, 2L, 0),         // 99.0 out of range + null v
+      // k=1 twice AND countDistinct skips the null row: 5 - |{1,2,4}| = 2
+      ("unique_k", 5L, 2L, 0)))
+  }
+
   test("dedup: keep-list keeps the longest cluster member, min doc_id on ties") {
     import spark.implicits._
     val body = (1 to 40).map(i => s"tok$i").mkString(" ")
