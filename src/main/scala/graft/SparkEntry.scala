@@ -416,6 +416,17 @@ object SparkEntry {
       Curation.contaminationScreen(
         docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), n = 5)
     }),
+    // incremental-ingest dedup gate: a NEW batch (doc_id >= 400) checked
+    // against the EXISTING corpus at 30-token window granularity — the
+    // daily-crawl shape. Same join machinery as the contamination screen
+    // (batch windows vs a reference window set), deliberately shared:
+    // decontamination and incremental dedup ARE the same query with the
+    // reference-set roles swapped
+    "d_incremental_dedup" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Curation.contaminationScreen(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400), n = 30)
+    }),
     "d_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(rd(s, dir, "documents"))),
     // windows of 30 tokens re-occurring from earlier docs (the planted
     // near-dups share long exact spans; unrelated docs share none)
@@ -1147,6 +1158,14 @@ SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
 FROM sh JOIN fs USING (s) WHERE sh.doc_id > fs.first_doc
 GROUP BY 1 ORDER BY 1"""
     },
+    "d_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 28)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:(i+29)], ' ') AS s FROM pos),
+corpus AS (SELECT DISTINCT s FROM sh WHERE doc_id < 400)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh JOIN corpus USING (s) WHERE sh.doc_id >= 400
+GROUP BY 1 ORDER BY 1""",
     "d_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM t),
