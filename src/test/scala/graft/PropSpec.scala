@@ -207,4 +207,43 @@ class PropSpec extends SparkSpec {
       assert(perKey.count() === 0)
     }
   }
+
+  test("prop: quality-check violation counts equal per-rule filter counts") {
+    import spark.implicits._
+    val kvGen = Gen.listOfN(40, Gen.zip(
+      Gen.option(Gen.chooseNum(-5L, 5L)),
+      Gen.option(Gen.chooseNum(-10.0, 110.0))))
+    cases(kvGen) { rows =>
+      val d = rows.map { case (k, v) =>
+        (k.map(Long.box).orNull, v.map(Double.box).orNull)
+      }.toDF("k", "v")
+      val rules = Seq(ext.Quality.notNull("k"), ext.Quality.inRange("v", 0, 100))
+      val got = ext.Quality.check(d, rules, uniqueKeys = Seq(Seq("k")))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val n = d.count()
+      assert(got("not_null_k") === ((n, d.filter(col("k").isNull).count())))
+      assert(got("range_v") ===
+        ((n, d.filter(col("v").isNull || col("v") < 0 || col("v") > 100).count())))
+      // uniqueness: n_rows - countDistinct (null keys skipped by countDistinct)
+      val nd = d.filter(col("k").isNotNull).select(col("k")).distinct().count()
+      assert(got("unique_k") === ((n, n - nd)))
+    }
+  }
+
+  test("prop: passage dedup equals a brute-force aligned chunker") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val textGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    cases(Gen.listOfN(12, textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = ext.Dedup.passageDedup(docs, size = 3).collect()
+      assert(out.forall(r => r.getLong(1) >= 2 && r.getLong(2) >= 0
+        && r.getLong(2) < texts.length))
+      val brute = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split(' ').grouped(3).filter(_.length == 3).map(c => (c.mkString(" "), i.toLong))
+      }
+      val multiDoc = brute.groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2)
+      assert(out.length === multiDoc.size)
+    }
+  }
 }
