@@ -558,6 +558,29 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     centroids
   }
 
+  /** Incremental index maintenance: assign NEW vectors to the EXISTING
+    * quantizer and append them into the cluster partitions — the
+    * ingest-time path for a living index (retraining the quantizer on
+    * every batch would invalidate all previous assignments; standard
+    * IVF practice is to keep centroids fixed and re-train offline when
+    * drift warrants a rebuild). Append mode only touches the partitions
+    * that receive rows; existing files are never rewritten, so the op
+    * is O(|batch|) regardless of index size.
+    */
+  def ivfAppend(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    import spark.implicits._
+    val centroids = ivfLoadIndex(spark, path)
+    val bc = spark.sparkContext.broadcast(centroids)
+    newVectors
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearest(bc.value, normalize(v))) }
+      .toDF("vec_id", "embedding", "cluster")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(path)
+  }
+
   private def centroidsPath(indexPath: String): String =
     indexPath.stripSuffix("/") + "/_centroids"
 

@@ -758,6 +758,26 @@ class ExtSpec extends SparkSpec {
     assert(p3.map(_.getString(0)).toSet.intersect(p1.map(_.getString(0)).toSet).isEmpty)
   }
 
+  test("similarity: ivfAppend folds a new batch into the index; full probe = exact search") {
+    import spark.implicits._
+    val emb = t("embeddings")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/idx"
+    val centroids = Similarity.ivfBuildIndex(half, tmp, numCentroids = 8)
+    Similarity.ivfAppend(rest, tmp)
+    // every vector (both halves) is now in the index exactly once
+    assert(spark.read.parquet(tmp).count() === emb.count())
+    // probing all clusters degenerates to exact search over the UNION —
+    // appended vectors must be reachable through the original quantizer
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+    val all = Similarity.ivfTopKIndexed(spark, tmp, centroids, q, 5, nProbe = 8,
+      excludeVecId = Some(0L)).collect().map(_.getLong(0))
+    val exact = Similarity.bruteForceTopK(emb, 0L, 5).collect().map(_.getLong(0))
+    assert(all.toSeq === exact.toSeq)
+  }
+
   test("quality: one-pass rule check counts violations per rule, nulls violate ranges") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Double, String)](
