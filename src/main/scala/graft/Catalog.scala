@@ -74,11 +74,23 @@ object Scratch {
     val base =
       if (shm.isDirectory && shm.canWrite) {
         val d = new java.io.File(shm, "graft-scratch")
+        // wipe leftovers from PREVIOUS runs first: tmpfs survives JVM
+        // exit, and the sink-roundtrip queries create temp dirs every
+        // run — without this, repeated bench/verify runs accumulate
+        // RAM-backed parquet until reboot. Safe under the one-sbt-at-
+        // a-time contract (nothing else is using the dir at main start).
+        deleteRecursively(d)
         d.mkdirs()
         d.getAbsolutePath
       } else System.getProperty("java.io.tmpdir")
     System.setProperty("java.io.tmpdir", base)
     base
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }
 

@@ -212,10 +212,14 @@ object Curation {
     * anonymization; without the pepper the hash is a trivially
     * brute-forceable dictionary for small key spaces). Pure map-side
     * projection — codegen'd sha2, no shuffle, no driver state.
+    *
+    * NULL keys stay NULL: `concat` propagates null (matching SQL `||`),
+    * where `concat_ws` would SKIP the null and hash the pepper alone —
+    * silently merging every null-key row into one phantom identity.
     */
   def pseudonymize(df: DataFrame, keyCol: String, pepper: String): DataFrame =
     df.withColumn(keyCol,
-      sha2(concat_ws("|", lit(pepper), col(keyCol).cast("string")), 256))
+      sha2(concat(lit(pepper + "|"), col(keyCol).cast("string")), 256))
 
   def contaminationScreen(
       corpus: DataFrame,

@@ -47,11 +47,23 @@ object Quality {
       rules: Seq[Rule],
       uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
+    // rule names become aggregate aliases: duplicates (two inRange rules
+    // on one column) or the reserved n_rows would silently collide and
+    // fail later with an ambiguous-reference error — fail clearly here
+    val names = rules.map(_.name)
+    require(names.distinct.length == names.length,
+      s"duplicate rule names: ${names.diff(names.distinct).distinct.mkString(", ")} " +
+        "(give explicit names via Rule(name, violation))")
+    require(!names.contains("n_rows"), "'n_rows' is a reserved rule name")
     val parts: Seq[DataFrame] =
       (if (rules.isEmpty) Nil
        else {
+         // coalesce: sum() over ZERO rows is null — an empty load must
+         // report 0 violations / pass=1, not a null that neither passes
+         // nor fails a promotion gate
          val aggs = count(lit(1)).cast("bigint").as("n_rows") +:
-           rules.map(r => sum(when(r.violation, 1L).otherwise(0L)).as(r.name))
+           rules.map(r =>
+             coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L)).as(r.name))
          val one = df.agg(aggs.head, aggs.tail: _*)
          Seq(one.select(col("n_rows"),
              explode(array(rules.map(r =>

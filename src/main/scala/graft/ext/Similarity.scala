@@ -72,6 +72,25 @@ object Similarity {
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
 
+  /** SQL text for the bucket id of vector column `v` under `planes` —
+    * the DuckDB statement of [[lshBucket]], shared by both oracle
+    * generators so the bucketing can never silently diverge between
+    * them. `Double.toString` literals round-trip to identical bits.
+    */
+  private def bucketExprSql(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** `bkt0..bktN` select-list items for all tables (seeded identically
+    * to the Spark side).
+    */
+  private def bucketColsSql(numPlanes: Int, numTables: Int, dim: Int, seed: Long): String =
+    (0 until numTables)
+      .map(t => s"${bucketExprSql(hyperplanes(numPlanes, dim, seed + t))} AS bkt$t")
+      .mkString(",\n  ")
+
   /** Sign-bit LSH bucket id for a vector: bit i = (v . plane_i) >= 0. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -134,14 +153,7 @@ object Similarity {
       numTables: Int = 4,
       dim: Int = 64,
       seed: Long = 42L): String = {
-    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
-    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
-    def bucketExpr(planes: Array[Array[Double]]): String =
-      planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-    val bcols = tables.zipWithIndex
-      .map { case (ps, t) => s"${bucketExpr(ps)} AS bkt$t" }.mkString(",\n  ")
+    val bcols = bucketColsSql(numPlanes, numTables, dim, seed)
     val qcols = (0 until numTables).map(t => s"bkt$t AS qb$t").mkString(", ")
     val cond = (0 until numTables).map(t => s"b.bkt$t = q.qb$t").mkString(" OR ")
     val cosExpr = "list_dot_product(b.v, q.qv) / " +
@@ -169,14 +181,7 @@ ORDER BY cos_sim DESC, b.vec_id LIMIT $k"""
       numTables: Int = 4,
       dim: Int = 64,
       seed: Long = 42L): String = {
-    val tables = (0 until numTables).map(t => hyperplanes(numPlanes, dim, seed + t))
-    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
-    def bucketExpr(planes: Array[Array[Double]]): String =
-      planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-    val bcols = tables.zipWithIndex
-      .map { case (ps, t) => s"${bucketExpr(ps)} AS bkt$t" }.mkString(",\n  ")
+    val bcols = bucketColsSql(numPlanes, numTables, dim, seed)
     val unions = (0 until numTables).map { t =>
       s"SELECT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a JOIN b c ON a.bkt$t = c.bkt$t AND a.vec_id < c.vec_id"
     }.mkString("\n  UNION ALL\n  ")

@@ -41,6 +41,11 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   @transient private lazy val bloom: BloomFilter = {
     val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    // a clear error beats the NPE readFrom(null) would throw deep
+    // inside codegen reference installation
+    require(bytes != null,
+      s"$prettyName: the bloom-filter argument evaluated to null " +
+        "(pass the serialized filter bytes as a non-null binary literal)")
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
   }
 
