@@ -120,20 +120,29 @@ object Tables {
     * ~cores-fold by the kernel.
     *
     * Plan-time decision, like AQE's coalescing but in the opposite
-    * direction. Plans that already contain an exchange are returned
-    * untouched, twice over: (a) downstream of a shuffle the width is
-    * the session's shuffle-partition count — already wide; (b) probing
-    * such a plan with `.rdd` would make AQE materialize its shuffle
-    * stages AT PLAN TIME, i.e. run the upstream pipeline once for the
-    * probe and again for the real execution (measured: +0.5s on the
-    * MinHash verify path, whose input is a semi-join). Exchange-free
-    * plans skip AQE entirely, so their `.rdd.getNumPartitions` builds
-    * the RDD lazily and runs no job.
+    * direction. Only SCAN-STAGE plans — leaf / project / filter chains
+    * — are eligible; anything else (joins, aggregates, prior
+    * repartitions) is returned untouched, twice over: (a) downstream of
+    * a shuffle the width is the session's shuffle-partition count —
+    * already wide; (b) probing a shuffle-bearing plan with `.rdd` makes
+    * AQE materialize its stages AT PLAN TIME, i.e. run the upstream
+    * pipeline once for the probe and again for the real execution
+    * (measured: +0.5s on the MinHash verify path, whose input is a
+    * semi-join). The structural check is on the OPTIMIZED LOGICAL plan
+    * — physical `sparkPlan` can't be used for this: exchanges are only
+    * inserted by the executedPlan preparation rules, so a join's
+    * sparkPlan contains no Exchange node to find. Scan-only plans skip
+    * AQE entirely, so their `.rdd.getNumPartitions` builds the RDD
+    * lazily and runs no job.
     */
   def spread(df: DataFrame): DataFrame = {
-    val hasExchange = df.queryExecution.sparkPlan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-    if (hasExchange) df
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    val scanOnly = !df.queryExecution.optimizedPlan.exists {
+      case _: Project | _: Filter => false
+      case _: LeafNode => false
+      case _ => true
+    }
+    if (!scanOnly) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < target) df.repartition(target) else df

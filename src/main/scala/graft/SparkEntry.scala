@@ -337,6 +337,14 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
     "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
+    "q_retention" -> ((s, dir) => Events.dailyRetention(rd(s, dir, "events"))),
+    // token-length histogram: the corpus composition report sized in
+    // 10-token buckets
+    "d_length_hist" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(floor(size(split(col("text"), " ")) / 10).cast("bigint").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))),
     "q_asof_click_view" -> ((s, dir) => Events.clickLastView(rd(s, dir, "events"))),
     "q_range_click_purchase" -> ((s, dir) => Events.clickPurchaseCounts(rd(s, dir, "events"))),
     "q_funnel" -> ((s, dir) => Events.dailyConversion(rd(s, dir, "events"))),
@@ -951,6 +959,16 @@ ORDER BY first_doc, h""",
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
   COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_retention" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT a.day, COUNT(*) AS n_active, COUNT(b.next_day) AS n_retained
+FROM days a LEFT JOIN (SELECT day AS next_day, user_id FROM days) b
+  ON a.user_id = b.user_id AND b.next_day = a.day + 1
+GROUP BY a.day ORDER BY a.day""",
+    "d_length_hist" ->
+      """SELECT CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS bucket,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1""",
     "q_asof_click_view" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 views AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE event_type = 'view')

@@ -176,6 +176,26 @@ object Events {
     * written partitioned by date (Sinks.parquet(partitionBy=day)), this
     * query reads only matching partitions at 100 TB.
     */
+  /** Day-over-day retention: of the users active on day d, how many
+    * are active again on d+1. The classic engagement self-join: one
+    * distinct (day, user) projection consumed twice, joined on
+    * (user, day+1) — co-partitioned on user_id after the first
+    * shuffle, so the second side reuses the exchange. Count-only
+    * (no money), so there is no summation-order concern.
+    */
+  def dailyRetention(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val days = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val next = days.select(col("day").as("next_day"), col("user_id"))
+    days.join(next,
+        days("user_id") === next("user_id") &&
+          next("next_day") === date_add(days("day"), 1), "left")
+      .groupBy(days("day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("next_day")).as("n_retained"))
+      .orderBy(col("day"))
+  }
+
   def dailyFunnel(eventsRaw: DataFrame): DataFrame = {
     val events = normalizeTs(eventsRaw)
     events

@@ -758,6 +758,17 @@ class ExtSpec extends SparkSpec {
     assert(p3.map(_.getString(0)).toSet.intersect(p1.map(_.getString(0)).toSet).isEmpty)
   }
 
+  test("tables: spread widens narrow scans, leaves exchange-bearing plans untouched") {
+    val scan = t("documents")
+    val cores = spark.sparkContext.defaultParallelism
+    assert(scan.rdd.getNumPartitions < cores, "fixture should be a narrow scan")
+    assert(Tables.spread(scan).rdd.getNumPartitions === cores)
+    // a plan that already contains an exchange must come back identical
+    // (probing it would materialize upstream stages at plan time)
+    val joined = scan.join(scan.select(col("doc_id")), "doc_id")
+    assert(Tables.spread(joined) eq joined)
+  }
+
   test("similarity: ivfAppend folds a new batch into the index; full probe = exact search") {
     import spark.implicits._
     val emb = t("embeddings")
