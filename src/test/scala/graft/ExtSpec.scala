@@ -237,6 +237,15 @@ class ExtSpec extends SparkSpec {
       size(filter(split(col("text"), " "), w => w.isInCollection(words))).as("n"))
       .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
     assert(r === Map(1L -> 1, 2L -> -1))
+    // guard: a word set containing "" must NOT rewrite — split keeps
+    // trailing empty tokens where the kernel's String.split drops them,
+    // so the two formulations disagree on text with trailing spaces
+    val withEmpty = Seq((1L, "the cat ")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w.isInCollection(Seq("the", "")))).as("n"))
+    assert(!withEmpty.queryExecution.optimizedPlan.toString.contains("graft_word_hits"),
+      "rewrite fired despite an empty-string constant word")
+    assert(withEmpty.collect().head.getInt(1) === 2) // "the" + the trailing ""
   }
 
   test("clusterPairs: components labelled by min id, transitivity respected") {
