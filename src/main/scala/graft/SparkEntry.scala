@@ -291,7 +291,8 @@ object SparkEntry {
       Quality.check(rd(s, dir, "lineitem"),
         Seq(Quality.notNull("l_orderkey"),
           Quality.inRange("l_quantity", 1, 50),
-          Quality.inRange("l_discount", 0, 0.05)),
+          Quality.inRange("l_discount", 0, 0.05),
+          Quality.inSet("l_returnflag", Seq("A", "N", "R"))),
         uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))),
     "q_tpch_q5" -> ((s, dir) =>
       Aggregates.localSupplierVolume(
@@ -338,6 +339,26 @@ object SparkEntry {
     }),
     "q_events_daily" -> ((s, dir) => Events.dailyFunnel(rd(s, dir, "events"))),
     "q_retention" -> ((s, dir) => Events.dailyRetention(rd(s, dir, "events"))),
+    // deterministic keep-latest per (user, event_type) — the CDC rule
+    // T2's arbitrary-winner dropDuplicates can't express
+    "t10_latest_by_key" -> ((s, dir) => {
+      val ev = Events.normalizeTs(rd(s, dir, "events"))
+      Cleaning.latestByKey(ev, Seq("user_id", "event_type"), "ts", "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    // corpus composition: exact share of each (lang, source) cell. The
+    // total comes from an empty-frame window over the (tiny) grouped
+    // result — no eager count, the plan stays lazy end-to-end
+    "d_source_mix" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double"))
+        .orderBy(col("lang"), col("source"))),
     // token-length histogram: the corpus composition report sized in
     // 10-token buckets
     "d_length_hist" -> ((s, dir) =>
@@ -914,6 +935,9 @@ ORDER BY revenue DESC, orderdate_epoch, orderkey LIMIT 10""",
   SELECT 'range_l_discount', COUNT(*),
     CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
   UNION ALL
+  SELECT 'in_set_l_returnflag', COUNT(*),
+    CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
   SELECT 'unique_l_orderkey_l_linenumber', COUNT(*),
     COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
 ) ORDER BY rule""",
@@ -959,6 +983,17 @@ ORDER BY first_doc, h""",
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
   COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t10_latest_by_key" ->
+      """SELECT user_id, event_type, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch, value
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id, event_type""",
+    "d_source_mix" ->
+      """WITH g AS (SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2)
+SELECT lang, source, n_docs,
+  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS share
+FROM g ORDER BY lang, source""",
     "q_retention" ->
       """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
 SELECT a.day, COUNT(*) AS n_active, COUNT(b.next_day) AS n_retained

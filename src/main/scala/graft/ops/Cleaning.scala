@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** Cleaning transforms (reference: simple_etl.py:150-210, SURVEY.md §2.2
   * T1-T2). Pure `DataFrame => DataFrame`; no action is triggered here —
@@ -41,6 +42,28 @@ object Cleaning {
     * (simple_etl.py:207). Two actions — call sparingly.
     */
   def dedupRemovedCount(df: DataFrame): Long = df.count() - df.dropDuplicates().count()
+
+  /** DETERMINISTIC keyed dedup: keep the row with the greatest
+    * (orderCol, tieCol) per key — the CDC keep-latest rule.
+    * [[dedupByKey]] keeps an ARBITRARY row (dropDuplicates semantics:
+    * whichever arrives first in the aggregate), which is fine for exact
+    * duplicates but wrong for change streams where the winner matters;
+    * this variant is reproducible across runs, partitionings, and
+    * engines. One row_number window — shuffle on the key columns only.
+    */
+  def latestByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tieCol: String): DataFrame = {
+    require(keys.nonEmpty, "latestByKey needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** Deterministic stratified sample — the training-data curation op
     * (downsample dominant languages/sources, keep rare strata): keep

@@ -767,6 +767,23 @@ class ExtSpec extends SparkSpec {
     assert(p3.map(_.getString(0)).toSet.intersect(p1.map(_.getString(0)).toSet).isEmpty)
   }
 
+  test("cleaning: latestByKey keeps the greatest (order, tie) row per key, deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10L, 100.0), (1L, "a", 20L, 200.0), // same key+ts: tie on id
+      (1L, "a", 20L, 300.0),
+      (2L, "b", 5L, 50.0))
+      .toDF("k", "g", "ts", "v")
+      .withColumn("id", monotonically_increasing_id())
+    val r = ops.Cleaning.latestByKey(df, Seq("k", "g"), "ts", "id")
+      .select("k", "g", "ts").collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.toSet === Set((1L, "a", 20L), (2L, "b", 5L)))
+    // deterministic: repeated runs pick the identical winner rows
+    val a = ops.Cleaning.latestByKey(df, Seq("k", "g"), "ts", "id").collect().map(_.toString).sorted
+    val b = ops.Cleaning.latestByKey(df, Seq("k", "g"), "ts", "id").collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("tables: spread widens narrow scans, leaves exchange-bearing plans untouched") {
     val scan = t("documents")
     val cores = spark.sparkContext.defaultParallelism
