@@ -294,6 +294,11 @@ object SparkEntry {
           Quality.inRange("l_discount", 0, 0.05),
           Quality.inSet("l_returnflag", Seq("A", "N", "R"))),
         uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))),
+    "q_tpch_q6" -> ((s, dir) => Aggregates.forecastRevenue(rd(s, dir, "lineitem"))),
+    "q_tpch_q10" -> ((s, dir) =>
+      Aggregates.returnedItemReport(
+        rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"),
+        rd(s, dir, "nation"))),
     "q_tpch_q5" -> ((s, dir) =>
       Aggregates.localSupplierVolume(
         rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"),
@@ -941,6 +946,24 @@ ORDER BY revenue DESC, orderdate_epoch, orderkey LIMIT 10""",
   SELECT 'unique_l_orderkey_l_linenumber', COUNT(*),
     COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
 ) ORDER BY rule""",
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_tpch_q5" ->
       """SELECT n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue

@@ -304,6 +304,60 @@ object Aggregates {
     * casting the double product would round differently per engine),
     * one cast to double after the exact sum.
     */
+  /** TPC-H Q6 "forecasting revenue change": one-table filter + global
+    * aggregate — every predicate reaches the parquet scan (PushedFilters
+    * on shipdate/discount/quantity), the sum is a partial-first
+    * single-group aggregate, and the revenue product follows the exact
+    * decimal policy. The simplest possible 100 TB query: scan-local
+    * work, one scalar crosses the wire per partition.
+    */
+  def forecastRevenue(
+      lineitem: DataFrame,
+      yearStart: String = "1997-01-01",
+      yearEnd: String = "1998-01-01",
+      discountLo: Double = 0.05,
+      discountHi: Double = 0.07,
+      maxQty: Double = 24): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(yearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yearEnd).cast("timestamp") &&
+        col("l_discount") >= discountLo && col("l_discount") <= discountHi &&
+        col("l_quantity") < maxQty)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_discount").cast("decimal(18,4)"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10 "returned item reporting": top 20 customers by revenue
+    * lost to returns in one quarter. Star shape: date-filtered orders x
+    * returnflag-filtered lineitem x customer x broadcast nation; top-20
+    * via TakeOrderedAndProject.
+    */
+  def returnedItemReport(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      nation: DataFrame,
+      quarterStart: String = "1997-01-01",
+      quarterEnd: String = "1997-04-01"): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit(quarterStart).cast("timestamp") &&
+        col("o_orderdate") < lit(quarterEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+    val l = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), rev.as("rev"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .join(customer, col("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q5 "local supplier volume": revenue per nation from orders
     * where the customer and the line's supplier sit in the SAME nation,
     * for one region and one order-date year. The 6-table star: nation
