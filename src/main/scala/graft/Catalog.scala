@@ -73,15 +73,26 @@ object Scratch {
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) {
-        val d = new java.io.File(shm, "graft-scratch")
-        // wipe leftovers from PREVIOUS runs first: tmpfs survives JVM
-        // exit, and the sink-roundtrip queries create temp dirs every
-        // run — without this, repeated bench/verify runs accumulate
-        // RAM-backed parquet until reboot. Safe under the one-sbt-at-
-        // a-time contract (nothing else is using the dir at main start).
-        deleteRecursively(d)
-        d.mkdirs()
-        d.getAbsolutePath
+        val root = new java.io.File(shm, "graft-scratch")
+        root.mkdirs()
+        // Per-PID subdir, so concurrent graft JVMs (a test run next to a
+        // Verify run) can never clobber each other's shuffle files. tmpfs
+        // survives JVM exit and the sink-roundtrip queries create temp
+        // dirs every run, so reclaim siblings whose owning process is
+        // gone instead of wiping the whole root (which live-deleted a
+        // concurrent run's scratch when two sbt sessions overlapped).
+        val pid = ProcessHandle.current().pid()
+        val mine = new java.io.File(root, pid.toString)
+        val siblings = root.listFiles()
+        if (siblings != null) siblings.foreach { f =>
+          val stale = f.getName.toLongOption match {
+            case Some(p) => !ProcessHandle.of(p).isPresent
+            case None    => true // pre-per-pid layout leftovers
+          }
+          if (stale) deleteRecursively(f)
+        }
+        mine.mkdirs()
+        mine.getAbsolutePath
       } else System.getProperty("java.io.tmpdir")
     System.setProperty("java.io.tmpdir", base)
     base

@@ -303,6 +303,46 @@ object SparkEntry {
       Aggregates.localSupplierVolume(
         rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"),
         rd(s, dir, "supplier"), rd(s, dir, "nation"), rd(s, dir, "region"))),
+    // ---- Extensions: the rest of the TPC-H suite (fixture-adapted,
+    // see graft.ext.Tpch scaladoc for each substitution) ----
+    "q_tpch_q4" -> ((s, dir) =>
+      Tpch.q4OrderPriority(rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
+    "q_tpch_q7" -> ((s, dir) =>
+      Tpch.q7VolumeShipping(rd(s, dir, "supplier"), rd(s, dir, "lineitem"),
+        rd(s, dir, "orders"), rd(s, dir, "customer"), rd(s, dir, "nation"))),
+    "q_tpch_q8" -> ((s, dir) =>
+      Tpch.q8MarketShare(rd(s, dir, "part"), rd(s, dir, "supplier"),
+        rd(s, dir, "lineitem"), rd(s, dir, "orders"), rd(s, dir, "customer"),
+        rd(s, dir, "nation"), rd(s, dir, "region"))),
+    "q_tpch_q9" -> ((s, dir) =>
+      Tpch.q9ProductProfit(rd(s, dir, "part"), rd(s, dir, "supplier"),
+        rd(s, dir, "lineitem"), rd(s, dir, "orders"), rd(s, dir, "nation"))),
+    "q_tpch_q12" -> ((s, dir) =>
+      Tpch.q12LateLinesByPriority(rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
+    "q_tpch_q13" -> ((s, dir) =>
+      Tpch.q13CustomerDistribution(rd(s, dir, "customer"), rd(s, dir, "orders"))),
+    "q_tpch_q14" -> ((s, dir) =>
+      Tpch.q14PromotionEffect(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
+    "q_tpch_q15" -> ((s, dir) =>
+      Tpch.q15TopSupplier(rd(s, dir, "lineitem"), rd(s, dir, "supplier"))),
+    "q_tpch_q16" -> ((s, dir) =>
+      Tpch.q16PartSupplierCounts(rd(s, dir, "lineitem"), rd(s, dir, "part"),
+        rd(s, dir, "supplier"))),
+    "q_tpch_q17" -> ((s, dir) =>
+      Tpch.q17SmallQuantityRevenue(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
+    "q_tpch_q18" -> ((s, dir) =>
+      Tpch.q18LargeVolumeCustomers(rd(s, dir, "customer"), rd(s, dir, "orders"),
+        rd(s, dir, "lineitem"))),
+    "q_tpch_q19" -> ((s, dir) =>
+      Tpch.q19DiscountedRevenue(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
+    "q_tpch_q20" -> ((s, dir) =>
+      Tpch.q20PromotionSuppliers(rd(s, dir, "supplier"), rd(s, dir, "lineitem"),
+        rd(s, dir, "part"))),
+    "q_tpch_q21" -> ((s, dir) =>
+      Tpch.q21WaitingSuppliers(rd(s, dir, "supplier"), rd(s, dir, "lineitem"),
+        rd(s, dir, "orders"))),
+    "q_tpch_q22" -> ((s, dir) =>
+      Tpch.q22DormantCustomers(rd(s, dir, "customer"), rd(s, dir, "orders"))),
     // bloom-pruned semi join: lineitems of high-value orders — the
     // manual runtime-filter shape; result is EXACT (verify join covers
     // the bloom's false positives)
@@ -976,6 +1016,155 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM supplier JOIN lineitem ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_tpch_q8" ->
+      """WITH allv AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+    n2.n_name AS nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+  floor(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) * 10000) / 10000.0 AS mkt_share
+FROM allv GROUP BY o_year ORDER BY o_year""",
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+    - CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(8,4)) * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+FROM part JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q14" ->
+      """SELECT floor(100.0
+    * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+    * 10000) / 10000.0 AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""",
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey""",
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch_q17" ->
+      """SELECT floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 * 10000) / 10000.0 AS avg_yearly,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+  AND l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""",
+    "q_tpch_q18" ->
+      """WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+SELECT c_name, c_custkey, o_orderkey,
+  CAST(epoch(o_orderdate) AS BIGINT) AS odate_epoch,
+  o_totalprice, CAST(qty AS DOUBLE) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey""",
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 400)
+ORDER BY s_suppkey""",
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q_tpch_q22" ->
+      """WITH avgbal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS a
+  FROM customer
+  WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (SELECT a FROM avgbal)
+  AND NOT EXISTS (SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode ORDER BY cntrycode""",
     "q_bloom_join" ->
       """SELECT l_returnflag, COUNT(*) AS n,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
