@@ -272,16 +272,22 @@ class ExtSpec extends SparkSpec {
     // adversarial topology for label propagation: a 1000-node path graph
     // (diameter 999 — propagation would need 999 rounds / 999 shuffles;
     // star contraction folds it in O(log n) alternating rounds)
+    // driverEdgeMax = 0 forces the DISTRIBUTED contraction (the chain is
+    // under the adaptive driver-side threshold otherwise)
     val chain = (0L until 1000L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
-    val labels = Dedup.clusterPairsStar(chain, maxIter = 30).collect()
+    val labels = Dedup.clusterPairsStar(chain, maxIter = 30, driverEdgeMax = 0L).collect()
     assert(labels.length === 1000)
     assert(labels.map(_.getLong(1)).distinct.toSeq === Seq(0L))
-    // random multi-component graph: star and propagation must agree
+    // random multi-component graph: driver union-find, distributed star,
+    // and propagation must all agree
     val rnd = new scala.util.Random(7)
     val randomPairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
       .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
-    val viaStar = Dedup.clusterPairsStar(randomPairs).collect().map(_.toString).toSeq
+    val viaDriver = Dedup.clusterPairsStar(randomPairs).collect().map(_.toString).toSeq
+    val viaStar = Dedup.clusterPairsStar(randomPairs, driverEdgeMax = 0L)
+      .collect().map(_.toString).toSeq
     val viaProp = Dedup.clusterPairs(randomPairs).collect().map(_.toString).toSeq
+    assert(viaDriver === viaStar)
     assert(viaStar === viaProp)
   }
 
