@@ -240,6 +240,37 @@ object SparkEntry {
           lit(0).cast(nation.schema("n_regionkey").dataType).as("n_regionkey")))
       Sinks.upsertParquet(s, tmp, updates, "n_nationkey").orderBy(col("n_nationkey"))
     }),
+    // SCD Type-2 dimension history: seed nation as all-current versions
+    // effective 2020-01-01, then merge a batch effective 2024-06-01 with
+    // 3 changed names, 1 byte-identical no-op row (must NOT version),
+    // and 1 brand-new key
+    "k12_scd2" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/nation"
+      val nation = rd(s, dir, "nation")
+      val base = nation
+        .withColumn("valid_from", lit(java.sql.Date.valueOf("2020-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      Sinks.parquet(base, tmp)
+      val updates = nation.filter(col("n_nationkey") < 3)
+        .select(col("n_nationkey"), concat(lit("UPDATED_"), col("n_name")).as("n_name"),
+          col("n_regionkey"))
+        .unionByName(nation.filter(col("n_nationkey") === 5)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        .unionByName(nation.limit(1).select(
+          lit(99).cast(nation.schema("n_nationkey").dataType).as("n_nationkey"),
+          lit("NEWLAND").cast("string").as("n_name"),
+          lit(0).cast(nation.schema("n_regionkey").dataType).as("n_regionkey")))
+      // dates emitted as epoch-day BIGINTs (null valid_to -> -1): the
+      // cross-engine convention for nullable dates (scaladoc at top)
+      val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+      Sinks.scd2Merge(s, tmp, updates, "n_nationkey", java.sql.Date.valueOf("2024-06-01"))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          datediff(col("valid_from"), epoch).cast("bigint").as("valid_from_day"),
+          coalesce(datediff(col("valid_to"), epoch).cast("bigint"), lit(-1L)).as("valid_to_day"),
+          col("is_current"))
+        .orderBy(col("n_nationkey"), col("valid_from_day"))
+    }),
     "q_quantiles" -> ((s, dir) => Aggregates.orderValueQuantiles(rd(s, dir, "orders"))),
     "q_order_stats_approx" -> ((s, dir) => Aggregates.orderStatsApprox(rd(s, dir, "orders"))),
     "q_window_top_order" -> ((s, dir) =>
@@ -869,6 +900,50 @@ FROM customer"""
   UNION ALL
   SELECT 99, 'NEWLAND', 0
 ) ORDER BY n_nationkey""",
+    "k12_scd2" ->
+      """WITH upd AS (
+  SELECT n_nationkey, 'UPDATED_' || n_name AS n_name, n_regionkey
+  FROM nation WHERE n_nationkey < 3
+  UNION ALL
+  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey = 5
+  UNION ALL
+  SELECT 99, 'NEWLAND', 0
+),
+base AS (
+  SELECT n_nationkey, n_name, n_regionkey,
+    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+    TRUE AS is_current
+  FROM nation
+),
+changed AS (
+  SELECT u.* FROM upd u JOIN base b
+    ON u.n_nationkey = b.n_nationkey AND b.is_current
+  WHERE u.n_name IS DISTINCT FROM b.n_name
+     OR u.n_regionkey IS DISTINCT FROM b.n_regionkey
+),
+newkeys AS (
+  SELECT u.* FROM upd u
+  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.n_nationkey = u.n_nationkey)
+)
+SELECT n_nationkey, n_name, n_regionkey,
+  CAST(valid_from - DATE '1970-01-01' AS BIGINT) AS valid_from_day,
+  COALESCE(CAST(valid_to - DATE '1970-01-01' AS BIGINT), -1) AS valid_to_day,
+  is_current
+FROM (
+  SELECT b.n_nationkey, b.n_name, b.n_regionkey, b.valid_from,
+    CASE WHEN c.n_nationkey IS NOT NULL THEN DATE '2024-06-01' ELSE b.valid_to END AS valid_to,
+    b.is_current AND c.n_nationkey IS NULL AS is_current
+  FROM base b LEFT JOIN (SELECT DISTINCT n_nationkey FROM changed) c
+    ON b.n_nationkey = c.n_nationkey
+  UNION ALL
+  SELECT n_nationkey, n_name, n_regionkey,
+    DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+  FROM changed
+  UNION ALL
+  SELECT n_nationkey, n_name, n_regionkey,
+    DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+  FROM newkeys
+) ORDER BY n_nationkey, valid_from_day""",
     "q_order_stats" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total

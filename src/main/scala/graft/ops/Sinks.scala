@@ -175,6 +175,66 @@ object Sinks {
     }
   }
 
+  /** SCD Type-2 merge into a parquet dimension history: the base table
+    * carries (attrs..., valid_from DATE, valid_to DATE nullable,
+    * is_current BOOLEAN); `updates` carries (key, attrs...). For every
+    * update whose attribute tuple IS DISTINCT FROM the key's current
+    * row, the current row is closed (valid_to = `effective`,
+    * is_current = false) and a new current version is inserted
+    * (valid_from = `effective`); identical updates are no-ops (no
+    * spurious versions); unknown keys insert as brand-new current rows.
+    * Closed history rows are never touched.
+    *
+    * Plan shape: `updates` is the small side of every comparison —
+    * the changed-key detection is one join updates->current rows (AQE
+    * broadcasts a small update batch at runtime), and the history
+    * rewrite is anti-join + unions, all shuffle-on-key. Whole-table
+    * rewrite via the same crash-safe temp-sibling swap as
+    * [[upsertParquet]]; on a partitioned 100 TB dimension restrict the
+    * rewrite to partitions the update keys touch (dynamic partition
+    * overwrite).
+    */
+  def scd2Merge(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCol: String,
+      effective: java.sql.Date): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(path)
+    swapRewrite(spark, p) { tmp =>
+      val existing = spark.read.parquet(path)
+      val metaCols = Seq("valid_from", "valid_to", "is_current")
+      val attrCols = existing.columns.filterNot(c => metaCols.contains(c) || c == keyCol).toSeq
+      val cur = existing.filter(col("is_current"))
+      // updates whose attribute tuple differs from the key's current row
+      val differs = attrCols
+        .map(a => !(updates(a) <=> cur(a)))
+        .reduce(_ || _)
+      val changed = updates.join(cur, updates(keyCol) === cur(keyCol) && differs, "left_semi")
+      val newKeys = updates.join(existing, Seq(keyCol), "left_anti")
+      def version(df: DataFrame) = df
+        .select((keyCol +: attrCols).map(col).toIndexedSeq: _*)
+        .withColumn("valid_from", lit(effective))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val changedKeys = changed.select(col(keyCol)).distinct()
+      val closedOrKept = existing
+        .join(changedKeys.withColumn("__chg", lit(1)), Seq(keyCol), "left")
+        .select(
+          (existing.columns.filterNot(metaCols.contains).map(col) ++ Seq(
+            col("valid_from"),
+            when(col("is_current") && col("__chg").isNotNull, lit(effective))
+              .otherwise(col("valid_to")).as("valid_to"),
+            (col("is_current") && col("__chg").isNull).as("is_current"))).toIndexedSeq: _*)
+      val merged = closedOrKept
+        .unionByName(version(changed))
+        .unionByName(version(newKeys))
+        .select(existing.columns.map(col).toIndexedSeq: _*)
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
+
   /** Rewrite `target` via temp-sibling + rename-aside: `write` produces
     * the new content at the temp path; the original is renamed aside
     * (not deleted) before the temp renames into place, so a crash at any

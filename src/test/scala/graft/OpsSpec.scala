@@ -297,6 +297,40 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 6)
   }
 
+  test("K12 scd2Merge: changed rows close + reversion, no-op updates do not version, new keys insert") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString + "/p"
+    import spark.implicits._
+    val eff0 = java.sql.Date.valueOf("2020-01-01")
+    val eff1 = java.sql.Date.valueOf("2024-06-01")
+    Sinks.parquet(products
+      .withColumn("valid_from", lit(eff0))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true)), dir)
+    val updates = Seq(
+      ("P-001", "Gaming Mouse", "Electronics"), // changed name -> new version
+      ("P-002", "Keyboard", "Electronics"),     // byte-identical -> NO new version
+      ("P-009", "Headset", "Audio"))            // new key
+      .toDF("Product_ID", "Product_Name", "Category")
+    val merged = Sinks.scd2Merge(spark, dir, updates, "Product_ID", eff1)
+    // 5 base + 1 new version + 1 new key = 7 (no row for the no-op)
+    assert(merged.count() === 7)
+    val p1 = merged.filter(col("Product_ID") === "P-001")
+      .orderBy(col("valid_from")).collect()
+    assert(p1.length === 2)
+    assert(p1(0).getAs[java.sql.Date]("valid_to") === eff1 && !p1(0).getAs[Boolean]("is_current"))
+    assert(p1(1).getAs[java.sql.Date]("valid_from") === eff1 &&
+      p1(1).getAs[java.sql.Date]("valid_to") == null && p1(1).getAs[Boolean]("is_current"))
+    assert(p1(1).getAs[String]("Product_Name") === "Gaming Mouse")
+    val p2 = merged.filter(col("Product_ID") === "P-002").collect()
+    assert(p2.length === 1 && p2(0).getAs[Boolean]("is_current")
+      && p2(0).getAs[java.sql.Date]("valid_to") == null)
+    val p9 = merged.filter(col("Product_ID") === "P-009").collect()
+    assert(p9.length === 1 && p9(0).getAs[Boolean]("is_current")
+      && p9(0).getAs[java.sql.Date]("valid_from") === eff1)
+    // idempotence: re-merging the same batch changes nothing
+    assert(Sinks.scd2Merge(spark, dir, updates, "Product_ID", eff1).count() === 7)
+  }
+
   test("K6 compactParquet collapses a fragmented directory, preserves data") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString + "/n"
     val nation = t("nation")
