@@ -537,6 +537,8 @@ object SparkEntry {
     // near-dups share long exact spans; unrelated docs share none)
     "d_substring_dup" -> ((s, dir) => Dedup.substringDup(rd(s, dir, "documents"))),
     "d_minhash_lsh" -> ((s, dir) => Dedup.minhashDedup(rd(s, dir, "documents"))),
+    // short-string (title) near-dup: prefix-blocked Levenshtein pairs
+    "d_edit_neardup" -> ((s, dir) => Dedup.editDistancePairs(rd(s, dir, "documents"))),
     "d_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(rd(s, dir, "documents"))),
     // the decision layer over the clusters: keep the longest member
     "d_dedup_keep" -> ((s, dir) => Dedup.dedupKeepList(rd(s, dir, "documents"))),
@@ -1522,6 +1524,18 @@ GROUP BY 1 ORDER BY 1""",
 FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_minhash_lsh" -> jaccardSql(0.9),
+    "d_edit_neardup" ->
+      """WITH t AS (
+  SELECT doc_id,
+    array_to_string((string_split(text, ' '))[1:6], ' ') AS title,
+    string_split(text, ' ')[1] AS blk
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_dist
+FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 5
+ORDER BY doc_a, doc_b""",
     "d_dedup_clusters" -> clustersSql,
     "d_dedup_keep" -> dedupKeepSql,
     "d_simhash" -> {

@@ -291,6 +291,20 @@ class ExtSpec extends SparkSpec {
     assert(viaStar === viaProp)
   }
 
+  test("editDistancePairs: threshold + prefix-block contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delts"),   // dist 1 to doc 1
+      (3L, "alpha bete gamme delte"),   // dist 3 to doc 1, 3 to doc 2 (substitutions)
+      (4L, "alpha completely different words here"), // same block, dist > 5
+      (5L, "omega beta gamma delta"))   // different first token: blocked out
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, titleTokens = 6, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 3L)))
+  }
+
   test("substringDup: counts exactly the windows shared with EARLIER docs") {
     import spark.implicits._
     // a 35-token span has 35-30+1 = 6 distinct 30-token windows; doc 2
