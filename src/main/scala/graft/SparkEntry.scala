@@ -313,6 +313,10 @@ object SparkEntry {
     "q_events_sliding" -> ((s, dir) => Events.slidingHourlyByType(rd(s, dir, "events"))),
     "q_events_json" -> ((s, dir) => Events.propsKStats(rd(s, dir, "events"))),
     "q_events_sessions" -> ((s, dir) => Events.sessionCounts(rd(s, dir, "events"))),
+    // sparse per-entity series -> dense day grid, forward-filled
+    "q_gap_fill" -> ((s, dir) => Events.gapFillDailyPurchases(rd(s, dir, "events"))),
+    // exact-moment z-scores: hash-gateable anomaly detection
+    "q_anomaly_days" -> ((s, dir) => Events.dailyAnomalies(rd(s, dir, "events"))),
     "q_tpch_q3" -> ((s, dir) =>
       Aggregates.shippingPriority(
         rd(s, dir, "customer"), rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
@@ -1021,6 +1025,50 @@ SELECT ws, event_type, COUNT(*) AS n FROM (
   SELECT k - 1800, event_type FROM b)
 GROUP BY ws, event_type ORDER BY ws, event_type""",
     "q_events_hourly" -> eventsHourlyOracle,
+    "q_gap_fill" ->
+      """WITH daily AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+  FROM events WHERE event_type = 'purchase' AND user_id BETWEEN 1 AND 10
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS mn,
+         MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS mx
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, gs.day_num
+  FROM (SELECT DISTINCT user_id FROM daily) u,
+       (SELECT unnest(generate_series(mn, mx)) AS day_num FROM b) gs
+)
+SELECT g.user_id, g.day_num,
+  COALESCE(d.day_value, -1.0) AS day_value,
+  COALESCE(last_value(d.day_value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.day_num
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS filled_value
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day_num = d.day_num
+ORDER BY g.user_id, g.day_num""",
+    "q_anomaly_days" ->
+      """WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+    SUM(CAST(value AS DECIMAL(18,2))) AS d
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(d) AS DOUBLE) AS s1, CAST(SUM(d * d) AS DOUBLE) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT event_type, day_num, day_value,
+  CASE WHEN sd = 0 THEN 0.0 ELSE floor(z0 * 10000) / 10000.0 END AS z,
+  CASE WHEN sd = 0 THEN FALSE ELSE abs(z0) > 2.0 END AS is_anomaly
+FROM (
+  SELECT d.event_type, d.day_num, CAST(d.d AS DOUBLE) AS day_value,
+    sqrt((n * s2 - s1 * s1) / (n * n)) AS sd,
+    (CAST(d.d AS DOUBLE) - s1 / n) / sqrt((n * s2 - s1 * s1) / (n * n)) AS z0
+  FROM daily d JOIN stats USING (event_type)
+) ORDER BY event_type, day_num""",
     "q_events_json" ->
       """SELECT event_type,
   CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -203,4 +203,70 @@ object Events {
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("day"), col("event_type"))
   }
+
+  private def dayNumCol: org.apache.spark.sql.Column =
+    datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).cast("bigint")
+
+  /** Time-series gap filling with forward fill (last observation carried
+    * forward): per tracked user, daily purchase totals over the corpus'
+    * FULL day range — days without a purchase get the user's most recent
+    * prior total (-1 before any observation). The feature-engineering
+    * shape for sparse per-entity signals joined against dense grids.
+    *
+    * Scale shape: the grid is keys x sequence(min_day, max_day)
+    * exploded MAP-SIDE off a 1-row broadcast bounds aggregate (never a
+    * row-proportional driver collect); the fill is one window over the
+    * grid, partitioned by key — a single shuffle on user_id. Grid rows =
+    * |keys| x |days|, independent of event count.
+    */
+  def gapFillDailyPurchases(eventsRaw: DataFrame, maxUser: Int = 10): DataFrame = {
+    graft.ext.expr.Int128Sum.ensureRegistered(eventsRaw.sparkSession)
+    val events = normalizeTs(eventsRaw)
+    val obs = events.filter(col("event_type") === "purchase" &&
+      col("user_id").between(1, maxUser))
+    val daily = obs.groupBy(col("user_id"), dayNumCol.as("day_num"))
+      .agg(graft.ext.expr.Int128Sum.sumFixed(col("value"), 2).cast("double").as("day_value"))
+    val bounds = events.agg(min(dayNumCol).as("mn"), max(dayNumCol).as("mx"))
+    val grid = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds)) // 1-row bounds: map-side day expansion
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day_num"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day_num"), "left")
+      .select(col("user_id"), col("day_num"),
+        coalesce(col("day_value"), lit(-1.0)).as("day_value"),
+        coalesce(last(col("day_value"), ignoreNulls = true).over(w), lit(-1.0))
+          .as("filled_value"))
+      .orderBy(col("user_id"), col("day_num"))
+  }
+
+  /** Daily per-type anomaly flags via EXACT moments: day totals are
+    * exact fixed-point sums ([[graft.ext.expr.Int128Sum]]), and the
+    * per-type mean/variance come from exact integer/decimal first and
+    * second moments (n, Σd, Σd²) — so unlike a naive stddev_samp over
+    * doubles, the result is independent of partial-aggregation order:
+    * z-scores on both engines derive from IDENTICAL exact inputs and an
+    * identical IEEE expression tree, which is what lets an
+    * anomaly-detection query be hash-gated at all. Population variance
+    * var = (n·Σd² − (Σd)²)/n²; z truncated to 4 decimals; σ=0 → z=0.
+    */
+  def dailyAnomalies(eventsRaw: DataFrame, sigma: Double = 2.0): DataFrame = {
+    graft.ext.expr.Int128Sum.ensureRegistered(eventsRaw.sparkSession)
+    val events = normalizeTs(eventsRaw)
+    val daily = events.groupBy(col("event_type"), dayNumCol.as("day_num"))
+      .agg(graft.ext.expr.Int128Sum.sumFixed(col("value"), 2).as("d"))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("d")).cast("double").as("s1"),
+      sum(col("d") * col("d")).cast("double").as("s2"))
+    val sd = sqrt((col("n") * col("s2") - col("s1") * col("s1")) / (col("n") * col("n")))
+    val z = when(sd === 0.0, lit(0.0))
+      .otherwise((col("d").cast("double") - col("s1") / col("n")) / sd)
+    daily.join(stats, "event_type")
+      .select(col("event_type"), col("day_num"),
+        col("d").cast("double").as("day_value"),
+        graft.ext.Num.trunc4(z).as("z"),
+        (abs(z) > sigma).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day_num"))
+  }
 }
