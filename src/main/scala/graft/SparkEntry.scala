@@ -446,6 +446,23 @@ object SparkEntry {
         .select(floor(size(split(col("text"), " ")) / 10).cast("bigint").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("bucket"))),
+    // token-budget sequence packing: 2048-token pretraining shards per
+    // (source, 200-id shard) — the shard key is what keeps the window
+    // parallel at corpus scale
+    "d_seq_pack" -> ((s, dir) =>
+      Curation.seqPack(rd(s, dir, "documents"), budget = 2048L, shardSize = 200L)),
+    // per-source quota: at most 60 docs per source, hash-selected;
+    // the rank filter compiles to WindowGroupLimit (map-side pre-prune)
+    "d_cap_source" -> ((s, dir) =>
+      Curation.capPerGroup(rd(s, dir, "documents"), "source", "doc_id", cap = 60)
+        .select(col("doc_id"), col("source"), col("rn").cast("bigint").as("rn"))
+        .orderBy(col("doc_id"))),
+    // RAG/passage chunking: 50-token chunks at stride 40 (10-token
+    // overlap), md5 per chunk so the result stays fixed-width
+    "d_chunk" -> ((s, dir) =>
+      Curation.tokenChunks(rd(s, dir, "documents"), chunkSize = 50, stride = 40)),
+    "d_entropy" -> ((s, dir) => Curation.tokenEntropy(rd(s, dir, "documents"))),
+    "q_corr_profile" -> ((s, dir) => Aggregates.corrProfile(rd(s, dir, "lineitem"))),
     "q_asof_click_view" -> ((s, dir) => Events.clickLastView(rd(s, dir, "events"))),
     "q_range_click_purchase" -> ((s, dir) => Events.clickPurchaseCounts(rd(s, dir, "events"))),
     "q_funnel" -> ((s, dir) => Events.dailyConversion(rd(s, dir, "events"))),
@@ -1341,6 +1358,45 @@ GROUP BY a.day ORDER BY a.day""",
       """SELECT CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS bucket,
   COUNT(*) AS n_docs
 FROM documents GROUP BY 1 ORDER BY 1""",
+    "d_seq_pack" ->
+      """WITH t AS (SELECT source, doc_id, CAST(doc_id // 200 AS BIGINT) AS shard,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+SELECT source, shard, CAST(cum // 2048 AS BIGINT) AS pack,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "d_cap_source" ->
+      """SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 60 ORDER BY doc_id""",
+    "d_chunk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 40)) AS start FROM tok)
+SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_idx,
+  CAST(LEAST(50, n - start) AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(t[(start+1):(start+50)], ' ')) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_idx""",
+    "d_entropy" ->
+      """WITH tf AS (SELECT doc_id, w AS term, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_terms,
+  floor((ln(CAST(SUM(c) AS DOUBLE))
+         - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE))
+        / ln(2.0) * 10000) / 10000.0 AS entropy_bits
+FROM tf GROUP BY doc_id ORDER BY doc_id""",
+    "q_corr_profile" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+  floor(corr(l_quantity, l_extendedprice) * 10000) / 10000.0 AS corr_qty_price,
+  floor(corr(l_extendedprice, l_discount) * 10000) / 10000.0 AS corr_price_disc,
+  floor(covar_samp(l_quantity, l_extendedprice) * 10000) / 10000.0 AS cov_qty_price,
+  floor(stddev_samp(l_quantity) * 10000) / 10000.0 AS sd_qty,
+  floor(stddev_samp(l_extendedprice) * 10000) / 10000.0 AS sd_price
+FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_asof_click_view" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 views AS (SELECT user_id, ts AS view_ts, event_id AS view_id FROM events WHERE event_type = 'view')

@@ -419,4 +419,38 @@ object Aggregates {
       .orderBy(col("revenue").desc, col("orderdate_epoch"), col("orderkey"))
       .limit(10)
   }
+
+  /** Pairwise statistical profile of lineitem's numeric measures per
+    * return flag: Pearson correlation, sample covariance, and sample
+    * stddev — the feature-analysis pass a pipeline runs before using a
+    * column as a model signal or stratification key. One partial-first
+    * hash aggregate: Spark's corr/covar/stddev are single-pass mergeable
+    * co-moment accumulators (Welford/Chan), so the shuffle carries one
+    * small state per (group, pair), never rows.
+    *
+    * Determinism: co-moment merge order varies with partitioning, but
+    * both engines' stable one-pass formulations agree to ~1e-12
+    * relative; trunc4 makes the comparison grid 8 orders coarser than
+    * the noise, same policy as [[Curation.tokenEntropy]].
+    */
+  def corrProfile(lineitem: DataFrame): DataFrame = {
+    import Num.trunc4
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        corr(col("l_extendedprice"), col("l_discount")).as("corr_price_disc"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price"),
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        stddev_samp(col("l_extendedprice")).as("sd_price"))
+      .select(
+        col("l_returnflag"), col("n"),
+        trunc4(col("corr_qty_price")).as("corr_qty_price"),
+        trunc4(col("corr_price_disc")).as("corr_price_disc"),
+        trunc4(col("cov_qty_price")).as("cov_qty_price"),
+        trunc4(col("sd_qty")).as("sd_qty"),
+        trunc4(col("sd_price")).as("sd_price"))
+      .orderBy(col("l_returnflag"))
+  }
 }

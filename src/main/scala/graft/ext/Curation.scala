@@ -182,6 +182,22 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic pseudonymization: replace an identifier column with
+    * sha256(pepper | value) — the standard reversibility-free user-key
+    * anonymization for training corpora (same input always maps to the
+    * same pseudonym, so per-user aggregation/joins still work after
+    * anonymization; without the pepper the hash is a trivially
+    * brute-forceable dictionary for small key spaces). Pure map-side
+    * projection — codegen'd sha2, no shuffle, no driver state.
+    *
+    * NULL keys stay NULL: `concat` propagates null (matching SQL `||`),
+    * where `concat_ws` would SKIP the null and hash the pepper alone —
+    * silently merging every null-key row into one phantom identity.
+    */
+  def pseudonymize(df: DataFrame, keyCol: String, pepper: String): DataFrame =
+    df.withColumn(keyCol,
+      sha2(concat(lit(pepper + "|"), col(keyCol).cast("string")), 256))
+
   /** Benchmark-contamination screen: for every corpus document, the
     * number of distinct word-n-grams (default n = 8, the usual
     * decontamination shingle size; the declared query uses n = 5 to
@@ -205,22 +221,6 @@ object Curation {
     * join broadcast at runtime; it is not forced, since eval-set size
     * is caller data.
     */
-  /** Deterministic pseudonymization: replace an identifier column with
-    * sha256(pepper | value) — the standard reversibility-free user-key
-    * anonymization for training corpora (same input always maps to the
-    * same pseudonym, so per-user aggregation/joins still work after
-    * anonymization; without the pepper the hash is a trivially
-    * brute-forceable dictionary for small key spaces). Pure map-side
-    * projection — codegen'd sha2, no shuffle, no driver state.
-    *
-    * NULL keys stay NULL: `concat` propagates null (matching SQL `||`),
-    * where `concat_ws` would SKIP the null and hash the pepper alone —
-    * silently merging every null-key row into one phantom identity.
-    */
-  def pseudonymize(df: DataFrame, keyCol: String, pepper: String): DataFrame =
-    df.withColumn(keyCol,
-      sha2(concat(lit(pepper + "|"), col(keyCol).cast("string")), 256))
-
   def contaminationScreen(
       corpus: DataFrame,
       evalSet: DataFrame,
@@ -231,5 +231,154 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget shards —
+    * the "concatenate then chop at document granularity" packing every
+    * LLM pretraining pipeline runs to turn a document corpus into
+    * ~context-length training sequences. A document goes to the pack
+    * its cumulative start offset falls in (packs may overflow `budget`
+    * by at most one document — the standard approximation; exact
+    * first-fit bin packing is inherently sequential).
+    *
+    * Deterministic and layout-independent: packing order is
+    * (`groupCol`, shard, `keyCol`), never partition order. The window
+    * partitions on (`groupCol`, shard = key div `shardSize`), so no
+    * single reducer ever sees more than one shard of one group —
+    * partition the 100 TB case by choosing `shardSize` so a shard's
+    * rows fit one task, and parallelism scales with the corpus, not
+    * with the number of sources. A shard boundary just starts a new
+    * pack (pack ids are per-(group, shard)), which is exactly what
+    * makes shards independently computable.
+    *
+    * The pack id is exact cross-engine arithmetic: `cum - cum mod b`
+    * is a representable multiple of `b` (< 2^53), and correctly-rounded
+    * IEEE division of `k*b` by `b` yields the integer `k` exactly —
+    * both engines agree bit-for-bit, no float-boundary risk.
+    */
+  def seqPack(
+      docs: DataFrame,
+      budget: Long = 2048L,
+      shardSize: Long = 1L << 40,
+      groupCol: String = "source",
+      keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0 && shardSize > 0, s"budget=$budget shardSize=$shardSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("shard")).orderBy(col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = coalesce(sum(col("n_tokens")).over(w), lit(0L))
+    docs
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("shard",
+        ((col(keyCol).cast("long") - pmod(col(keyCol).cast("long"), lit(shardSize))) /
+          lit(shardSize)).cast("long"))
+      .withColumn("pack",
+        ((cum - pmod(cum, lit(budget))) / lit(budget)).cast("long"))
+      .groupBy(col(groupCol), col("shard"), col("pack"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(keyCol)).as("first_doc"),
+        max(col(keyCol)).as("last_doc"))
+      .orderBy(col(groupCol), col("shard"), col("pack"))
+  }
+
+  /** Per-group document cap: keep at most `cap` rows per `groupCol`,
+    * selected by Knuth multiplicative hash of the row key — the
+    * per-domain/per-source quota a web-scale corpus applies so no
+    * single domain dominates the training mix. Hash selection (same
+    * contract as [[splitAssign]]) makes the kept set reproducible and
+    * append-stable: a document already kept can only be displaced by
+    * new lower-hash documents of the SAME group, never by re-layout.
+    *
+    * Scale shape: the rank filter is declarative (`row_number <= cap`),
+    * which Spark's InferWindowGroupLimit rewrites into a
+    * WindowGroupLimit — every map task pre-prunes to its local top-cap
+    * BEFORE the shuffle, so the exchange carries O(partitions x cap)
+    * rows per group, not the whole group (plan-asserted in ExtSpec).
+    * That is the two-phase distributed top-k; a skewed group never
+    * materializes on one reducer.
+    */
+  def capPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap=$cap must be positive")
+    val h = pmod(
+      pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("h_sel"), col(keyCol))
+    docs.withColumn("h_sel", h)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("h_sel")
+  }
+
+  /** Fixed-size token chunking with overlap (`stride` < `chunkSize`
+    * overlaps adjacent chunks) — the passage/window splitter for RAG
+    * indexing and long-document pretraining. Pure per-row computation:
+    * split once, explode the chunk-start sequence, slice per start —
+    * no shuffle, fuses into the scan; output carries the md5 of each
+    * chunk (not the text) so downstream exchange stays fixed-width.
+    * Every token position lands in >= 1 chunk (starts step by `stride`
+    * from 0 while < n), and slice() clamps the final partial chunk.
+    */
+  def tokenChunks(
+      docs: DataFrame,
+      chunkSize: Int = 50,
+      stride: Int = 40,
+      keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(keyCol), toks.as("t"), size(toks).as("n"))
+      .select(col(keyCol), col("t"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .select(
+        col(keyCol),
+        col("pos").cast("long").as("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("col")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(col("t"), col("col") + 1, lit(chunkSize)), " ")).as("chunk_md5"))
+      .orderBy(col(keyCol), col("chunk_idx"))
+  }
+
+  /** Per-document token (Shannon) entropy in bits, plus distinct-term
+    * count — the classic diversity signal separating natural text from
+    * generated/boilerplate spam (low entropy = few distinct tokens
+    * dominate). H = log2(n) - (sum c*log2(c)) / n over term counts c.
+    *
+    * Shape: explode -> partial-first count per (doc, term) -> one more
+    * partial-first agg per doc — the tf-idf shuffle shape, carrying
+    * (doc_id, term-count) pairs only. The log() calls are the one
+    * place the suite leans on libm: both engines' ln are within 1 ulp,
+    * summed error ~1e-13 against a trunc4 comparison grid — the
+    * oracle-boundary risk is negligible (and tf-idf's exact-division
+    * policy is kept for scores that feed ORDER BY).
+    */
+  def tokenEntropy(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import Num.trunc4
+    val ln2 = math.log(2.0)
+    val tf = graft.Tables.spread(docs)
+      .select(col(keyCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(keyCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col(keyCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+      .select(
+        col(keyCol),
+        col("n_tokens"),
+        col("n_terms"),
+        trunc4((log(col("n_tokens").cast("double")) -
+          col("clc") / col("n_tokens").cast("double")) / lit(ln2)).as("entropy_bits"))
+      .orderBy(col(keyCol))
   }
 }

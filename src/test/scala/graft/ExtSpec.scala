@@ -929,4 +929,83 @@ class ExtSpec extends SparkSpec {
     assert(r.head.getLong(0) === 10L)
     assert(r.head.getDouble(1) === 140.0)
   }
+
+  test("seqPack conserves tokens, packs are contiguous id ranges from 0") {
+    val docs = t("documents")
+    val packs = Curation.seqPack(docs, budget = 512L, shardSize = 100L).collect()
+    val total = packs.map(_.getAs[Long]("n_tokens")).sum
+    val expected = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    assert(total === expected) // every token lands in exactly one pack
+    packs.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("pack"))
+        assert(sorted.head.getAs[Long]("pack") === 0L)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            // doc ranges never interleave across packs
+            assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+          case _ =>
+        }
+      }
+  }
+
+  test("capPerGroup: cap honored, deterministic, and map-side pre-pruned") {
+    val docs = t("documents")
+    val capped = Curation.capPerGroup(docs, "source", "doc_id", cap = 7)
+    val perGroup = capped.groupBy("source").count().collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_.getAs[Long]("count") <= 7L))
+    // the rank filter must compile to WindowGroupLimit: each map task
+    // pre-prunes to its local top-cap BEFORE the shuffle
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    // hash selection is reproducible run-to-run
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Curation.capPerGroup(docs, "source", "doc_id", cap = 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("tokenChunks: stride coverage and exact chunk content") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val r = Curation.tokenChunks(df, chunkSize = 3, stride = 2)
+      .collect().sortBy(_.getAs[Long]("chunk_idx"))
+    def m(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(r.length === 3) // starts 0, 2, 4
+    assert(r.map(_.getAs[String]("chunk_md5")).toSeq ===
+      Seq(m("a b c"), m("c d e"), m("e")))
+    assert(r.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(3L, 3L, 1L))
+    // corpus-wide: chunk count per doc is floor((n-1)/stride)+1
+    val docs = t("documents")
+    val got = Curation.tokenChunks(docs, 50, 40)
+      .groupBy("doc_id").count()
+    val want = docs.select(col("doc_id"),
+      (floor((size(split(col("text"), " ")) - 1) / 40) + 1).as("want"))
+    assert(got.join(want, "doc_id")
+      .filter(col("count") =!= col("want")).count() === 0L)
+  }
+
+  test("tokenEntropy: uniform = log2(n), constant = 0") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a a a a")).toDF("doc_id", "text")
+    val r = Curation.tokenEntropy(df).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(r(0).getAs[Long]("n_terms") === 4L)
+    assert(math.abs(r(0).getAs[Double]("entropy_bits") - 2.0) < 1e-3)
+    assert(r(1).getAs[Long]("n_terms") === 1L)
+    assert(r(1).getAs[Double]("entropy_bits") === 0.0)
+  }
+
+  test("corrProfile: linear columns correlate to 1") {
+    import spark.implicits._
+    val li = (1 to 100).map(i =>
+      (i.toDouble % 17, (i.toDouble % 17) * 2.0 + 5.0, 0.05, "A"))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
+    val r = Aggregates.corrProfile(li).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Double]("corr_qty_price") >= 0.9999)
+    assert(r.head.getAs[Long]("n") === 100L)
+  }
 }
