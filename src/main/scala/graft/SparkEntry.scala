@@ -463,6 +463,21 @@ object SparkEntry {
       Curation.tokenChunks(rd(s, dir, "documents"), chunkSize = 50, stride = 40)),
     "d_entropy" -> ((s, dir) => Curation.tokenEntropy(rd(s, dir, "documents"))),
     "q_corr_profile" -> ((s, dir) => Aggregates.corrProfile(rd(s, dir, "lineitem"))),
+    // length-weighted deterministic sampling: keep probability
+    // least(n_chars, 2000)/4000 — the whole decision is exact integer
+    // arithmetic (cross-multiplied hash threshold)
+    "d_sample_weighted" -> ((s, dir) =>
+      Curation.weightedSample(rd(s, dir, "documents"), "doc_id",
+        least(col("n_chars"), lit(2000L)), 4000L)
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+    "q_transitions" -> ((s, dir) => Events.transitionMatrix(rd(s, dir, "events"))),
+    "q_cooccur" -> ((s, dir) => Events.eventCooccurrence(rd(s, dir, "events"))),
+    "q_zscore" -> ((s, dir) =>
+      Aggregates.zscoreNormalize(rd(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("z"))
+        // (orderkey, linenumber) is NOT unique in this fixture: order by
+        // every output column so the ordering is total over the multiset
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("z"))),
     "q_asof_click_view" -> ((s, dir) => Events.clickLastView(rd(s, dir, "events"))),
     "q_range_click_purchase" -> ((s, dir) => Events.clickPurchaseCounts(rd(s, dir, "events"))),
     "q_funnel" -> ((s, dir) => Events.dailyConversion(rd(s, dir, "events"))),
@@ -1389,6 +1404,35 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_terms,
          - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE))
         / ln(2.0) * 10000) / 10000.0 AS entropy_bits
 FROM tf GROUP BY doc_id ORDER BY doc_id""",
+    "d_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) * 4000 <
+      LEAST(n_chars, 2000) * 4294967296
+ORDER BY doc_id""",
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+  LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+FROM events),
+g AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+  floor(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+        * 10000) / 10000.0 AS share
+FROM g ORDER BY prev_type, next_type""",
+    "q_cooccur" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_zscore" ->
+      """WITH s AS (SELECT l_returnflag,
+  AVG(l_quantity) AS mu, STDDEV_SAMP(l_quantity) AS sd, COUNT(*) AS n
+FROM lineitem GROUP BY 1)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+  CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+       ELSE floor((l_quantity - mu) / sd * 10000) / 10000.0 END AS z
+FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+ORDER BY l_orderkey, l_linenumber, l.l_returnflag, z""",
     "q_corr_profile" ->
       """SELECT l_returnflag, COUNT(*) AS n,
   floor(corr(l_quantity, l_extendedprice) * 10000) / 10000.0 AS corr_qty_price,

@@ -433,6 +433,27 @@ object Aggregates {
     * relative; trunc4 makes the comparison grid 8 orders coarser than
     * the noise, same policy as [[Curation.tokenEntropy]].
     */
+  /** Per-group z-score normalization of a numeric column — the feature
+    * scaling every model-input pipeline applies before a column feeds a
+    * model or a distance metric. Window formulation (partitionBy with
+    * no ORDER BY = one group-wide aggregate joined back in the SAME
+    * shuffle): one exchange on the group key, no second scan, no
+    * driver-side stats. Zero-variance groups normalize to 0 rather
+    * than NaN.
+    */
+  def zscoreNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      outCol: String = "z"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val mu = avg(col(valueCol)).over(w)
+    val sd = stddev_samp(col(valueCol)).over(w)
+    df.withColumn(outCol,
+      when(sd.isNull || sd === 0.0, lit(0.0))
+        .otherwise(Num.trunc4((col(valueCol) - mu) / sd)))
+  }
+
   def corrProfile(lineitem: DataFrame): DataFrame = {
     import Num.trunc4
     lineitem

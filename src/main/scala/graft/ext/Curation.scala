@@ -347,6 +347,29 @@ object Curation {
       .orderBy(col(keyCol), col("chunk_idx"))
   }
 
+  /** Deterministic WEIGHTED sampling: keep a row iff
+    * `hash(key) / 2^32 < weightNum / weightDen` — per-row keep
+    * probability proportional to a data-derived weight (quality score,
+    * length, source priority), with the same reproducible/append-stable
+    * hash contract as [[splitAssign]]. The comparison is cross-
+    * multiplied to `hash * weightDen < weightNum * 2^32`, so with
+    * integer weights the entire decision is exact 64-bit integer
+    * arithmetic — no float threshold, no engine-boundary risk
+    * (weightNum * 2^32 must stay under 2^63: weights up to ~2^30 are
+    * safe). Pure map-side filter, fuses into the scan.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightNum: Column,
+      weightDen: Long): DataFrame = {
+    require(weightDen > 0, s"weightDen=$weightDen must be positive")
+    val h = pmod(
+      pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    df.filter(h * lit(weightDen) < weightNum.cast("long") * lit(4294967296L))
+  }
+
   /** Per-document token (Shannon) entropy in bits, plus distinct-term
     * count — the classic diversity signal separating natural text from
     * generated/boilerplate spam (low entropy = few distinct tokens

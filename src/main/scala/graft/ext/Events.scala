@@ -269,4 +269,51 @@ object Events {
         (abs(z) > sigma).as("is_anomaly"))
       .orderBy(col("event_type"), col("day_num"))
   }
+
+  /** First-order Markov transition counts between consecutive events of
+    * the same user: the behavioral sequence-mining pass behind "what do
+    * users do after X" product questions. One lag() window per user
+    * (shuffle on user_id, sort within user — never a global sort), then
+    * a partial-first count per (prev, next) pair. `share` normalizes
+    * each row against its prev-type total via a window over the
+    * already-tiny |types|^2 grouped result. Ties in ts break on
+    * event_id so the sequence — and therefore the counts — are
+    * deterministic under any partitioning.
+    */
+  def transitionMatrix(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    pairs
+      .select(col("prev_type"), col("next_type"), col("n"),
+        graft.ext.Num.trunc4(col("n").cast("double") /
+          sum(col("n")).over(wPrev).cast("double")).as("share"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Event-type co-occurrence: for every unordered pair of event types,
+    * how many users performed both — the support counts of basket/
+    * association analysis, with the user as the basket. DISTINCT first
+    * (one row per (user, type) — bounded by |types| per user), then a
+    * self-equi-join on user_id with `a < b` to emit each pair once.
+    * Both sides shuffle-partition on user_id, so the join is
+    * co-partitioned after one exchange; per-user join fan-out is at
+    * most |types|^2, a constant.
+    */
+  def eventCooccurrence(eventsRaw: DataFrame): DataFrame = {
+    val d = normalizeTs(eventsRaw).select(col("user_id"), col("event_type")).distinct()
+    val a = d.select(col("user_id"), col("event_type").as("type_a"))
+    val b = d.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -998,6 +998,54 @@ class ExtSpec extends SparkSpec {
     assert(r(1).getAs[Double]("entropy_bits") === 0.0)
   }
 
+  test("transitionMatrix: counts = events - users-with-events, shares sum to 1") {
+    val ev = t("events")
+    val r = Events.transitionMatrix(ev)
+    val total = r.select(sum("n")).head().getLong(0)
+    // every event except each user's first contributes one transition
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(total === expected)
+    val shares = r.groupBy("prev_type").agg(sum("share").as("s")).collect()
+    shares.foreach(row => assert(math.abs(row.getAs[Double]("s") - 1.0) < 1e-2))
+  }
+
+  test("eventCooccurrence: pair support bounded by each type's user count") {
+    val ev = t("events")
+    val perType = ev.select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r = Events.eventCooccurrence(ev).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+      assert(a < b)
+      assert(n <= math.min(perType(a), perType(b)))
+    }
+  }
+
+  test("zscoreNormalize: zero mean per group, constant group -> 0") {
+    import spark.implicits._
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 5.0), ("g2", 5.0)).toDF("g", "v")
+    val r = Aggregates.zscoreNormalize(df, "g", "v").collect()
+    val g1 = r.filter(_.getString(0) == "g1").map(_.getAs[Double]("z"))
+    assert(math.abs(g1.sum) < 1e-3 && g1.max > 0.9)
+    assert(r.filter(_.getString(0) == "g2").forall(_.getAs[Double]("z") === 0.0))
+  }
+
+  test("weightedSample: zero weight drops all, full weight keeps all, monotone") {
+    val docs = t("documents")
+    val n = docs.count()
+    assert(Curation.weightedSample(docs, "doc_id", lit(0L), 100L).count() === 0L)
+    assert(Curation.weightedSample(docs, "doc_id", lit(100L), 100L).count() === n)
+    val lo = Curation.weightedSample(docs, "doc_id", lit(25L), 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Curation.weightedSample(docs, "doc_id", lit(75L), 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi)) // higher weight can only ADD rows (same hash)
+    assert(lo.size < hi.size && hi.size < n)
+  }
+
   test("corrProfile: linear columns correlate to 1") {
     import spark.implicits._
     val li = (1 to 100).map(i =>
