@@ -644,6 +644,9 @@ object SparkEntry {
     "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
     "st_events_hourly_wm" -> ((s, dir) => StreamingOps.hourlyByTypeStreamAppend(s, dir)),
     "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir)),
+    // streaming transition mining: O(1)-per-user state, shares the
+    // batch transitionMatrix oracle (counts only)
+    "st_transitions" -> ((s, dir) => StreamingOps.transitionsStream(s, dir)),
     // streaming MERGE: pre-seeded stale rows must be REPLACED per batch
     "st_upsert" -> ((s, dir) => StreamingOps.upsertPurchasesStream(s, dir)),
     "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir)),
@@ -793,6 +796,14 @@ FROM orders GROUP BY 1 ORDER BY 1""",
       """SELECT user_id, COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY user_id ORDER BY user_id""",
+    "st_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+  LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+FROM events)
+SELECT prev_type, next_type, n FROM (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+ORDER BY prev_type, next_type""",
     "t1_fill_nulls" ->
       """SELECT COALESCE(c_custkey, 0) AS c_custkey, COALESCE(c_name, 'UNKNOWN') AS c_name,
   COALESCE(c_nationkey, 0) AS c_nationkey, COALESCE(c_acctbal, 0.0) AS c_acctbal,

@@ -378,12 +378,17 @@ object Aggregates {
       regionName: String = "ASIA",
       yearStart: String = "1997-01-01",
       yearEnd: String = "1998-01-01"): DataFrame = {
+    Int128Sum.ensureRegistered(lineitem.sparkSession)
     val o = orders.filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
         col("o_orderdate") < lit(yearEnd).cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"))
-    val rev = col("l_extendedprice").cast("decimal(18,4)") *
-      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
-    val l = lineitem.select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+    // money policy: cents x (100 - discount%) exact longs into the
+    // codegen'd int128 sum (scale 4) — identical value to the
+    // decimal(18,4) product sum, ~2x cheaper per row (see Q1)
+    val priceC = round(col("l_extendedprice") * 100d).cast("long")
+    val disc1C = round((lit(1d) - col("l_discount")) * 100d).cast("long")
+    val l = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      (priceC * disc1C).as("rev4"))
     customer.select(col("c_custkey"), col("c_nationkey"))
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
@@ -393,7 +398,7 @@ object Aggregates {
       .join(broadcast(region.filter(col("r_name") === regionName)),
         nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .agg(Int128Sum.sumLong(col("rev4"), 4).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

@@ -308,6 +308,61 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming first-order transition mining: per-user
+    * flatMapGroupsWithState keeps the LAST seen event (ts_us, event_id,
+    * type) as state and emits one (prev, next) pair per arriving event
+    * — the streaming twin of [[graft.ext.Events.transitionMatrix]],
+    * sharing its oracle. Within a micro-batch the user's rows are
+    * sorted by (ts_us, event_id) before pairing — the same total order
+    * the batch window uses — and the carried state stitches pairs
+    * across batch boundaries, so the counts are independent of how the
+    * input splits into micro-batches (as long as batches arrive in
+    * time order, which file-order ingestion of the fixture satisfies).
+    * State is O(1) per user: three scalars, no event buffering between
+    * batches.
+    */
+  def transitionsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Long, Long, String)]
+
+    def update(
+        user: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[(Long, Long, String)]): Iterator[(String, String)] = {
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      var prev = state.getOption
+      val out = Array.newBuilder[(String, String)]
+      sorted.foreach { r =>
+        prev.foreach(p => out += ((p._3, r._4)))
+        prev = Some((r._2, r._3, r._4))
+      }
+      prev.foreach(state.update)
+      out.result().iterator
+    }
+
+    val name = s"graft_stream_transitions_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, streamParts) {
+      val q = stream
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .toDF("prev_type", "next_type")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Streaming MERGE into a parquet table: `foreachBatch` routes every
     * micro-batch through the keyed upsert
     * ([[graft.ops.Sinks.upsertParquet]]) — the standard CDC-apply /

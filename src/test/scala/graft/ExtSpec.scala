@@ -619,6 +619,15 @@ class ExtSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("streaming transitions equal the batch transition matrix") {
+    val streamed = graft.streaming.StreamingOps.transitionsStream(spark, sf())
+    val batch = Events.transitionMatrix(t("events"))
+      .select(col("prev_type"), col("next_type"), col("n").as("n_batch"))
+    val bad = streamed.join(batch, Seq("prev_type", "next_type"), "full_outer")
+      .filter(col("n").isNull || col("n_batch").isNull || col("n") =!= col("n_batch"))
+    assert(bad.count() === 0)
+  }
+
   test("streaming: multi-micro-batch run (maxFilesPerTrigger=1) equals batch aggregate") {
     // the fixture is one file => every declared stream drains in a single
     // micro-batch; this test splits events into 4 files and throttles to
