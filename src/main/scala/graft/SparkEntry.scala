@@ -470,6 +470,20 @@ object SparkEntry {
       Curation.weightedSample(rd(s, dir, "documents"), "doc_id",
         least(col("n_chars"), lit(2000L)), 4000L)
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+    // rebalance to a target mix: en at 400 per-mille of the corpus,
+    // every other language at 150 per-mille (saturating at group size)
+    "d_rebalance" -> ((s, dir) =>
+      Curation.rebalanceSample(rd(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 400), defaultPerMille = 150)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // order-independent 60-bit xor digest of orders' canonical rows —
+    // the source-vs-target migration validation primitive
+    "k13_checksum" -> ((s, dir) =>
+      Quality.contentChecksum(rd(s, dir, "orders"),
+        concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long"),
+          unix_timestamp(col("o_orderdate")), col("o_orderpriority")))),
     "q_transitions" -> ((s, dir) => Events.transitionMatrix(rd(s, dir, "events"))),
     "q_cooccur" -> ((s, dir) => Events.eventCooccurrence(rd(s, dir, "events"))),
     "q_zscore" -> ((s, dir) =>
@@ -1420,6 +1434,24 @@ FROM tf GROUP BY doc_id ORDER BY doc_id""",
 WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) * 4000 <
       LEAST(n_chars, 2000) * 4294967296
 ORDER BY doc_id""",
+    "d_rebalance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM documents),
+thr AS (SELECT lang,
+  ((n_total * (CASE WHEN lang = 'en' THEN 400 ELSE 150 END) // 1000)
+   * 4294967296) // n_g AS thr
+FROM c, tot)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr
+ORDER BY d.doc_id""",
+    "k13_checksum" ->
+      """WITH h AS (SELECT CAST('0x' || substr(md5(
+    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+    CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
+    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) || '|' || o_orderpriority
+  ), 1, 15) AS BIGINT) AS h
+FROM orders)
+SELECT COUNT(*) AS n_rows, bit_xor(h) AS digest FROM h""",
     "q_transitions" ->
       """WITH e AS (SELECT user_id, event_type,
   LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type

@@ -370,6 +370,49 @@ object Curation {
     df.filter(h * lit(weightDen) < weightNum.cast("long") * lit(4294967296L))
   }
 
+  /** Rebalance the corpus to a TARGET mix: per-group keep fraction
+    * derived from a per-mille share of the corpus total, applied as a
+    * hash threshold — the dataset-mixing step that turns "whatever the
+    * crawl yielded" into the source/language proportions the training
+    * run wants. A group already below its target keeps everything
+    * (threshold saturates above the hash range); selection within a
+    * group is the same append-stable Knuth-hash contract as
+    * [[splitAssign]].
+    *
+    * The per-group threshold is `floor(floor(n_total*pm/1000) * 2^32 /
+    * n_g)` — every step exact 64-bit integer arithmetic, identical in
+    * both engines BY SPECIFICATION (the floor is part of the op's
+    * contract, so there is no rational-comparison boundary to disagree
+    * on). Holds while target rows < 2^31 per group; beyond that, split
+    * the group or widen to decimal.
+    *
+    * Shape: one partial-first count per group (tiny result), threshold
+    * arithmetic on the grouped rows, broadcast join back, map-side
+    * filter. The corpus is scanned twice but shuffled never.
+    */
+  def rebalanceSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      perMille: Map[String, Int],
+      defaultPerMille: Int): DataFrame = {
+    require((defaultPerMille +: perMille.values.toSeq).forall(p => p >= 0 && p <= 1000),
+      "per-mille shares must be in [0, 1000]")
+    val pm = perMille.foldLeft(lit(defaultPerMille.toLong)) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    val thrDf = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .withColumn("n_total",
+        sum(col("n_g")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("pm", pm)
+      .withColumn("target_n", expr("(n_total * pm) div 1000"))
+      .select(col(groupCol), expr("(target_n * 4294967296) div n_g").as("thr"))
+    val h = pmod(
+      pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    df.join(broadcast(thrDf), groupCol).filter(h < col("thr"))
+  }
+
   /** Per-document token (Shannon) entropy in bits, plus distinct-term
     * count — the classic diversity signal separating natural text from
     * generated/boilerplate spam (low entropy = few distinct tokens

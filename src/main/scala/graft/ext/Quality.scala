@@ -81,4 +81,28 @@ object Quality {
       .withColumn("pass", (col("n_violations") === 0L).cast("int"))
       .orderBy(col("rule"))
   }
+
+  /** Order-independent table content digest: per row, the first 60 bits
+    * of md5 over a caller-built canonical string; rows combine with
+    * bit_xor — associative, commutative, overflow-free, so the digest
+    * is identical at any partitioning/row order and XOR-merges across
+    * shards (digest(a union b) = digest(a) XOR digest(b) for disjoint
+    * parts). The migration-validation primitive: checksum source and
+    * target, compare two longs instead of re-reading either table.
+    * One map-side pass + a single-row aggregate; nothing but (n, 60-bit
+    * word) crosses the wire.
+    *
+    * Caveat (inherent to XOR): a row appearing an EVEN number of times
+    * cancels out; pair the digest with n_rows (returned here) or make
+    * the canonical string unique per row (include the key).
+    *
+    * The canonical string must avoid engine-divergent formatting:
+    * integers and strings render identically everywhere, but raw
+    * doubles do NOT (shortest-round-trip vs Java Double.toString) —
+    * money goes in as round(x*100) cents, timestamps as epoch seconds.
+    */
+  def contentChecksum(df: DataFrame, canonical: Column): DataFrame =
+    df.select(
+      conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
 }

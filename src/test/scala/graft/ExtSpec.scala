@@ -1055,6 +1055,40 @@ class ExtSpec extends SparkSpec {
     assert(lo.size < hi.size && hi.size < n)
   }
 
+  test("rebalanceSample: hits targets, saturates below-target groups, subset of corpus") {
+    val docs = t("documents")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val r = Curation.rebalanceSample(docs, "lang", "doc_id",
+      Map("en" -> 300), defaultPerMille = 50)
+    val kept = r.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    counts.foreach { case (lang, nG) =>
+      val pm = if (lang == "en") 300L else 50L
+      val target = total * pm / 1000
+      val k = kept.getOrElse(lang, 0L)
+      assert(k <= nG)
+      if (target >= nG) assert(k === nG) // saturation: keep everything
+      else {
+        // kept count is binomial around target: allow a 3-sigma band
+        val band = 3 * math.sqrt(target.toDouble) + 2
+        assert(math.abs(k - target) <= band, s"$lang kept $k of target $target")
+      }
+    }
+  }
+
+  test("contentChecksum: order/partitioning-invariant, detects a changed row") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val canon = concat_ws("|", col("k"), col("v"))
+    val d1 = Quality.contentChecksum(a, canon).head()
+    val d2 = Quality.contentChecksum(a.orderBy(col("k").desc).repartition(7), canon).head()
+    assert(d1.getLong(0) === 3L && d1 === d2)
+    val b = Seq((1L, "x"), (2L, "y"), (3L, "CHANGED")).toDF("k", "v")
+    assert(Quality.contentChecksum(b, canon).head().getLong(1) !== d1.getLong(1))
+  }
+
   test("corrProfile: linear columns correlate to 1") {
     import spark.implicits._
     val li = (1 to 100).map(i =>
