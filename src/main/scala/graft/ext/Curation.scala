@@ -418,15 +418,40 @@ object Curation {
     * generated/boilerplate spam (low entropy = few distinct tokens
     * dominate). H = log2(n) - (sum c*log2(c)) / n over term counts c.
     *
-    * Shape: explode -> partial-first count per (doc, term) -> one more
-    * partial-first agg per doc — the tf-idf shuffle shape, carrying
-    * (doc_id, term-count) pairs only. The log() calls are the one
-    * place the suite leans on libm: both engines' ln are within 1 ulp,
-    * summed error ~1e-13 against a trunc4 comparison grid — the
-    * oracle-boundary risk is negligible (and tf-idf's exact-division
-    * policy is kept for scores that feed ORDER BY).
+    * Runs through the codegen'd
+    * [[graft.ext.expr.TokenEntropyExpr]] (`graft_token_entropy`): one
+    * map-side pass per row, no token materialization, the whole query
+    * is a projection that fuses into the scan (plan-asserted: no
+    * Generate, no aggregate). The built-in formulation
+    * ([[tokenEntropyExpanded]], kept as the equivalence witness)
+    * explodes the token stream through two hash aggregates — at corpus
+    * scale that shuffles every token twice. The log() calls are the
+    * one place the suite leans on libm: both engines' ln are within 1
+    * ulp, summed error ~1e-13 against a trunc4 comparison grid.
     */
   def tokenEntropy(docs: DataFrame, keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import Num.trunc4
+    val ln2 = math.log(2.0)
+    graft.ext.expr.TokenEntropyExpr.ensureRegistered(docs.sparkSession)
+    val te = call_function(graft.ext.expr.TokenEntropyExpr.name, col(textCol))
+    graft.Tables.spread(docs).select(col(keyCol), te.as("te"))
+      .select(
+        col(keyCol),
+        element_at(col("te"), 1).cast("bigint").as("n_tokens"),
+        element_at(col("te"), 2).cast("bigint").as("n_terms"),
+        trunc4((log(element_at(col("te"), 1)) -
+          element_at(col("te"), 3) / element_at(col("te"), 1)) / lit(ln2))
+          .as("entropy_bits"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Built-in-only formulation of [[tokenEntropy]] (explode -> count
+    * per (doc, term) -> per-doc agg) — registration-free fallback and
+    * the equivalence witness for the codegen'd kernel (ExtSpec pins
+    * them equal).
+    */
+  def tokenEntropyExpanded(docs: DataFrame, keyCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import Num.trunc4
     val ln2 = math.log(2.0)

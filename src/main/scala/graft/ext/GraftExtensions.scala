@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.ext.expr.{ArrayDotProduct, Int128Sum, KernelRewriteRule, Simhash16Expr, Simhash64Expr, WordSetHits}
+import graft.ext.expr.{ArrayDotProduct, Int128Sum, KernelRewriteRule, RepCountsExpr, Simhash16Expr, Simhash64Expr, TokenEntropyExpr, WordSetHits}
 
 /** SparkSessionExtensions entry point: wire graft's native functions
   * into any session via
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(Simhash16Expr.name), Simhash16Expr.info, Simhash16Expr.builder))
     ext.injectFunction(
       (FunctionIdentifier(WordSetHits.name), WordSetHits.info, WordSetHits.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(RepCountsExpr.name), RepCountsExpr.info, RepCountsExpr.builder))
+    ext.injectFunction(
+      (FunctionIdentifier(TokenEntropyExpr.name), TokenEntropyExpr.info, TokenEntropyExpr.builder))
     // plan-level rewrite: declarative size(filter(split, IN-set)) ->
     // the codegen'd graft_word_hits kernel (see KernelRewriteRule)
     ext.injectOptimizerRule(_ => KernelRewriteRule)

@@ -132,6 +132,27 @@ object TextKernels {
       Array(toks.length.toLong, tokSet.size.toLong, bgSet.size.toLong))
   }
 
+  /** [n_tokens, n_distinct_terms, sum c*ln(c)] over whitespace tokens
+    * (split(" ", -1), matching SQL string_split) in ONE pass — the
+    * per-row state for Shannon token entropy. All three returned as
+    * doubles (counts are exact below 2^53); the enclosing projection
+    * derives H = (ln n - clc/n)/ln 2. The clc partial sums accumulate
+    * in HashMap iteration order — deterministic for given content, and
+    * within ~1 ulp of any other order, far under the trunc4 grid the
+    * oracle compares on.
+    */
+  def tokenEntropy(s: UTF8String): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val m = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < toks.length) { m.merge(toks(i), 1, Integer.sum _); i += 1 }
+    var clc = 0.0
+    val it = m.values().iterator()
+    while (it.hasNext) { val c = it.next().toDouble; clc += c * Math.log(c) }
+    UnsafeArrayData.fromPrimitiveArray(
+      Array(toks.length.toDouble, m.size.toDouble, clc))
+  }
+
   /** Per-set membership counts over whitespace tokens: one pass over the
     * text, one compiled HashSet probe per (token, set). Empty tokens
     * match nothing, so exact split-edge semantics don't matter here.
@@ -278,6 +299,53 @@ object RepCountsExpr {
 
   val builder: Seq[Expression] => Expression = {
     case Seq(t) => RepCountsExpr(t)
+    case other => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${other.size}")
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
+  }
+}
+
+/** `graft_token_entropy(text)` — [n_tokens, n_distinct_terms,
+  * sum c*ln c] in one codegen'd pass; the kernel behind
+  * [[graft.ext.Curation.tokenEntropy]]. The built-in formulation
+  * explodes the token stream through TWO hash aggregates — at corpus
+  * scale that shuffles every token twice, where this expression
+  * shuffles nothing (the whole query collapses to a projection).
+  */
+case class TokenEntropyExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = TokenEntropyExpr.name
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ext.expr.TextKernels.tokenEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropyExpr =
+    copy(child = newChild)
+}
+
+object TokenEntropyExpr {
+  val name = "graft_token_entropy"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[TokenEntropyExpr].getName, null, name,
+    "_FUNC_(text) - [n_tokens, n_distinct_terms, sum c*ln c] over " +
+      "whitespace tokens in one pass (codegen'd).", "")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(t) => TokenEntropyExpr(t)
     case other => throw new IllegalArgumentException(
       s"$name expects exactly 1 argument, got ${other.size}")
   }

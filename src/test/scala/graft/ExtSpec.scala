@@ -997,6 +997,20 @@ class ExtSpec extends SparkSpec {
       .filter(col("count") =!= col("want")).count() === 0L)
   }
 
+  test("tokenEntropy kernel equals the explode formulation; plan is a pure projection") {
+    val docs = t("documents")
+    val fast = Curation.tokenEntropy(docs)
+    val slow = Curation.tokenEntropyExpanded(docs)
+    val bad = fast.join(slow.withColumnsRenamed(
+        Map("n_tokens" -> "nt2", "n_terms" -> "nd2", "entropy_bits" -> "e2")), "doc_id")
+      .filter(col("n_tokens") =!= col("nt2") || col("n_terms") =!= col("nd2") ||
+        col("entropy_bits") =!= col("e2"))
+    assert(bad.count() === 0)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("HashAggregate"),
+      s"entropy should be a shuffle-free projection:\n$plan")
+  }
+
   test("tokenEntropy: uniform = log2(n), constant = 0") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a a a a")).toDF("doc_id", "text")
