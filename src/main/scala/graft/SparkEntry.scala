@@ -485,7 +485,23 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long"),
           unix_timestamp(col("o_orderdate")), col("o_orderpriority")))),
     "q_transitions" -> ((s, dir) => Events.transitionMatrix(rd(s, dir, "events"))),
+    "q_paths" -> ((s, dir) => Events.topPaths(rd(s, dir, "events"))),
     "q_cooccur" -> ((s, dir) => Events.eventCooccurrence(rd(s, dir, "events"))),
+    "d_drift" -> ((s, dir) => Curation.sourceDrift(rd(s, dir, "documents"))),
+    // keyed diff vs a deterministically perturbed second version:
+    // drop keys %97=0, change priority on %101=0, add shifted %499=0
+    "k14_table_diff" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val bSrc = o.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0L)
+        .withColumn("o_orderpriority",
+          when(pmod(col("o_orderkey"), lit(101L)) === 0L, lit("CHANGED"))
+            .otherwise(col("o_orderpriority")))
+      val bAdd = o.filter(pmod(col("o_orderkey"), lit(499L)) === 0L)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      val canon = concat_ws("|",
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      Quality.tableDiff(o, bSrc.unionByName(bAdd), "o_orderkey", canon)
+    }),
     "q_zscore" -> ((s, dir) =>
       Aggregates.zscoreNormalize(rd(s, dir, "lineitem"), "l_returnflag", "l_quantity")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("z"))
@@ -1462,6 +1478,47 @@ SELECT prev_type, next_type, n,
   floor(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)
         * 10000) / 10000.0 AS share
 FROM g ORDER BY prev_type, next_type""",
+    "q_paths" ->
+      """WITH e AS (SELECT event_type AS step3,
+  LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS step2,
+  LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS step1
+FROM events)
+SELECT step1, step2, step3, COUNT(*) AS n
+FROM e WHERE step1 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3 LIMIT 20""",
+    "d_drift" ->
+      """WITH tf AS (SELECT source, w AS term, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+gtot AS (SELECT term, SUM(c) AS g FROM tf GROUP BY 1),
+src AS (SELECT source, SUM(c) AS n_src FROM tf GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_total FROM tf)
+SELECT tf.source, COUNT(*) AS n_terms,
+  floor(SUM((CAST(c AS DOUBLE) - CAST(g AS DOUBLE) * CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE))
+            * (CAST(c AS DOUBLE) - CAST(g AS DOUBLE) * CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE))
+            / (CAST(g AS DOUBLE) * CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE)))
+        * 10000) / 10000.0 AS chi2
+FROM tf JOIN gtot USING (term) JOIN src USING (source) CROSS JOIN tot
+GROUP BY tf.source ORDER BY tf.source""",
+    "k14_table_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+  md5(o_orderkey || '|' || o_orderstatus || '|' || o_orderpriority) AS d_old
+FROM orders),
+bsrc AS (SELECT o_orderkey, o_orderstatus,
+  CASE WHEN o_orderkey % 101 = 0 THEN 'CHANGED' ELSE o_orderpriority END AS o_orderpriority
+FROM orders WHERE o_orderkey % 97 <> 0),
+badd AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % 499 = 0),
+b AS (SELECT o_orderkey AS k,
+  md5(o_orderkey || '|' || o_orderstatus || '|' || o_orderpriority) AS d_new
+FROM (SELECT * FROM bsrc UNION ALL SELECT * FROM badd))
+SELECT status, COUNT(*) AS n FROM (
+  SELECT CASE WHEN d_old IS NULL THEN 'added'
+              WHEN d_new IS NULL THEN 'removed'
+              WHEN d_old = d_new THEN 'same'
+              ELSE 'changed' END AS status
+  FROM a FULL OUTER JOIN b USING (k))
+GROUP BY 1 ORDER BY 1""",
     "q_cooccur" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users

@@ -370,6 +370,43 @@ object Curation {
     df.filter(h * lit(weightDen) < weightNum.cast("long") * lit(4294967296L))
   }
 
+  /** Per-source token-distribution drift: a chi-square-style divergence
+    * of each source's term distribution against the corpus-wide
+    * distribution — the monitoring signal that flags a crawl source
+    * whose content shifted between snapshots. For each term present in
+    * the source, expected count = global_count * source_tokens /
+    * total_tokens; the statistic sums (obs - exp)^2 / exp over the
+    * source's PRESENT terms (absent-term mass is excluded by contract —
+    * it keeps the op one join away from the tf counts, and the ranking
+    * between sources is what monitoring consumes).
+    *
+    * Shape: one explode into a partial-first (source, term) count —
+    * the shuffle carries (source, term, count), never text — then two
+    * tiny reaggregations (per-term global, per-source totals) that
+    * join back; AQE broadcasts them when small. trunc4 on the
+    * statistic per the libm summation policy.
+    */
+  def sourceDrift(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import Num.trunc4
+    val tf = graft.Tables.spread(docs)
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val glob = tf.groupBy(col("term")).agg(sum(col("c")).as("g"))
+    val perSrc = tf.groupBy(col(groupCol)).agg(sum(col("c")).as("n_src"))
+      .withColumn("n_total",
+        sum(col("n_src")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val expCnt = col("g").cast("double") * col("n_src").cast("double") /
+      col("n_total").cast("double")
+    val dev = (col("c").cast("double") - expCnt) * (col("c").cast("double") - expCnt) / expCnt
+    tf.join(glob, "term").join(perSrc, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_terms"), sum(dev).as("chi2_raw"))
+      .select(col(groupCol), col("n_terms"), trunc4(col("chi2_raw")).as("chi2"))
+      .orderBy(col(groupCol))
+  }
+
   /** Rebalance the corpus to a TARGET mix: per-group keep fraction
     * derived from a per-mille share of the corpus total, applied as a
     * hash threshold — the dataset-mixing step that turns "whatever the

@@ -297,6 +297,28 @@ object Events {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Top-k three-step behavioral paths: the [[transitionMatrix]] idea
+    * extended to (prev2, prev1, current) triples — "what sequences
+    * lead to a purchase". Two lag() taps over ONE window pass (same
+    * shuffle/sort as a single lag — Spark evaluates both from the one
+    * sorted partition), partial-first count per triple, top-k via
+    * orderBy+limit = TakeOrderedAndProject (never a global sort).
+    * Count ties break on the path columns so top-k is deterministic.
+    */
+  def topPaths(eventsRaw: DataFrame, k: Int = 20): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type").as("step3"),
+        lag(col("event_type"), 1).over(w).as("step2"),
+        lag(col("event_type"), 2).over(w).as("step1"))
+      .filter(col("step1").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Event-type co-occurrence: for every unordered pair of event types,
     * how many users performed both — the support counts of basket/
     * association analysis, with the user as the basket. DISTINCT first

@@ -105,4 +105,29 @@ object Quality {
     df.select(
       conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+
+  /** Keyed row-level diff between two versions of a table: counts of
+    * added / removed / changed / same rows, where "changed" compares an
+    * md5 over the caller's canonical columns (same formatting rules as
+    * [[contentChecksum]]). One full-outer shuffle join on the key
+    * carrying (key, 16-byte digest) only — never row payloads — then a
+    * 4-group aggregate: the CDC-validation / migration-drilldown step
+    * after a [[contentChecksum]] mismatch says "something differs".
+    */
+  def tableDiff(
+      oldVersion: DataFrame,
+      newVersion: DataFrame,
+      keyCol: String,
+      canonical: Column): DataFrame = {
+    def dig(df: DataFrame, dName: String) =
+      df.select(col(keyCol).as("k"), md5(canonical).as(dName))
+    dig(oldVersion, "d_old").join(dig(newVersion, "d_new"), Seq("k"), "full_outer")
+      .select(
+        when(col("d_old").isNull, "added")
+          .when(col("d_new").isNull, "removed")
+          .when(col("d_old") === col("d_new"), "same")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
 }

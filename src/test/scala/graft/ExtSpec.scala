@@ -1069,6 +1069,44 @@ class ExtSpec extends SparkSpec {
     assert(lo.size < hi.size && hi.size < n)
   }
 
+  test("topPaths: triple counts consistent with transition pair counts") {
+    val ev = t("events")
+    // total triples = sum over users of max(0, n_u - 2)
+    val perUser = ev.groupBy("user_id").count().collect().map(_.getLong(1))
+    val expected = perUser.map(n => math.max(0L, n - 2)).sum
+    val all = Events.topPaths(ev, k = 1000000).collect()
+    assert(all.map(_.getAs[Long]("n")).sum === expected)
+    val counts = all.map(_.getAs[Long]("n"))
+    assert(counts.sameElements(counts.sorted.reverse)) // ranked output
+  }
+
+  test("sourceDrift: identical-distribution groups score near zero") {
+    import spark.implicits._
+    // two sources with the SAME term distribution -> expected == observed
+    val docs = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"),
+      (3L, "a a b b", "s1"), (4L, "a a b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.sourceDrift(docs).collect()
+    assert(r.length === 2)
+    r.foreach(row => assert(math.abs(row.getAs[Double]("chi2")) < 1e-9))
+    // a clearly shifted source scores higher than a matching one
+    val skew = Seq((1L, "a a a a", "s1"), (2L, "b b b b", "s2"),
+      (3L, "a b a b", "s3")).toDF("doc_id", "text", "source")
+    val chi = Curation.sourceDrift(skew).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("chi2")).toMap
+    assert(chi("s1") > chi("s3") && chi("s2") > chi("s3"))
+  }
+
+  test("tableDiff: hand-built versions produce exact status counts") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val b = Seq((1L, "x"), (2L, "CHANGED"), (4L, "new")).toDF("k", "v")
+    val r = Quality.tableDiff(a, b, "k", concat_ws("|", col("k"), col("v")))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L, "same" -> 1L))
+  }
+
   test("rebalanceSample: hits targets, saturates below-target groups, subset of corpus") {
     val docs = t("documents")
     val counts = docs.groupBy("lang").count().collect()
