@@ -488,6 +488,12 @@ object SparkEntry {
     "q_paths" -> ((s, dir) => Events.topPaths(rd(s, dir, "events"))),
     "q_cooccur" -> ((s, dir) => Events.eventCooccurrence(rd(s, dir, "events"))),
     "d_drift" -> ((s, dir) => Curation.sourceDrift(rd(s, dir, "documents"))),
+    // centrality over the near-dup pair graph: which docs sit at the
+    // center of duplication families (3 fixed PageRank rounds)
+    "d_pagerank" -> ((s, dir) =>
+      Graph.pageRank(Dedup.ngramJaccardPairs(rd(s, dir, "documents")),
+        "doc_a", "doc_b", iters = 3)
+        .withColumnRenamed("node", "doc_id")),
     // keyed diff vs a deterministically perturbed second version:
     // drop keys %97=0, change priority on %101=0, add shifted %499=0
     "k14_table_diff" -> ((s, dir) => {
@@ -742,6 +748,37 @@ edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FRO
 reach(a, b) AS (SELECT u, v FROM edges
                 UNION
                 SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)"""
+
+  /** 3-iteration PageRank over the J>=0.3 pair graph, unrolled as
+    * chained CTEs — the oracle for d_pagerank (same arithmetic, same
+    * expression structure per operation; summation-order noise sits 8+
+    * orders under the trunc4 grid).
+    */
+  private val pageRankSql = {
+    val dmp = "CAST(0.85 AS DOUBLE)"
+    val base = "CAST(0.15 AS DOUBLE)"
+    def round(prev: String, cur: String) =
+      s"""c$cur AS (SELECT e.dst AS node, SUM(r.rank / e.deg) AS inflow
+       FROM edgesw e JOIN $prev r ON e.src = r.node GROUP BY 1),
+$cur AS (SELECT n.node, $base / nn.n_nodes + $dmp * COALESCE(c$cur.inflow, CAST(0 AS DOUBLE)) AS rank
+     FROM nodes n CROSS JOIN nn LEFT JOIN c$cur ON n.node = c$cur.node)"""
+    s"""WITH $shingleCtes,
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+          WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+edgesw AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+nodes AS (SELECT src AS node FROM deg),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n_nodes AS rank FROM nodes CROSS JOIN nn),
+${round("r0", "r1")},
+${round("r1", "r2")},
+${round("r2", "r3")}
+SELECT r3.node AS doc_id, floor(r3.rank * nn.n_nodes * 10000) / 10000.0 AS rank_x_n
+FROM r3 CROSS JOIN nn ORDER BY doc_id"""
+  }
 
   private val clustersSql =
     s"""$clusterReachSql
@@ -1771,6 +1808,7 @@ GROUP BY 1 ORDER BY 1""",
   md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
+    "d_pagerank" -> pageRankSql,
     "d_minhash_lsh" -> jaccardSql(0.9),
     "d_edit_neardup" ->
       """WITH t AS (

@@ -321,13 +321,20 @@ object StreamingOps {
     * State is O(1) per user: three scalars, no event buffering between
     * batches.
     */
-  def transitionsStream(spark: SparkSession, dir: String): DataFrame = {
+  def transitionsStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val schema = graft.Tables.read(spark, dir, "events").schema
-    val stream = graft.ext.Events.normalizeTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = {
+      val r = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+      if (maxFilesPerTrigger > 0) r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else r
+    }
+    val stream = graft.ext.Events.normalizeTs(reader.parquet(dir))
       .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
         col("event_id").as[Long], col("event_type").as[String])
       .as[(Long, Long, Long, String)]

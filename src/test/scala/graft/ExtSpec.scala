@@ -628,6 +628,36 @@ class ExtSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("streaming transitions across 4 time-ordered micro-batches equal batch") {
+    // chunk the fixture into 4 time-quartile files with increasing
+    // mtimes, throttle to one file per trigger: transition pairs that
+    // SPAN chunk boundaries only count if the carried last-event state
+    // stitches them across micro-batches
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-transbatch").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    val events = Events.normalizeTs(Tables.read(spark, sf(), "events"))
+    val bucketed = events.withColumn("bkt",
+      ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      val stage = s"$dir/stage$i"
+      bucketed.filter(col("bkt") === i).drop("bkt").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(in, f"chunk$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
+    }
+    val streamed = graft.streaming.StreamingOps.transitionsStream(
+      spark, in, glob = "*.parquet", maxFilesPerTrigger = 1)
+    val batch = Events.transitionMatrix(t("events"))
+      .select(col("prev_type"), col("next_type"), col("n").as("n_batch"))
+    val bad = streamed.join(batch, Seq("prev_type", "next_type"), "full_outer")
+      .filter(col("n").isNull || col("n_batch").isNull || col("n") =!= col("n_batch"))
+    assert(bad.count() === 0)
+  }
+
   test("streaming: multi-micro-batch run (maxFilesPerTrigger=1) equals batch aggregate") {
     // the fixture is one file => every declared stream drains in a single
     // micro-batch; this test splits events into 4 files and throttles to
@@ -1067,6 +1097,19 @@ class ExtSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(lo.subsetOf(hi)) // higher weight can only ADD rows (same hash)
     assert(lo.size < hi.size && hi.size < n)
+  }
+
+  test("pageRank: mass conserved, star center outranks leaves") {
+    import spark.implicits._
+    // star: 1 is paired with 2..5; undirected expansion
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("doc_a", "doc_b")
+    val r = Graph.pageRank(pairs, "doc_a", "doc_b", iters = 3).collect()
+    assert(r.length === 5)
+    val m = r.map(x => x.getAs[Long]("node") -> x.getAs[Double]("rank_x_n")).toMap
+    // total rank stays 1 (rank_x_n sums to N) up to trunc4 loss
+    assert(math.abs(m.values.sum - 5.0) < 5e-3)
+    assert(m(1L) > m(2L) * 2) // hub dominates
+    assert((2L to 5L).map(m).distinct.size === 1) // leaves symmetric
   }
 
   test("topPaths: triple counts consistent with transition pair counts") {
