@@ -486,6 +486,11 @@ object SparkEntry {
           unix_timestamp(col("o_orderdate")), col("o_orderpriority")))),
     "q_transitions" -> ((s, dir) => Events.transitionMatrix(rd(s, dir, "events"))),
     "q_paths" -> ((s, dir) => Events.topPaths(rd(s, dir, "events"))),
+    "q_seasonality" -> ((s, dir) => Events.hourOfDayProfile(rd(s, dir, "events"))),
+    "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
+    // asymmetric containment pairs: subset copies Jaccard misses
+    "d_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(rd(s, dir, "documents"))),
     "q_cooccur" -> ((s, dir) => Events.eventCooccurrence(rd(s, dir, "events"))),
     "d_drift" -> ((s, dir) => Curation.sourceDrift(rd(s, dir, "documents"))),
     // centrality over the near-dup pair graph: which docs sit at the
@@ -1809,6 +1814,33 @@ GROUP BY 1 ORDER BY 1""",
 FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_pagerank" -> pageRankSql,
+    "d_containment" ->
+      s"""WITH $shingleCtes
+SELECT doc_a, doc_b,
+  floor((CAST(c AS DOUBLE) / x.n) * 10000) / 10000.0 AS cont_a_in_b,
+  floor((CAST(c AS DOUBLE) / y.n) * 10000) / 10000.0 AS cont_b_in_a
+FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / x.n >= 0.5 OR CAST(c AS DOUBLE) / y.n >= 0.5
+ORDER BY doc_a, doc_b""",
+    "q_seasonality" ->
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_funnel3" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id, event_type, epoch_us(ts) AS us
+  FROM events),
+v AS (SELECT day, user_id, MIN(us) AS fv FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+c AS (SELECT e.day, e.user_id, MIN(e.us) AS fc
+      FROM e JOIN v ON e.day = v.day AND e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.us > v.fv GROUP BY 1, 2),
+p AS (SELECT DISTINCT e.day, e.user_id
+      FROM e JOIN c ON e.day = c.day AND e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.fc)
+SELECT v.day, COUNT(*) AS n_view_users, COUNT(c.fc) AS n_seq_click,
+  COUNT(p.user_id) AS n_seq_purchase
+FROM v LEFT JOIN c ON v.day = c.day AND v.user_id = c.user_id
+LEFT JOIN p ON v.day = p.day AND v.user_id = p.user_id
+GROUP BY 1 ORDER BY 1""",
     "d_minhash_lsh" -> jaccardSql(0.9),
     "d_edit_neardup" ->
       """WITH t AS (

@@ -270,6 +270,52 @@ object Events {
       .orderBy(col("event_type"), col("day_num"))
   }
 
+  /** Hour-of-day seasonality profile: event volume and exact money
+    * totals by (type, hour 0-23) — the diurnal-pattern report behind
+    * capacity planning and anomaly baselines. Pure partial-first
+    * aggregate over at most |types| x 24 groups; the shuffle carries
+    * group partials only.
+    */
+  def hourOfDayProfile(eventsRaw: DataFrame): DataFrame = {
+    graft.ext.expr.Int128Sum.ensureRegistered(eventsRaw.sparkSession)
+    val events = normalizeTs(eventsRaw)
+    events
+      .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"),
+        graft.ext.expr.Int128Sum.sumFixed(col("value"), 2).cast("double").as("total_value"))
+      .orderBy(col("event_type"), col("hour_of_day"))
+  }
+
+  /** Strict-order three-step funnel per day: users whose first view is
+    * followed by a click strictly after it, then a purchase strictly
+    * after that click — ORDERED sequencing, which [[dailyConversion]]'s
+    * min/max comparison cannot express. Each stage is an aggregate
+    * joined to the previous stage's first-qualifying timestamp; all
+    * joins are co-partitioned on (day, user) after the first shuffle.
+    */
+  def orderedFunnel(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("day"), col("user_id")).agg(min(col("us")).as("fv"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("day", "user_id"))
+      .filter(col("us") > col("fv"))
+      .groupBy(col("day"), col("user_id")).agg(min(col("us")).as("fc"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("day", "user_id"))
+      .filter(col("us") > col("fc"))
+      .select(col("day"), col("user_id")).distinct()
+    v.join(c, Seq("day", "user_id"), "left")
+      .join(p.withColumn("hit", lit(1)), Seq("day", "user_id"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_view_users"),
+        count(col("fc")).as("n_seq_click"),
+        count(col("hit")).as("n_seq_purchase"))
+      .orderBy(col("day"))
+  }
+
   /** First-order Markov transition counts between consecutive events of
     * the same user: the behavioral sequence-mining pass behind "what do
     * users do after X" product questions. One lag() window per user

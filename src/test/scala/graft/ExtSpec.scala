@@ -1099,6 +1099,41 @@ class ExtSpec extends SparkSpec {
     assert(lo.size < hi.size && hi.size < n)
   }
 
+  test("containmentPairs: planted subset copy scores ~1 one-way, Jaccard low") {
+    import spark.implicits._
+    // doc 2 is a strict prefix-quote of doc 1: containment(2 in 1) = 1,
+    // Jaccard is diluted by doc 1's extra shingles
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 8).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, n = 3, minContainment = 0.5).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Double]("cont_b_in_a") === 1.0) // short fully inside long
+    assert(r.getAs[Double]("cont_a_in_b") < 0.2)
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.3).collect()
+    assert(jac.isEmpty) // resemblance misses the subset copy
+  }
+
+  test("orderedFunnel: step counts are monotone and bounded by view users") {
+    val r = Events.orderedFunnel(t("events")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (v, c, p) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(c <= v && p <= c)
+    }
+  }
+
+  test("hourOfDayProfile: 24 hours max per type, counts sum to total") {
+    val ev = t("events")
+    val r = Events.hourOfDayProfile(ev)
+    assert(r.select(sum("n")).head().getLong(0) === ev.count())
+    val hours = r.groupBy("event_type").count().collect()
+    hours.foreach(row => assert(row.getLong(1) <= 24))
+  }
+
   test("pageRank: mass conserved, star center outranks leaves") {
     import spark.implicits._
     // star: 1 is paired with 2..5; undirected expansion
