@@ -624,6 +624,12 @@ object SparkEntry {
     "d_simhash64" -> ((s, dir) => Dedup.simhash64(rd(s, dir, "documents"))),
     // ---- Extensions: similarity search ----
     "e_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), 0L, 10)),
+    // class prototypes: mean embedding per language (vec_id == doc_id
+    // in the fixtures); shuffle carries |langs| x 64 partials only
+    "e_group_centroid" -> ((s, dir) =>
+      Similarity.groupCentroids(rd(s, dir, "embeddings"),
+        rd(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang")),
+        "lang")),
     // retrieval round-trip: ANN hits -> document metadata (vec_id and
     // doc_id are aligned in the fixtures); the top-k side is 10 rows, so
     // the metadata fetch is a broadcast join against it
@@ -1814,6 +1820,13 @@ GROUP BY 1 ORDER BY 1""",
 FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_pagerank" -> pageRankSql,
+    "e_group_centroid" ->
+      """WITH j AS (SELECT d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+x AS (SELECT lang, unnest(range(1, len(embedding)+1)) AS pos, embedding FROM j)
+SELECT lang, CAST(pos AS BIGINT) AS dim_idx, COUNT(*) AS n_vecs,
+  floor(AVG(CAST(embedding[pos] AS DOUBLE)) * 10000) / 10000.0 AS mean_val
+FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "d_containment" ->
       s"""WITH $shingleCtes
 SELECT doc_a, doc_b,

@@ -672,4 +672,29 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
+
+  /** Per-group embedding centroids (mean vector per label): the
+    * cluster-profile / class-prototype computation behind semantic
+    * drift monitoring and nearest-class-mean classification. Expressed
+    * as posexplode -> partial-first aggregate on (label, dim): the
+    * map-side combine collapses each partition to |labels| x dim
+    * partial sums BEFORE the shuffle — the declarative twin of the
+    * Lloyd round's aggregateByKey in [[trainCentroids]], so the wire
+    * cost is partials, never n x dim element rows. Output is one row
+    * per (label, 1-based dim_idx) — fixed-width rows keep the result
+    * oracle-comparable without array-literal formatting concerns.
+    */
+  def groupCentroids(
+      embeddings: DataFrame,
+      labels: DataFrame,
+      labelCol: String): DataFrame = {
+    val joined = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(labels, "vec_id")
+    joined
+      .select(col(labelCol), posexplode(col("embedding")))
+      .groupBy(col(labelCol), (col("pos") + 1).cast("bigint").as("dim_idx"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Num.trunc4(avg(col("col").cast("double"))).as("mean_val"))
+      .orderBy(col(labelCol), col("dim_idx"))
+  }
 }

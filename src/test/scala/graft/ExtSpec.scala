@@ -1099,6 +1099,23 @@ class ExtSpec extends SparkSpec {
     assert(lo.size < hi.size && hi.size < n)
   }
 
+  test("groupCentroids: exact means on hand vectors, one row per (label, dim)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 2.0f)), // g1: mean (2, 1)
+      (3L, Array(0.0f, 4.0f)))                          // g2: mean (0, 4)
+    .toDF("vec_id", "embedding")
+    val lab = Seq((1L, "g1"), (2L, "g1"), (3L, "g2")).toDF("vec_id", "lang")
+    val r = Similarity.groupCentroids(emb, lab, "lang").collect()
+    assert(r.length === 4)
+    val m = r.map(x => (x.getString(0), x.getAs[Long]("dim_idx")) ->
+      x.getAs[Double]("mean_val")).toMap
+    assert(m(("g1", 1L)) === 2.0 && m(("g1", 2L)) === 1.0)
+    assert(m(("g2", 1L)) === 0.0 && m(("g2", 2L)) === 4.0)
+    assert(r.forall(x => x.getAs[Long]("n_vecs") ===
+      (if (x.getString(0) == "g1") 2L else 1L)))
+  }
+
   test("containmentPairs: planted subset copy scores ~1 one-way, Jaccard low") {
     import spark.implicits._
     // doc 2 is a strict prefix-quote of doc 1: containment(2 in 1) = 1,
