@@ -630,6 +630,12 @@ object SparkEntry {
       Similarity.groupCentroids(rd(s, dir, "embeddings"),
         rd(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang")),
         "lang")),
+    // nearest-class-mean confusion matrix (deterministic cross-engine:
+    // trunc4 prototypes + sequential fold + label tiebreak)
+    "e_classify" -> ((s, dir) =>
+      Similarity.classifyByCentroid(rd(s, dir, "embeddings"),
+        rd(s, dir, "documents").select(col("doc_id").as("vec_id"), col("lang")),
+        "lang")),
     // retrieval round-trip: ANN hits -> document metadata (vec_id and
     // doc_id are aligned in the fixtures); the top-k side is 10 rows, so
     // the metadata fetch is a broadcast join against it
@@ -1827,6 +1833,23 @@ x AS (SELECT lang, unnest(range(1, len(embedding)+1)) AS pos, embedding FROM j)
 SELECT lang, CAST(pos AS BIGINT) AS dim_idx, COUNT(*) AS n_vecs,
   floor(AVG(CAST(embedding[pos] AS DOUBLE)) * 10000) / 10000.0 AS mean_val
 FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e_classify" ->
+      """WITH j AS (SELECT d.lang, e.vec_id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+x AS (SELECT lang, unnest(range(1, len(embedding)+1)) AS pos, embedding FROM j),
+cm AS (SELECT lang AS pred_label, CAST(pos AS BIGINT) AS dim_idx,
+         floor(AVG(CAST(embedding[pos] AS DOUBLE)) * 10000) / 10000.0 AS mean_val
+       FROM x GROUP BY 1, 2),
+cvec AS (SELECT pred_label, list(mean_val ORDER BY dim_idx) AS c FROM cm GROUP BY 1),
+scored AS (SELECT j.vec_id, j.lang, cv.pred_label,
+  list_sum(list_transform(range(1, len(j.embedding) + 1),
+    i -> (CAST(j.embedding[i] AS DOUBLE) - cv.c[i])
+       * (CAST(j.embedding[i] AS DOUBLE) - cv.c[i]))) AS dist
+  FROM j CROSS JOIN cvec cv),
+best AS (SELECT vec_id, lang, pred_label,
+  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, pred_label) AS rn FROM scored)
+SELECT lang, pred_label, COUNT(*) AS n FROM best WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2""",
     "d_containment" ->
       s"""WITH $shingleCtes
 SELECT doc_a, doc_b,

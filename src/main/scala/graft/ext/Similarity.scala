@@ -697,4 +697,46 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
         Num.trunc4(avg(col("col").cast("double"))).as("mean_val"))
       .orderBy(col(labelCol), col("dim_idx"))
   }
+
+  /** Nearest-class-mean classification + confusion matrix: assign every
+    * vector to the closest [[groupCentroids]] prototype (squared L2)
+    * and cross-tabulate true vs predicted label — the cheap semantic
+    * classifier / drift detector over an embedded corpus. Centroids are
+    * the trunc4'd prototype values (both engines agree on them exactly,
+    * so the distance inputs are IDENTICAL, not merely close); distances
+    * fold sequentially in index order on both sides, and argmin ties
+    * break on the label — the whole prediction is deterministic
+    * cross-engine, which is what lets a float classifier carry a hash
+    * oracle at all.
+    *
+    * Scale shape: the |labels| prototype rows broadcast under a cross
+    * join (each vector scores |labels| candidates map-side); argmin is
+    * a per-vec_id window on the |n| x |labels| scored rows; the
+    * confusion matrix is a partial-first aggregate. The interpreted
+    * zip_with/aggregate fold is the per-row cost to beat — a native
+    * kernel (graft_dot-style) is the upgrade path if |labels| grows.
+    */
+  def classifyByCentroid(
+      embeddings: DataFrame,
+      labels: DataFrame,
+      labelCol: String): DataFrame = {
+    val cents = groupCentroids(embeddings, labels, labelCol)
+      .groupBy(col(labelCol).as("pred_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim_idx"), col("mean_val")))),
+        s => s("mean_val")).as("cvec"))
+    val j = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(labels, "vec_id")
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val dist = aggregate(
+      zip_with(embD, col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("pred_label"))
+    j.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col(labelCol), col("pred_label"), dist.as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col(labelCol), col("pred_label")).agg(count(lit(1)).as("n"))
+      .orderBy(col(labelCol), col("pred_label"))
+  }
 }

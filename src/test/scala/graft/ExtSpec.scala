@@ -1116,6 +1116,17 @@ class ExtSpec extends SparkSpec {
       (if (x.getString(0) == "g1") 2L else 1L)))
   }
 
+  test("classifyByCentroid: separable clusters give a diagonal confusion matrix") {
+    import spark.implicits._
+    val emb = (1L to 6L).map { i =>
+      if (i <= 3) (i, Array(1.0f, 0.1f * i)) else (i, Array(-1.0f, 0.1f * i))
+    }.toDF("vec_id", "embedding")
+    val lab = (1L to 6L).map(i => (i, if (i <= 3) "pos" else "neg")).toDF("vec_id", "lang")
+    val r = Similarity.classifyByCentroid(emb, lab, "lang").collect()
+    val m = r.map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n")).toMap
+    assert(m === Map(("pos", "pos") -> 3L, ("neg", "neg") -> 3L)) // no off-diagonal
+  }
+
   test("containmentPairs: planted subset copy scores ~1 one-way, Jaccard low") {
     import spark.implicits._
     // doc 2 is a strict prefix-quote of doc 1: containment(2 in 1) = 1,
