@@ -487,6 +487,8 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) => Events.transitionMatrix(rd(s, dir, "events"))),
     "q_paths" -> ((s, dir) => Events.topPaths(rd(s, dir, "events"))),
     "q_seasonality" -> ((s, dir) => Events.hourOfDayProfile(rd(s, dir, "events"))),
+    "q_conversion_lag" -> ((s, dir) => Events.conversionLagHistogram(rd(s, dir, "events"))),
+    "q_rfm" -> ((s, dir) => Aggregates.rfmSegments(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -1862,6 +1864,34 @@ ORDER BY doc_a, doc_b""",
       """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
   COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_conversion_lag" ->
+      """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase')
+SELECT CAST((p.us - fv.fv) // 1800000000 AS BIGINT) AS bucket_30m,
+  COUNT(*) AS n_purchases
+FROM p JOIN fv ON p.user_id = fv.user_id
+WHERE p.us - fv.fv > 0 AND p.us - fv.fv <= 86400000000
+GROUP BY 1 ORDER BY 1""",
+    "q_rfm" ->
+      """WITH pc AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+  COUNT(*) AS frequency,
+  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders GROUP BY 1),
+mx AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+seg AS (SELECT o_custkey, cents,
+  CASE WHEN date_diff('day', CAST(last_order AS DATE), CAST(max_date AS DATE)) <= 60
+            AND frequency >= 8 AND cents >= 10000000 THEN 'champion'
+       WHEN date_diff('day', CAST(last_order AS DATE), CAST(max_date AS DATE)) <= 60
+            AND frequency >= 8 THEN 'loyal'
+       WHEN date_diff('day', CAST(last_order AS DATE), CAST(max_date AS DATE)) <= 60
+            THEN 'recent'
+       WHEN frequency >= 8 THEN 'frequent_lapsed'
+       ELSE 'dormant' END AS segment
+FROM pc CROSS JOIN mx)
+SELECT segment, COUNT(*) AS n_customers,
+  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_spend
+FROM seg GROUP BY 1 ORDER BY 1""",
     "q_funnel3" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id, event_type, epoch_us(ts) AS us
   FROM events),

@@ -425,6 +425,45 @@ object Aggregates {
       .limit(10)
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation with
+    * FIXED thresholds — rule-based rather than quantile-based, so the
+    * segmentation is exact integer/cents arithmetic end-to-end (no
+    * global sort, no percentile; a rank-based variant would need a
+    * distributed quantile pass). Recency anchors on the corpus max
+    * order date via a broadcast 1-row aggregate — lazy, never an eager
+    * count. One partial-first aggregate per customer, then a tiny
+    * segment rollup.
+    */
+  def rfmSegments(
+      orders: DataFrame,
+      recentDays: Int = 60,
+      minFrequency: Long = 8,
+      minMonetaryCents: Long = 100000L * 100): DataFrame = {
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0)
+          .as("monetary_cents"))
+    val anchor = orders.agg(max(col("o_orderdate")).as("max_date"))
+    val recencyDays =
+      datediff(col("max_date"), col("last_order")).cast("long")
+    val seg =
+      when(recencyDays <= recentDays && col("frequency") >= minFrequency &&
+        col("monetary_cents") >= minMonetaryCents, "champion")
+        .when(recencyDays <= recentDays && col("frequency") >= minFrequency, "loyal")
+        .when(recencyDays <= recentDays, "recent")
+        .when(col("frequency") >= minFrequency, "frequent_lapsed")
+        .otherwise("dormant")
+    perCust.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"), seg.as("segment"), col("monetary_cents"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("monetary_cents")).cast("double") / 100.0).as("total_spend"))
+      .orderBy(col("segment"))
+  }
+
   /** Pairwise statistical profile of lineitem's numeric measures per
     * return flag: Pearson correlation, sample covariance, and sample
     * stddev — the feature-analysis pass a pipeline runs before using a

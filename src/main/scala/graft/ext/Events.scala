@@ -270,6 +270,29 @@ object Events {
       .orderBy(col("event_type"), col("day_num"))
   }
 
+  /** Time-to-convert histogram: minutes from a user's FIRST view to
+    * each subsequent purchase, bucketed in 30-minute bins up to 24h —
+    * the latency distribution behind attribution-window choices. All
+    * arithmetic is exact integer microseconds (bucket = floor division
+    * via subtract-mod, cross-engine exact); the per-user first-view
+    * aggregate and the purchase join co-partition on user_id.
+    */
+  def conversionLagHistogram(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("fv"))
+    val binUs = 30L * 60 * 1000000 // 30 minutes in micros
+    val delay = col("us") - col("fv")
+    val bucket = ((delay - pmod(delay, lit(binUs))) / lit(binUs)).cast("long")
+    events.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(delay > 0 && delay <= lit(24L * 3600 * 1000000))
+      .select(bucket.as("bucket_30m"))
+      .groupBy(col("bucket_30m")).agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("bucket_30m"))
+  }
+
   /** Hour-of-day seasonality profile: event volume and exact money
     * totals by (type, hour 0-23) — the diurnal-pattern report behind
     * capacity planning and anomaly baselines. Pure partial-first

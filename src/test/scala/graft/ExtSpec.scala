@@ -1145,6 +1145,29 @@ class ExtSpec extends SparkSpec {
     assert(jac.isEmpty) // resemblance misses the subset copy
   }
 
+  test("rfmSegments: every customer lands in exactly one segment, spend conserved") {
+    val orders = t("orders")
+    val r = Aggregates.rfmSegments(orders).collect()
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(r.map(_.getAs[Long]("n_customers")).sum === nCust)
+    val total = orders.select(
+      (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0)
+        .as("t")).head().getDouble(0)
+    assert(math.abs(r.map(_.getAs[Double]("total_spend")).sum - total) < 1e-6)
+  }
+
+  test("conversionLagHistogram: buckets within 24h, counts bounded by purchases") {
+    val ev = t("events")
+    val r = Events.conversionLagHistogram(ev).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val b = row.getAs[Long]("bucket_30m")
+      assert(b >= 0 && b < 48)
+    }
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(r.map(_.getAs[Long]("n_purchases")).sum <= nPurch)
+  }
+
   test("orderedFunnel: step counts are monotone and bounded by view users") {
     val r = Events.orderedFunnel(t("events")).collect()
     assert(r.nonEmpty)
