@@ -86,6 +86,19 @@ object SparkEntry {
         .select(col("n_nationkey"), col("nation_label")).orderBy(col("n_nationkey"))),
     // ---- Parity: joins (T9) + union (S6) ----
     "t9_join_inner" -> ((s, dir) => joinQuery(s, dir, "inner")),
+    // skew-guard join: the salted fan-out must be RESULT-invariant —
+    // the oracle is the plain join (salts never change the match set)
+    "t11_salted_join" -> ((s, dir) => {
+      graft.ext.expr.Int128Sum.ensureRegistered(s)
+      ops.Relational.saltedJoin(
+        rd(s, dir, "orders"), rd(s, dir, "customer"),
+        "o_custkey", "c_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ext.expr.Int128Sum.sumFixed(col("o_totalprice"), 2)
+            .cast("double").as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "t9_join_left" -> ((s, dir) => joinQuery(s, dir, "left")),
     "t9_join_right" -> ((s, dir) => joinQuery(s, dir, "right")),
     "t9_join_outer" -> ((s, dir) => joinQuery(s, dir, "outer")),
@@ -980,6 +993,11 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey, c_name ORDER BY o_custkey""",
     "t9_join_inner" -> joinOracle("JOIN"),
+    "t11_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1""",
     "t9_join_left" -> joinOracle("LEFT JOIN"),
     "t9_join_right" -> joinOracle("RIGHT JOIN"),
     "t9_join_outer" -> joinOracle("FULL OUTER JOIN"),
