@@ -230,6 +230,50 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("prop: seqPack and capPerGroup are invariant to input partitioning") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = for {
+      id <- Gen.chooseNum(0L, 500L)
+      src <- Gen.oneOf("s1", "s2", "s3")
+      n <- Gen.chooseNum(1, 9)
+      ws <- Gen.listOfN(n, word)
+    } yield (id, src, ws.mkString(" "))
+    cases(Gen.listOfN(24, docGen).map(_.distinctBy(_._1))) { rows =>
+      val base = rows.toDF("doc_id", "source", "text")
+      Seq(base.repartition(1), base.repartition(13, col("text"))).foreach { d =>
+        val packs = ext.Curation.seqPack(d, budget = 12L, shardSize = 100L)
+          .collect().map(_.toString).sorted.toSeq
+        val ref = ext.Curation.seqPack(base, budget = 12L, shardSize = 100L)
+          .collect().map(_.toString).sorted.toSeq
+        assert(packs === ref) // window order is (source, shard, key), never layout
+        val kept = ext.Curation.capPerGroup(d, "source", "doc_id", cap = 4)
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        val keptRef = ext.Curation.capPerGroup(base, "source", "doc_id", cap = 4)
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(kept === keptRef) // hash rank selection, not positional
+      }
+    }
+  }
+
+  test("prop: contentChecksum xor-merges across disjoint shards") {
+    import spark.implicits._
+    val rowG = Gen.zip(Gen.chooseNum(0L, 10000L), Gen.alphaStr.map(_.take(6)))
+    cases(Gen.listOfN(16, rowG).map(_.distinctBy(_._1))) { rows =>
+      val (l, r) = rows.splitAt(rows.length / 2)
+      def ck(xs: List[(Long, String)]) =
+        if (xs.isEmpty) (0L, 0L)
+        else {
+          val row = ext.Quality.contentChecksum(
+            xs.toDF("k", "v"), concat_ws("|", col("k"), col("v"))).head()
+          (row.getLong(0), row.getLong(1))
+        }
+      val (na, da) = ck(l); val (nb, db) = ck(r); val (nAll, dAll) = ck(rows)
+      assert(nAll === na + nb)
+      assert(dAll === (da ^ db)) // digest(a union b) = digest(a) XOR digest(b)
+    }
+  }
+
   test("prop: passage dedup equals a brute-force aligned chunker") {
     import spark.implicits._
     val word = Gen.oneOf("a", "b", "c", "d")
