@@ -84,6 +84,29 @@ object SparkEntry {
       Columns.mergeColumns(rd(s, dir, "nation"), "nation_label", "-",
         Seq("n_name", "n_regionkey"))
         .select(col("n_nationkey"), col("nation_label")).orderBy(col("n_nationkey"))),
+    // end-to-end Pipeline showcase: the reference's whole E-T-L flow
+    // (clean -> filter -> split -> join -> aggregate) as ONE lazy
+    // Catalyst plan via the Pipeline/Catalog layer — the structural
+    // win over per-operator pandas round-trips, gated like any query
+    "p1_pipeline" -> ((s, dir) => {
+      graft.ext.expr.Int128Sum.ensureRegistered(s)
+      // filter BEFORE fill: fillNulls coalesce-wraps every string col,
+      // and Contains(coalesce(c, ...)) cannot reach PushedFilters —
+      // source-column predicates go first so the scan prunes row
+      // groups (plan-asserted in ExtSpec). Same result either way
+      // here: contains(null) drops the row in both orders.
+      val prep = Pipeline("curate_orders")
+        .stage("urgent_only", ops.Mutation.filterContains(_, "o_orderpriority", "URGENT"))
+        .stage("clean", ops.Cleaning.fillNulls(_, "UNKNOWN", 0d))
+        .stage("split_prio", ops.Columns.splitColumnLiteral(_, "o_orderpriority", "-"))
+      prep(rd(s, dir, "orders"))
+        .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority_2").as("prio_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ext.expr.Int128Sum.sumFixed(col("o_totalprice"), 2)
+            .cast("double").as("total"))
+        .orderBy(col("c_mktsegment"), col("prio_name"))
+    }),
     // ---- Parity: joins (T9) + union (S6) ----
     "t9_join_inner" -> ((s, dir) => joinQuery(s, dir, "inner")),
     // skew-guard join: the salted fan-out must be RESULT-invariant —
@@ -993,6 +1016,13 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey, c_name ORDER BY o_custkey""",
     "t9_join_inner" -> joinOracle("JOIN"),
+    "p1_pipeline" ->
+      """SELECT c_mktsegment, string_split(o_orderpriority, '-')[2] AS prio_name,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE contains(o_orderpriority, 'URGENT')
+GROUP BY 1, 2 ORDER BY 1, 2""",
     "t11_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1145,6 +1145,22 @@ class ExtSpec extends SparkSpec {
     assert(jac.isEmpty) // resemblance misses the subset copy
   }
 
+  test("pipeline chain fuses: one scan per table, contains-filter pushed to parquet") {
+    // filter precedes fill: coalesce-wrapped columns block pushdown
+    // (with fill first, the Contains lands in DataFilters only)
+    val prep = Pipeline("t")
+      .stage("urgent", ops.Mutation.filterContains(_, "o_orderpriority", "URGENT"))
+      .stage("clean", ops.Cleaning.fillNulls(_, "UNKNOWN", 0d))
+      .stage("split", ops.Columns.splitColumnLiteral(_, "o_orderpriority", "-"))
+    val out = prep(t("orders"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val plan = out.queryExecution.executedPlan.toString
+    // three chained stages must NOT introduce extra scans or barriers
+    assert("Scan parquet".r.findAllIn(plan).size === 2, s"expected 2 scans:\n$plan")
+    assert(plan.contains("StringContains"), "contains-filter should reach PushedFilters")
+  }
+
   test("rfmSegments: every customer lands in exactly one segment, spend conserved") {
     val orders = t("orders")
     val r = Aggregates.rfmSegments(orders).collect()
