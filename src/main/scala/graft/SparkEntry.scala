@@ -687,6 +687,8 @@ object SparkEntry {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     }),
     "e_ann_lsh" -> ((s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 0L, 10)),
+    // JL random projection 64 -> 4 dims (seeded planes, map-side)
+    "e_project" -> ((s, dir) => Similarity.randomProjection(rd(s, dir, "embeddings"))),
     "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
     // materialized IVF: one-time partitioned layout, partition-pruned probe
     "e_ann_ivf_idx" -> ((s, dir) => {
@@ -901,6 +903,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
     */
   def oracleSql: Map[String, String] = Map(
     "e_ann_lsh" -> Similarity.annTopKOracleSql(),
+    "e_project" -> Similarity.randomProjectionOracleSql(),
     "e_ann_pairs" -> Similarity.lshCosinePairsOracleSql(),
     "t5_transpose" ->
       """SELECT 'r_regionkey' AS column_name, * FROM (

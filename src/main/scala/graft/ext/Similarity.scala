@@ -698,6 +698,47 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col(labelCol), col("dim_idx"))
   }
 
+  /** Seeded Gaussian random projection to `outDim` dimensions — the
+    * Johnson-Lindenstrauss dimensionality reduction that makes
+    * downstream pairwise work O(outDim) instead of O(dim) while
+    * approximately preserving distances. The SAME seeded planes as the
+    * sign-LSH family, kept as real-valued dots instead of sign bits;
+    * purely map-side (the plane literals compile into the projection),
+    * fuses into the scan. Deterministic cross-engine the same way
+    * e_ann_lsh is: planes embed as round-trip double literals in the
+    * generated oracle SQL, dots agree within trunc4.
+    */
+  def randomProjection(
+      embeddings: DataFrame,
+      outDim: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val planes = hyperplanes(outDim, dim, seed)
+    val v = col("embedding").cast("array<double>")
+    val projCols = planes.zipWithIndex.map { case (p, j) =>
+      Num.trunc4(dot(v, planeLit(p))).as(s"p$j")
+    }
+    embeddings.select(col("vec_id").cast("long").as("vec_id") +: projCols.toSeq: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[randomProjection]] — same literal-embedding
+    * idea as [[annTopKOracleSql]].
+    */
+  def randomProjectionOracleSql(
+      outDim: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L): String = {
+    val planes = hyperplanes(outDim, dim, seed)
+    val cols = planes.zipWithIndex.map { case (p, j) =>
+      s"floor(list_dot_product(v, ${p.mkString("[", ", ", "]")}) * 10000) / 10000.0 AS p$j"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+  $cols
+FROM e ORDER BY vec_id"""
+  }
+
   /** Nearest-class-mean classification + confusion matrix: assign every
     * vector to the closest [[groupCentroids]] prototype (squared L2)
     * and cross-tabulate true vs predicted label — the cheap semantic

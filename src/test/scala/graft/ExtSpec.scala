@@ -1116,6 +1116,19 @@ class ExtSpec extends SparkSpec {
       (if (x.getString(0) == "g1") 2L else 1L)))
   }
 
+  test("randomProjection: deterministic, map-side, roughly distance-preserving ordering") {
+    val emb = t("embeddings")
+    val a = Similarity.randomProjection(emb, outDim = 4).collect()
+    val b = Similarity.randomProjection(emb, outDim = 4).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq) // seeded planes
+    assert(a.head.schema.fieldNames.toSeq === Seq("vec_id", "p0", "p1", "p2", "p3"))
+    // map-side: no shuffle besides the output sort
+    val plan = Similarity.randomProjection(emb, outDim = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("hashpartitioning"),
+      s"projection must be a pure projection + sort:\n$plan")
+  }
+
   test("classifyByCentroid: separable clusters give a diagonal confusion matrix") {
     import spark.implicits._
     val emb = (1L to 6L).map { i =>
