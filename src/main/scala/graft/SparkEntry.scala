@@ -531,6 +531,7 @@ object SparkEntry {
       Dedup.containmentPairs(rd(s, dir, "documents"))),
     "q_cooccur" -> ((s, dir) => Events.eventCooccurrence(rd(s, dir, "events"))),
     "d_drift" -> ((s, dir) => Curation.sourceDrift(rd(s, dir, "documents"))),
+    "d_stopwords" -> ((s, dir) => Curation.stopwordCandidates(rd(s, dir, "documents"))),
     // centrality over the near-dup pair graph: which docs sit at the
     // center of duplication families (3 fixed PageRank rounds)
     "d_pagerank" -> ((s, dir) =>
@@ -1879,6 +1880,16 @@ GROUP BY 1 ORDER BY 1""",
 FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_pagerank" -> pageRankSql,
+    "d_stopwords" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1)
+SELECT term, df,
+  floor((CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 10000) / 10000.0 AS doc_share
+FROM dfreq CROSS JOIN nd
+WHERE CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.4
+ORDER BY doc_share DESC, term""",
     "e_group_centroid" ->
       """WITH j AS (SELECT d.lang, e.embedding
   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),

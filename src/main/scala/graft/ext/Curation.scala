@@ -370,6 +370,32 @@ object Curation {
     df.filter(h * lit(weightDen) < weightNum.cast("long") * lit(4294967296L))
   }
 
+  /** Corpus-derived stopword discovery: terms whose DOCUMENT frequency
+    * exceeds `minDocShare` of the corpus — the data-driven alternative
+    * to a hand-curated stopword list, and the input you'd feed the
+    * df-cap in [[Dedup.pairJaccard]]. One explode into a per-(doc,
+    * term) DISTINCT (map-side partial), one partial-first count per
+    * term, a broadcast 1-row total; the share is an exact integer
+    * division trunc4'd only at output.
+    */
+  def stopwordCandidates(
+      docs: DataFrame,
+      minDocShare: Double = 0.4,
+      textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    import Num.trunc4
+    val docTerms = graft.Tables.spread(docs)
+      .select(col(keyCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docTerms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("doc_share", col("df").cast("double") / col("n_docs").cast("double"))
+      .filter(col("doc_share") >= minDocShare)
+      .select(col("term"), col("df"), trunc4(col("doc_share")).as("doc_share"))
+      .orderBy(col("doc_share").desc, col("term"))
+  }
+
   /** Per-source token-distribution drift: a chi-square-style divergence
     * of each source's term distribution against the corpus-wide
     * distribution — the monitoring signal that flags a crawl source
