@@ -523,6 +523,8 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) => Events.transitionMatrix(rd(s, dir, "events"))),
     "q_paths" -> ((s, dir) => Events.topPaths(rd(s, dir, "events"))),
     "q_seasonality" -> ((s, dir) => Events.hourOfDayProfile(rd(s, dir, "events"))),
+    "q_seasonality_dow" -> ((s, dir) => Events.dayOfWeekProfile(rd(s, dir, "events"))),
+    "d_vocab_growth" -> ((s, dir) => Curation.vocabGrowth(rd(s, dir, "documents"))),
     "q_conversion_lag" -> ((s, dir) => Events.conversionLagHistogram(rd(s, dir, "events"))),
     "q_rfm" -> ((s, dir) => Aggregates.rfmSegments(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
@@ -1926,6 +1928,21 @@ ORDER BY doc_a, doc_b""",
       """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
   COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_seasonality_dow" ->
+      """SELECT event_type,
+  CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS BIGINT) AS dow,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d_vocab_growth" ->
+      """WITH fb AS (SELECT w AS term, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1),
+blk AS (SELECT CAST(first_doc // 100 AS BIGINT) AS block, COUNT(*) AS new_terms
+        FROM fb GROUP BY 1)
+SELECT block, new_terms,
+  CAST(SUM(new_terms) OVER (ORDER BY block
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+FROM blk ORDER BY block""",
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
   FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -370,6 +370,35 @@ object Curation {
     df.filter(h * lit(weightDen) < weightNum.cast("long") * lit(4294967296L))
   }
 
+  /** Vocabulary-growth (Heaps' law) curve: distinct terms seen after
+    * each block of `blockSize` documents in doc_id order — the
+    * diminishing-returns signal for corpus expansion ("how much new
+    * vocabulary does the next crawl slice buy"). Cumulative distinct
+    * needs no stateful scan: a term's FIRST occurrence block (min
+    * doc_id per term — partial-first aggregate) fully determines the
+    * curve, and the cumulative sum runs over the tiny per-block counts.
+    */
+  def vocabGrowth(
+      docs: DataFrame,
+      blockSize: Long = 100L,
+      keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(blockSize > 0, s"blockSize=$blockSize must be positive")
+    val firstBlock = graft.Tables.spread(docs)
+      .select(col(keyCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(min(col(keyCol)).as("first_doc"))
+      .select(((col("first_doc") - pmod(col("first_doc"), lit(blockSize))) /
+        lit(blockSize)).cast("long").as("block"))
+      .groupBy(col("block")).agg(count(lit(1)).as("new_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("block"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    firstBlock
+      .select(col("block"), col("new_terms"),
+        sum(col("new_terms")).over(w).as("vocab_size"))
+      .orderBy(col("block"))
+  }
+
   /** Corpus-derived stopword discovery: terms whose DOCUMENT frequency
     * exceeds `minDocShare` of the corpus — the data-driven alternative
     * to a hand-curated stopword list, and the input you'd feed the

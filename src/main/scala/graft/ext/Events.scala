@@ -293,6 +293,24 @@ object Events {
       .orderBy(col("bucket_30m"))
   }
 
+  /** Day-of-week profile, the weekly-seasonality companion to
+    * [[hourOfDayProfile]]. The weekday comes from epoch-day arithmetic
+    * — `(days_since_epoch + 4) mod 7`, 0 = Sunday — because the
+    * engines' dayofweek() builtins disagree on numbering (Spark
+    * 1=Sunday, DuckDB 0=Sunday); integer arithmetic over the same
+    * day number can't diverge.
+    */
+  def dayOfWeekProfile(eventsRaw: DataFrame): DataFrame = {
+    graft.ext.expr.Int128Sum.ensureRegistered(eventsRaw.sparkSession)
+    val events = normalizeTs(eventsRaw)
+    val dow = pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 4, lit(7))
+    events
+      .groupBy(col("event_type"), dow.cast("bigint").as("dow"))
+      .agg(count(lit(1)).as("n"),
+        graft.ext.expr.Int128Sum.sumFixed(col("value"), 2).cast("double").as("total_value"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Hour-of-day seasonality profile: event volume and exact money
     * totals by (type, hour 0-23) — the diurnal-pattern report behind
     * capacity planning and anomaly baselines. Pure partial-first

@@ -1206,6 +1206,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("vocabGrowth: final vocab equals corpus distinct terms, curve monotone") {
+    val docs = t("documents")
+    val r = Curation.vocabGrowth(docs).collect()
+    val distinctTerms = docs
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(r.last.getAs[Long]("vocab_size") === distinctTerms)
+    val sizes = r.map(_.getAs[Long]("vocab_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b || a == b })
+    assert(r.map(_.getAs[Long]("new_terms")).sum === distinctTerms)
+  }
+
+  test("dayOfWeekProfile: dow in [0,6], counts sum to total") {
+    val ev = t("events")
+    val r = Events.dayOfWeekProfile(ev)
+    assert(r.select(sum("n")).head().getLong(0) === ev.count())
+    assert(r.filter(col("dow") < 0 || col("dow") > 6).count() === 0)
+  }
+
   test("hourOfDayProfile: 24 hours max per type, counts sum to total") {
     val ev = t("events")
     val r = Events.hourOfDayProfile(ev)
