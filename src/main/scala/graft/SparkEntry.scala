@@ -836,7 +836,8 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n_nodes AS rank FROM nodes CROSS JO
 ${round("r0", "r1")},
 ${round("r1", "r2")},
 ${round("r2", "r3")}
-SELECT r3.node AS doc_id, floor(r3.rank * nn.n_nodes * 10000) / 10000.0 AS rank_x_n
+SELECT r3.node AS doc_id,
+  floor(r3.rank * nn.n_nodes * 10000 + 0.000001) / 10000.0 AS rank_x_n
 FROM r3 CROSS JOIN nn ORDER BY doc_id"""
   }
 

@@ -71,8 +71,17 @@ object Graph {
           col("n_nodes"))
         .localCheckpoint(false)
     }
+    // Epsilon-compensated truncation, NOT plain trunc4: rank*N on
+    // small/symmetric graphs lands on exact decimal rationals (1.425,
+    // 0.75) that sit exactly ON the 1e-4 grid, where +-1 ulp of
+    // summation-order noise flips floor() — across partitionings and
+    // across engines (a PropSpec case caught the flip). Adding 1e-6
+    // BEFORE flooring moves the boundary off the representable
+    // rationals; both engines apply the identical formula.
     ranks
-      .select(col("node"), Num.trunc4(col("rank") * col("n_nodes")).as("rank_x_n"))
+      .select(col("node"),
+        (floor(col("rank") * col("n_nodes") * lit(10000.0) + lit(1e-6)) /
+          lit(10000.0)).as("rank_x_n"))
       .orderBy(col("node"))
   }
 }

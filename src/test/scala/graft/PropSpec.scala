@@ -274,6 +274,28 @@ class PropSpec extends SparkSpec {
     }
   }
 
+  test("prop: pageRank is invariant to pair-table partitioning and pair order") {
+    import spark.implicits._
+    val pairGen = Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    cases(Gen.listOfN(20, pairGen).map(_.distinct).suchThat(_.nonEmpty)) { ps =>
+      val base = ps.toDF("doc_a", "doc_b")
+      val ref = ext.Graph.pageRank(base, "doc_a", "doc_b", iters = 2)
+        .collect().map(_.toString).toSeq
+      Seq(base.repartition(7), base.orderBy(col("doc_b").desc)).foreach { d =>
+        val got = ext.Graph.pageRank(d, "doc_a", "doc_b", iters = 2)
+          .collect().map(_.toString).toSeq
+        assert(got === ref)
+      }
+      // rank mass conserved: sum of rank*N over nodes = N (trunc4 loss bounded)
+      val n = ref.length
+      val total = ext.Graph.pageRank(base, "doc_a", "doc_b", iters = 2)
+        .agg(sum(col("rank_x_n"))).head().getDouble(0)
+      assert(math.abs(total - n) < n * 2e-4)
+    }
+  }
+
   test("prop: passage dedup equals a brute-force aligned chunker") {
     import spark.implicits._
     val word = Gen.oneOf("a", "b", "c", "d")
