@@ -532,6 +532,7 @@ object SparkEntry {
     "d_containment" -> ((s, dir) =>
       Dedup.containmentPairs(rd(s, dir, "documents"))),
     "q_cooccur" -> ((s, dir) => Events.eventCooccurrence(rd(s, dir, "events"))),
+    "q_affinity" -> ((s, dir) => Events.basketAffinity(rd(s, dir, "events"))),
     "d_drift" -> ((s, dir) => Curation.sourceDrift(rd(s, dir, "documents"))),
     "d_stopwords" -> ((s, dir) => Curation.stopwordCandidates(rd(s, dir, "documents"))),
     // centrality over the near-dup pair graph: which docs sit at the
@@ -743,6 +744,8 @@ object SparkEntry {
     // streaming transition mining: O(1)-per-user state, shares the
     // batch transitionMatrix oracle (counts only)
     "st_transitions" -> ((s, dir) => StreamingOps.transitionsStream(s, dir)),
+    // bounded-state continuous aggregate: |types| x 24 groups forever
+    "st_seasonality" -> ((s, dir) => StreamingOps.seasonalityStream(s, dir)),
     // streaming MERGE: pre-seeded stale rows must be REPLACED per batch
     "st_upsert" -> ((s, dir) => StreamingOps.upsertPurchasesStream(s, dir)),
     "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir)),
@@ -1630,6 +1633,26 @@ SELECT status, COUNT(*) AS n FROM (
               ELSE 'changed' END AS status
   FROM a FULL OUTER JOIN b USING (k))
 GROUP BY 1 ORDER BY 1""",
+    "q_affinity" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM d),
+pt AS (SELECT event_type, COUNT(*) AS n_type FROM d GROUP BY 1),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users
+          FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+SELECT type_a, type_b, n_users,
+  floor(CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) * 10000) / 10000.0 AS support,
+  floor(CAST(n_users AS DOUBLE) / CAST(pa.n_type AS DOUBLE) * 10000) / 10000.0 AS conf_a_to_b,
+  floor(CAST(n_users * n_total AS DOUBLE) / CAST(pa.n_type * pb.n_type AS DOUBLE)
+        * 10000) / 10000.0 AS lift
+FROM pairs CROSS JOIN nu
+JOIN pt pa ON pa.event_type = type_a
+JOIN pt pb ON pb.event_type = type_b
+ORDER BY type_a, type_b""",
+    "st_seasonality" ->
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_cooccur" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users

@@ -406,6 +406,38 @@ object Events {
       .limit(k)
   }
 
+  /** Association-rule metrics over the co-occurrence pairs: support,
+    * confidence, and lift per event-type pair, with the user as the
+    * basket. Every metric is ONE correctly-rounded IEEE division (or a
+    * division of two exact integer products — nAB*nU and nA*nB stay
+    * under 2^63 up to ~1e9 users), so both engines compute
+    * bit-identical values: no summation noise anywhere. The per-type
+    * and total counts are tiny aggregates broadcast back onto the
+    * pair table.
+    */
+  def basketAffinity(eventsRaw: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val d = normalizeTs(eventsRaw).select(col("user_id"), col("event_type")).distinct()
+    val nU = d.agg(count_distinct(col("user_id")).as("n_total"))
+    val perType = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val a = d.select(col("user_id"), col("event_type").as("type_a"))
+    val b = d.select(col("user_id"), col("event_type").as("type_b"))
+    val pairs = a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .crossJoin(broadcast(nU))
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n_type").as("na"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n_type").as("nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        trunc4(col("n_users").cast("double") / col("n_total").cast("double")).as("support"),
+        trunc4(col("n_users").cast("double") / col("na").cast("double")).as("conf_a_to_b"),
+        trunc4((col("n_users") * col("n_total")).cast("double") /
+          (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Event-type co-occurrence: for every unordered pair of event types,
     * how many users performed both — the support counts of basket/
     * association analysis, with the user as the basket. DISTINCT first

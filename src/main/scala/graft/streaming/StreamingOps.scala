@@ -74,6 +74,39 @@ object StreamingOps {
       .orderBy(col("hour_epoch"), col("event_type"))
   }
 
+  /** Streaming hour-of-day seasonality: the diurnal profile as a
+    * complete-mode continuous aggregate — unlike the tumbling hourly
+    * window, the grouping key here is DERIVED (hour(ts), not a time
+    * window), so state is permanently bounded at |types| x 24 groups
+    * regardless of stream age: the always-on dashboard shape. Shares
+    * the batch [[graft.ext.Events.hourOfDayProfile]] oracle; money
+    * sums stay exact decimal so arrival order can't change them.
+    */
+  def seasonalityStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
+    val name = s"graft_stream_seasonality_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, streamParts) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(col("event_type"), col("hour_of_day"), col("n"),
+        col("total_value_dec").cast("double").as("total_value"))
+      .orderBy(col("event_type"), col("hour_of_day"))
+  }
+
   /** Watermarked, append-mode variant of the hourly aggregate — the
     * production shape for unbounded streams: `withWatermark` bounds
     * state (hour windows are finalized and EVICTED once the watermark

@@ -1062,6 +1062,23 @@ class ExtSpec extends SparkSpec {
     shares.foreach(row => assert(math.abs(row.getAs[Double]("s") - 1.0) < 1e-2))
   }
 
+  test("basketAffinity: metrics bounded, confidence >= support, lift symmetry check") {
+    val r = Events.basketAffinity(t("events")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val s = row.getAs[Double]("support"); val c = row.getAs[Double]("conf_a_to_b")
+      assert(s > 0 && s <= 1.0 && c >= s - 1e-9 && c <= 1.0)
+      assert(row.getAs[Double]("lift") > 0)
+    }
+  }
+
+  test("streaming seasonality equals the batch hour-of-day profile") {
+    val streamed = graft.streaming.StreamingOps.seasonalityStream(spark, sf())
+    val batch = Events.hourOfDayProfile(t("events"))
+    assert(streamed.collect().map(_.toString).toSeq ===
+      batch.collect().map(_.toString).toSeq)
+  }
+
   test("eventCooccurrence: pair support bounded by each type's user count") {
     val ev = t("events")
     val perType = ev.select("user_id", "event_type").distinct()
