@@ -527,6 +527,7 @@ object SparkEntry {
     "d_vocab_growth" -> ((s, dir) => Curation.vocabGrowth(rd(s, dir, "documents"))),
     "q_conversion_lag" -> ((s, dir) => Events.conversionLagHistogram(rd(s, dir, "events"))),
     "q_rfm" -> ((s, dir) => Aggregates.rfmSegments(rd(s, dir, "orders"))),
+    "q_monthly_growth" -> ((s, dir) => Aggregates.monthlyRevenueTrend(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -659,6 +660,13 @@ object SparkEntry {
     // short-string (title) near-dup: prefix-blocked Levenshtein pairs
     "d_edit_neardup" -> ((s, dir) => Dedup.editDistancePairs(rd(s, dir, "documents"))),
     "d_dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(rd(s, dir, "documents"))),
+    // dedup REPORTING: how big are the duplication families — size
+    // histogram over the cluster assignment (two tiny reaggregations)
+    "d_cluster_sizes" -> ((s, dir) =>
+      Dedup.nearDupClusters(rd(s, dir, "documents"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
     // the decision layer over the clusters: keep the longest member
     "d_dedup_keep" -> ((s, dir) => Dedup.dedupKeepList(rd(s, dir, "documents"))),
     "d_simhash_neardup" -> ((s, dir) => Dedup.simhashNearDup(rd(s, dir, "documents"))),
@@ -1976,6 +1984,17 @@ SELECT CAST((p.us - fv.fv) // 1800000000 AS BIGINT) AS bucket_30m,
 FROM p JOIN fv ON p.user_id = fv.user_id
 WHERE p.us - fv.fv > 0 AND p.us - fv.fv <= 86400000000
 GROUP BY 1 ORDER BY 1""",
+    "q_monthly_growth" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n_orders,
+  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders GROUP BY 1)
+SELECT CAST(FLOOR(epoch(mo)) AS BIGINT) AS month_epoch, n_orders,
+  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+  CASE WHEN LAG(cents) OVER (ORDER BY mo) IS NULL THEN NULL
+       ELSE floor(CAST(cents - LAG(cents) OVER (ORDER BY mo) AS DOUBLE)
+                  / CAST(LAG(cents) OVER (ORDER BY mo) AS DOUBLE) * 10000) / 10000.0
+  END AS growth
+FROM m ORDER BY month_epoch""",
     "q_rfm" ->
       """WITH pc AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
   COUNT(*) AS frequency,
@@ -2024,6 +2043,13 @@ FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.title, b.title) <= 5
 ORDER BY doc_a, doc_b""",
     "d_dedup_clusters" -> clustersSql,
+    "d_cluster_sizes" ->
+      s"""$clusterReachSql,
+cl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY a),
+csz AS (SELECT cluster_id, COUNT(*) AS csize FROM cl GROUP BY 1)
+SELECT csize AS cluster_size, COUNT(*) AS n_clusters
+FROM csz GROUP BY 1 ORDER BY 1""",
     "d_dedup_keep" -> dedupKeepSql,
     "d_simhash" -> {
       val high = "('8','9','a','b','c','d','e','f')"

@@ -425,6 +425,32 @@ object Aggregates {
       .limit(10)
   }
 
+  /** Monthly revenue trend with month-over-month growth: date_trunc to
+    * month, exact int128 cents per month, then a lag window over the
+    * (tiny, one-row-per-month) aggregated series — the window runs on
+    * |months| rows, never on the fact table. Growth is one division of
+    * exact integer cents, so both engines agree bit-for-bit before
+    * trunc4.
+    */
+  def monthlyRevenueTrend(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val m = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val w = Window.orderBy(col("mo"))
+    val prev = lag(col("cents"), 1).over(w)
+    m.select(
+      unix_timestamp(col("mo")).as("month_epoch"),
+      col("n_orders"),
+      (col("cents").cast("double") / 100.0).as("revenue"),
+      when(prev.isNull, lit(null).cast("double"))
+        .otherwise(trunc4((col("cents") - prev).cast("double") / prev.cast("double")))
+        .as("growth"))
+      .orderBy(col("month_epoch"))
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation with
     * FIXED thresholds — rule-based rather than quantile-based, so the
     * segmentation is exact integer/cents arithmetic end-to-end (no

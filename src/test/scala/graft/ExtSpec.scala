@@ -1202,6 +1202,29 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r.map(_.getAs[Double]("total_spend")).sum - total) < 1e-6)
   }
 
+  test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
+    val orders = t("orders")
+    val r = Aggregates.monthlyRevenueTrend(orders).collect()
+    val nMonths = orders
+      .select(date_trunc("month", col("o_orderdate")).as("mo")).distinct().count()
+    assert(r.length === nMonths)
+    assert(r.head.isNullAt(r.head.fieldIndex("growth")), "first month has no prior to grow from")
+    val total = orders.select(
+      (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).as("t"))
+      .head().getDouble(0)
+    assert(math.abs(r.map(_.getAs[Double]("revenue")).sum - total) < 1e-6)
+    // spot-check growth against the revenue series itself (trunc-toward-
+    // negative-infinity at 4 decimals, same as Num.trunc4)
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        val g = math.floor((b.getAs[Double]("revenue") - a.getAs[Double]("revenue")) /
+          a.getAs[Double]("revenue") * 10000) / 10000.0
+        assert(math.abs(b.getAs[Double]("growth") - g) < 1.5e-4,
+          s"growth mismatch at month ${b.getAs[Long]("month_epoch")}")
+      case _ =>
+    }
+  }
+
   test("conversionLagHistogram: buckets within 24h, counts bounded by purchases") {
     val ev = t("events")
     val r = Events.conversionLagHistogram(ev).collect()
