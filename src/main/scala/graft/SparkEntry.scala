@@ -525,9 +525,18 @@ object SparkEntry {
     "q_seasonality" -> ((s, dir) => Events.hourOfDayProfile(rd(s, dir, "events"))),
     "q_seasonality_dow" -> ((s, dir) => Events.dayOfWeekProfile(rd(s, dir, "events"))),
     "d_vocab_growth" -> ((s, dir) => Curation.vocabGrowth(rd(s, dir, "documents"))),
+    // exact equal-frequency binning over document length (integer rank
+    // arithmetic — no float percentile, no fact-table sort)
+    "d_eqfreq_bins" -> ((s, dir) =>
+      Curation.equalFrequencyBins(rd(s, dir, "documents"), "n_chars", 10)),
+    // corpus bigram LM: top transitions by P(w2|w1) with exact counts
+    "d_bigrams" -> ((s, dir) => TextOps.bigramModel(rd(s, dir, "documents"), 30)),
     "q_conversion_lag" -> ((s, dir) => Events.conversionLagHistogram(rd(s, dir, "events"))),
     "q_rfm" -> ((s, dir) => Aggregates.rfmSegments(rd(s, dir, "orders"))),
     "q_monthly_growth" -> ((s, dir) => Aggregates.monthlyRevenueTrend(rd(s, dir, "orders"))),
+    // shuffle-key skew diagnostic: the salting decision, as a query
+    "q_skew_profile" -> ((s, dir) =>
+      Aggregates.keySkewProfile(rd(s, dir, "events"), "user_id", 10)),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -542,6 +551,18 @@ object SparkEntry {
       Graph.pageRank(Dedup.ngramJaccardPairs(rd(s, dir, "documents")),
         "doc_a", "doc_b", iters = 3)
         .withColumnRenamed("node", "doc_id")),
+    // triangle census of the high-quantity co-purchase graph (parts
+    // bought together in bulk): degree-ordered orientation
+    "q_triangles" -> ((s, dir) => {
+      val items = rd(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 43)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      Graph.triangleStats(pairs, "pa", "pb")
+    }),
     // keyed diff vs a deterministically perturbed second version:
     // drop keys %97=0, change priority on %101=0, add shifted %499=0
     "k14_table_diff" -> ((s, dir) => {
@@ -701,6 +722,8 @@ object SparkEntry {
     "e_ann_lsh" -> ((s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 0L, 10)),
     // JL random projection 64 -> 4 dims (seeded planes, map-side)
     "e_project" -> ((s, dir) => Similarity.randomProjection(rd(s, dir, "embeddings"))),
+    // per-dimension mean/std/min/max — the whitening/drift health check
+    "e_dim_stats" -> ((s, dir) => Similarity.dimStats(rd(s, dir, "embeddings"))),
     "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
     // materialized IVF: one-time partitioned layout, partition-pruned probe
     "e_ann_ivf_idx" -> ((s, dir) => {
@@ -919,6 +942,14 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   def oracleSql: Map[String, String] = Map(
     "e_ann_lsh" -> Similarity.annTopKOracleSql(),
     "e_project" -> Similarity.randomProjectionOracleSql(),
+    "e_dim_stats" ->
+      """WITH x AS (SELECT unnest(embedding::DOUBLE[]) AS x,
+  generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings)
+SELECT dim, COUNT(*) AS n,
+  floor(AVG(x) * 10000) / 10000.0 AS mean,
+  floor(stddev_pop(x) * 10000) / 10000.0 AS std,
+  MIN(x) AS lo, MAX(x) AS hi
+FROM x GROUP BY 1 ORDER BY 1""",
     "e_ann_pairs" -> Similarity.lshCosinePairsOracleSql(),
     "t5_transpose" ->
       """SELECT 'r_regionkey' AS column_name, * FROM (
@@ -1914,6 +1945,29 @@ GROUP BY 1 ORDER BY 1""",
 FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_pagerank" -> pageRankSql,
+    "q_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 43),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT x, COUNT(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+ew AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv
+       FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+dir AS (SELECT CASE WHEN du <= dv THEN u ELSE v END AS src,
+               CASE WHEN du <= dv THEN v ELSE u END AS dst,
+               CASE WHEN du <= dv THEN dv ELSE du END AS ddeg FROM ew),
+w AS (SELECT a.src, a.dst AS x, b.dst AS y FROM dir a JOIN dir b ON a.src = b.src
+      AND (a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst))),
+t AS (SELECT COUNT(*) AS n_triangles
+      FROM w WHERE EXISTS (SELECT 1 FROM dir WHERE dir.src = w.x AND dir.dst = w.y))
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles,
+       CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
+            THEN floor(3.0 * n_triangles /
+                       CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE) * 10000) / 10000.0
+            ELSE 0.0 END AS global_cc
+FROM t""",
     "d_stopwords" ->
       """WITH dt AS (SELECT DISTINCT doc_id, w AS term
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
@@ -1975,6 +2029,26 @@ SELECT block, new_terms,
   CAST(SUM(new_terms) OVER (ORDER BY block
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
 FROM blk ORDER BY block""",
+    "d_eqfreq_bins" ->
+      """WITH vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
+  WHERE n_chars IS NOT NULL GROUP BY 1),
+cum AS (SELECT v, c,
+  CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS below,
+  CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM vc)
+SELECT CAST((below * 10) // n AS BIGINT) AS bin, COUNT(*) AS n_values,
+  CAST(SUM(c) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+FROM cum GROUP BY 1 ORDER BY 1""",
+    "d_bigrams" ->
+      """WITH toks AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+bg AS (SELECT w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM toks),
+c12 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_first FROM c12 GROUP BY 1)
+SELECT c12.w1, c12.w2, n_pair, n_first,
+  floor(CAST(n_pair AS DOUBLE) / CAST(n_first AS DOUBLE) * 10000) / 10000.0 AS cond_p
+FROM c12 JOIN c1 USING (w1)
+ORDER BY n_pair DESC, w1, w2 LIMIT 30""",
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
   FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -1995,6 +2069,14 @@ SELECT CAST(FLOOR(epoch(mo)) AS BIGINT) AS month_epoch, n_orders,
                   / CAST(LAG(cents) OVER (ORDER BY mo) AS DOUBLE) * 10000) / 10000.0
   END AS growth
 FROM m ORDER BY month_epoch""",
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c),
+top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key LIMIT 10)
+SELECT ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rnk, key, n_rows,
+  floor(CAST(n_rows AS DOUBLE) / total * 10000) / 10000.0 AS share4,
+  floor(CAST(n_rows AS DOUBLE) * n_keys / total * 10000) / 10000.0 AS x_mean4
+FROM top CROSS JOIN t ORDER BY rnk""",
     "q_rfm" ->
       """WITH pc AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
   COUNT(*) AS frequency,

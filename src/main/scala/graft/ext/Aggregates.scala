@@ -425,6 +425,33 @@ object Aggregates {
       .limit(10)
   }
 
+  /** Join-key skew profile: the diagnostic that decides whether a key
+    * needs salting/AQE-skew-join before a big shuffle. Emits the top-k
+    * heaviest keys with their absolute count, share of all rows, and
+    * multiple-of-the-mean-key (x_mean ≫ 1 on a key is exactly the
+    * "one reducer gets this" warning).
+    *
+    * Scale shape: one partial-first count per key, TakeOrderedAndProject
+    * for the top-k, and a broadcast 1-row total — the full key census
+    * is never sorted and never leaves the executors. The final
+    * row_number window runs on k rows.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    import Num.trunc4
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).cast("long").as("total"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("n_rows").desc, col("key"))
+    counts.orderBy(col("n_rows").desc, col("key")).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(row_number().over(w).cast("long").as("rnk"),
+        col("key"), col("n_rows"),
+        trunc4(col("n_rows").cast("double") / col("total").cast("double")).as("share4"),
+        trunc4(col("n_rows").cast("double") * col("n_keys").cast("double") /
+          col("total").cast("double")).as("x_mean4"))
+      .orderBy(col("rnk"))
+  }
+
   /** Monthly revenue trend with month-over-month growth: date_trunc to
     * month, exact int128 cents per month, then a lag window over the
     * (tiny, one-row-per-month) aggregated series — the window runs on

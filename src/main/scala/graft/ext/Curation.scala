@@ -564,4 +564,40 @@ object Curation {
           col("clc") / col("n_tokens").cast("double")) / lit(ln2)).as("entropy_bits"))
       .orderBy(col(keyCol))
   }
+
+  /** EXACT distributed equal-frequency binning over an integral column
+    * (length-balanced shards, difficulty tiers, quantile features)
+    * without a global sort of the fact table. Two-level shape: a
+    * partial-first `groupBy(value)` shrinks the input to its distinct
+    * values, then the running-total window that turns counts into
+    * cumulative ranks runs over the |distinct| frame only — for bounded
+    * domains (document lengths, token counts, star ratings) that is
+    * thousands of rows regardless of corpus size, so the single-
+    * partition window is NOT a scale hazard; the fact table itself is
+    * never sorted or windowed.
+    *
+    * Bin rule: a value group whose first row has 0-indexed global rank
+    * r lands in bin `(r * k) div N` — pure 64-bit integer arithmetic
+    * (engine-neutral, no float percentile), and tied values never split
+    * across bins. Bins are equal-frequency up to tie granularity.
+    */
+  def equalFrequencyBins(df: DataFrame, valueCol: String, k: Int = 10): DataFrame = {
+    require(k > 1, s"need at least 2 bins, got $k")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below", sum(col("c")).over(wCum) - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("bin", expr(s"(below * ${k}L) div n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_values"), sum(col("c")).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("bin"))
+  }
 }

@@ -84,4 +84,58 @@ object Graph {
           lit(10000.0)).as("rank_x_n"))
       .orderBy(col("node"))
   }
+
+  /** Triangle count + global clustering coefficient of an undirected
+    * pair graph, via DEGREE-ORDERED edge orientation (Cohen / node-
+    * iterator++): orient every edge from its lower-(degree, id)
+    * endpoint to the higher one, enumerate wedges only at the oriented
+    * source, and close each wedge with one join back to the oriented
+    * edge list. Each triangle is counted exactly once, and — the scale
+    * property — oriented out-degree is O(sqrt(|E|)) on ANY degree
+    * distribution, so the wedge set stays near-linear even when the
+    * raw graph has power-law hubs whose naive d^2 wedge count would
+    * explode. All steps are joins + partial-first aggregates on node
+    * keys; nothing is collected.
+    *
+    * Output: one row — n_nodes, n_edges, n_wedges (open+closed, from
+    * the degree sequence: sum d*(d-1)/2), n_triangles, and the global
+    * clustering coefficient 3T/W (trunc4; exact-integer operands so
+    * both engines divide the same numbers).
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import graft.ext.Num.trunc4
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val ew = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    // ties break on node id; u < v by construction, so a tie keeps u->v
+    val fwd = col("du") < col("dv") || col("du") === col("dv")
+    // referenced three times below (two wedge legs + the closing join):
+    // lazy localCheckpoint materializes the upstream pair pipeline once
+    val dir = ew.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint(false)
+    val wedges = dir.select(col("src"), col("dst").as("x"), col("ddeg").as("xd"))
+      .join(dir.select(col("src"), col("dst").as("y"), col("ddeg").as("yd")), Seq("src"))
+      .filter(col("xd") < col("yd") || (col("xd") === col("yd") && col("x") < col("y")))
+    val tri = wedges
+      .join(dir.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri) // three 1-row aggregates
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          trunc4(lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double")))
+          .otherwise(lit(0.0)).as("global_cc"))
+  }
 }

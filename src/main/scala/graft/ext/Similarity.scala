@@ -525,6 +525,28 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     quantized.select(col("vec_id"),
       transform(col("qvec"), q => q.cast("double") * col("scale")).as("embedding"))
 
+  /** Per-dimension embedding-column health check (whitening prep /
+    * drift detection): mean, population stddev, min, max for every
+    * dimension. posexplode then ONE partial-first hash aggregate keyed
+    * by dimension index — the shuffle carries dim-count partial rows
+    * per map task, never vectors, so the pass is a single scan at any
+    * corpus size. mean/std are trunc4'd (summation-order noise policy,
+    * same as corr/entropy); min/max of float-cast-to-double values are
+    * exact in both engines.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    embeddings
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        trunc4(avg(col("x"))).as("mean"),
+        trunc4(stddev_pop(col("x"))).as("std"),
+        min(col("x")).as("lo"),
+        max(col("x")).as("hi"))
+      .orderBy(col("dim"))
+  }
+
   /** MATERIALIZED IVF index: train the coarse quantizer once, assign
     * every vector to its centroid map-side, persist the corpus
     * PARTITIONED BY cluster id. This is the at-scale shape the ad-hoc

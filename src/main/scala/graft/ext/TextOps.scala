@@ -135,4 +135,33 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Corpus bigram language model (top-k transitions): conditional
+    * probability P(w2 | w1) = count(w1 w2) / count(w1 _) from adjacent
+    * token pairs. The unigram denominator is the row-sum of the bigram
+    * table, so one explode feeds both aggregates.
+    *
+    * Scale shape: posexplode then a lead window PARTITIONED BY doc_id
+    * (per-document state only — no global sort), two partial-first
+    * aggregates, a shuffled join on w1 (vocabulary-sized, data-
+    * dependent — AQE broadcasts when small), and TakeOrderedAndProject
+    * for the top-k. The probability is one division of exact integer
+    * counts, trunc4'd — engine-neutral.
+    */
+  def bigramModel(docs: DataFrame, k: Int = 30): DataFrame = {
+    import graft.ext.Num.trunc4
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = graft.Tables.spread(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("w").as("w1"), lead(col("w"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("n_pair")).cast("long").as("n_first"))
+    c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_first"),
+        trunc4(col("n_pair").cast("double") / col("n_first").cast("double")).as("cond_p"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -1202,6 +1202,75 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r.map(_.getAs[Double]("total_spend")).sum - total) < 1e-6)
   }
 
+  test("equalFrequencyBins: uniform domain bins exactly, rows conserved, ranges disjoint") {
+    import spark.implicits._
+    // 100 distinct values, one row each, k=10 -> ten bins of exactly 10
+    val uniform = (1L to 100L).map(v => Tuple1(v)).toDF("v")
+    val u = Curation.equalFrequencyBins(uniform, "v", 10).collect()
+    assert(u.length === 10)
+    assert(u.forall(r => r.getAs[Long]("n_rows") === 10L))
+    // fixture: conservation + ordered disjoint ranges
+    val docs = t("documents")
+    val r = Curation.equalFrequencyBins(docs, "n_chars", 10).collect()
+    assert(r.map(_.getAs[Long]("n_rows")).sum === docs.filter(col("n_chars").isNotNull).count())
+    r.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+      case _ =>
+    }
+  }
+
+  test("triangleStats: K4 is all triangles, C4 has none") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val rk = Graph.triangleStats(k4, "a", "b").head()
+    assert(rk.getAs[Long]("n_nodes") === 4L && rk.getAs[Long]("n_edges") === 6L)
+    assert(rk.getAs[Long]("n_wedges") === 12L && rk.getAs[Long]("n_triangles") === 4L)
+    assert(rk.getAs[Double]("global_cc") === 1.0)
+    // 4-cycle: wedges but no closures; duplicate/reversed pairs collapse
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 1L)).toDF("a", "b")
+    val rc = Graph.triangleStats(c4, "a", "b").head()
+    assert(rc.getAs[Long]("n_edges") === 4L && rc.getAs[Long]("n_triangles") === 0L)
+    assert(rc.getAs[Double]("global_cc") === 0.0)
+  }
+
+  test("bigramModel: known corpus conditional probabilities") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = TextOps.bigramModel(docs, 10).collect()
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; c1: a=3, b=2
+    val ab = r.find(x => x.getAs[String]("w1") == "a" && x.getAs[String]("w2") == "b").get
+    assert(ab.getAs[Long]("n_pair") === 3L && ab.getAs[Long]("n_first") === 3L)
+    assert(ab.getAs[Double]("cond_p") === 1.0)
+    val ba = r.find(x => x.getAs[String]("w1") == "b" && x.getAs[String]("w2") == "a").get
+    assert(ba.getAs[Long]("n_first") === 2L && ba.getAs[Double]("cond_p") === 0.5)
+    assert(r.head.getAs[Long]("n_pair") === 3L, "ordered by pair count desc")
+  }
+
+  test("dimStats: exact moments on a constructed pair of vectors") {
+    import spark.implicits._
+    val e = Seq((1L, Array(0f, 2f)), (2L, Array(2f, 2f))).toDF("vec_id", "embedding")
+    val r = Similarity.dimStats(e).collect()
+    assert(r.length === 2)
+    val d0 = r(0)
+    assert(d0.getAs[Long]("n") === 2L && d0.getAs[Double]("mean") === 1.0)
+    assert(d0.getAs[Double]("std") === 1.0)
+    assert(d0.getAs[Double]("lo") === 0.0 && d0.getAs[Double]("hi") === 2.0)
+    val d1 = r(1)
+    assert(d1.getAs[Double]("mean") === 2.0 && d1.getAs[Double]("std") === 0.0)
+  }
+
+  test("keySkewProfile: shares and mean-multiples on a known skew") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).map(Tuple1(_)).toDF("k")
+    val r = Aggregates.keySkewProfile(df, "k", 2).collect()
+    assert(r.length === 2)
+    assert(r(0).getAs[Long]("key") === 1L && r(0).getAs[Long]("n_rows") === 6L)
+    assert(r(0).getAs[Double]("share4") === 0.6)
+    // mean key count = 10/3; 6 / mean = 1.8
+    assert(math.abs(r(0).getAs[Double]("x_mean4") - 1.8) < 1e-9)
+    assert(r(1).getAs[Long]("key") === 2L && r(1).getAs[Double]("share4") === 0.3)
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
