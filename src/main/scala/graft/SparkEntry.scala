@@ -531,12 +531,18 @@ object SparkEntry {
       Curation.equalFrequencyBins(rd(s, dir, "documents"), "n_chars", 10)),
     // corpus bigram LM: top transitions by P(w2|w1) with exact counts
     "d_bigrams" -> ((s, dir) => TextOps.bigramModel(rd(s, dir, "documents"), 30)),
+    // conjunctive keyword search: docs containing ALL terms, tf-ranked
+    "d_search" -> ((s, dir) =>
+      TextOps.searchConjunctive(rd(s, dir, "documents"), Seq("merge", "scan", "sort"), 20)),
     "q_conversion_lag" -> ((s, dir) => Events.conversionLagHistogram(rd(s, dir, "events"))),
     "q_rfm" -> ((s, dir) => Aggregates.rfmSegments(rd(s, dir, "orders"))),
     "q_monthly_growth" -> ((s, dir) => Aggregates.monthlyRevenueTrend(rd(s, dir, "orders"))),
     // shuffle-key skew diagnostic: the salting decision, as a query
     "q_skew_profile" -> ((s, dir) =>
       Aggregates.keySkewProfile(rd(s, dir, "events"), "user_id", 10)),
+    // Tukey IQR outlier fences per group, exact percentiles
+    "q_outlier_iqr" -> ((s, dir) =>
+      Aggregates.iqrOutliers(rd(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -724,6 +730,8 @@ object SparkEntry {
     "e_project" -> ((s, dir) => Similarity.randomProjection(rd(s, dir, "embeddings"))),
     // per-dimension mean/std/min/max — the whitening/drift health check
     "e_dim_stats" -> ((s, dir) => Similarity.dimStats(rd(s, dir, "embeddings"))),
+    // upper-triangle covariance matrix — the PCA/whitening precursor
+    "e_covariance" -> ((s, dir) => Similarity.covarianceMatrix(rd(s, dir, "embeddings"))),
     "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
     // materialized IVF: one-time partitioned layout, partition-pruned probe
     "e_ann_ivf_idx" -> ((s, dir) => {
@@ -950,6 +958,16 @@ SELECT dim, COUNT(*) AS n,
   floor(stddev_pop(x) * 10000) / 10000.0 AS std,
   MIN(x) AS lo, MAX(x) AS hi
 FROM x GROUP BY 1 ORDER BY 1""",
+    "e_covariance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i FROM e),
+b AS (SELECT vec_id, unnest(v) AS y, generate_subscripts(v, 1) - 1 AS j FROM e),
+p AS (SELECT a.i, b.j, a.x * b.y AS p FROM a JOIN b ON a.vec_id = b.vec_id AND b.j >= a.i),
+m AS (SELECT i, AVG(x) AS mu FROM a GROUP BY 1),
+x AS (SELECT p.i, p.j, COUNT(*) AS n, AVG(p.p) AS exixj FROM p GROUP BY 1, 2)
+SELECT x.i, x.j, n, floor((exixj - mi.mu * mj.mu) * 10000) / 10000.0 AS cov4
+FROM x JOIN m mi ON x.i = mi.i JOIN m mj ON x.j = mj.i
+ORDER BY x.i, x.j""",
     "e_ann_pairs" -> Similarity.lshCosinePairsOracleSql(),
     "t5_transpose" ->
       """SELECT 'r_regionkey' AS column_name, * FROM (
@@ -2049,6 +2067,29 @@ SELECT c12.w1, c12.w2, n_pair, n_first,
   floor(CAST(n_pair AS DOUBLE) / CAST(n_first AS DOUBLE) * 10000) / 10000.0 AS cond_p
 FROM c12 JOIN c1 USING (w1)
 ORDER BY n_pair DESC, w1, w2 LIMIT 30""",
+    "d_search" ->
+      """WITH hits AS (SELECT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN ('merge', 'scan', 'sort'))
+SELECT doc_id, COUNT(*) AS total_tf
+FROM hits GROUP BY doc_id
+HAVING COUNT(DISTINCT term) = 3
+ORDER BY total_tf DESC, doc_id LIMIT 20""",
+    "q_outlier_iqr" ->
+      """WITH q AS (SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.25) AS q1,
+  quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY 1),
+f AS (SELECT l_returnflag, q1 - (q3 - q1) * 1.5 AS lo_fence, q3 + (q3 - q1) * 1.5 AS hi_fence FROM q)
+SELECT l.l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence OR l.l_extendedprice > f.hi_fence
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  floor(MIN(f.lo_fence) * 10000) / 10000.0 AS lo4,
+  floor(MIN(f.hi_fence) * 10000) / 10000.0 AS hi4,
+  floor(CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence OR l.l_extendedprice > f.hi_fence
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100 * 10000) / 10000.0 AS outlier_pct4
+FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+GROUP BY 1 ORDER BY 1""",
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
   FROM events WHERE event_type = 'view' GROUP BY 1),

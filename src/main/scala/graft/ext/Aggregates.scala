@@ -425,6 +425,36 @@ object Aggregates {
       .limit(10)
   }
 
+  /** Per-group IQR outlier fences (Tukey): exact q1/q3 per group, fences
+    * at 1.5*IQR, and the count/share of rows outside them. Two passes
+    * over the fact table: an exact-percentile aggregate per group
+    * (sort-based within each group's partition — group count is the
+    * parallelism), then a re-join of the tiny fence table (broadcast by
+    * AQE) and a counting aggregate. Fences are identical IEEE
+    * arithmetic on identically-interpolated percentiles in both
+    * engines, so the outlier comparison is deterministic.
+    */
+  def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    import Num.trunc4
+    val q = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array(0.25, 0.75))").as("q"))
+      .select(col(groupCol),
+        element_at(col("q"), 1).as("q1"), element_at(col("q"), 2).as("q3"))
+      .select(col(groupCol),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
+    df.join(q, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("lo_fence") || col(valueCol) > col("hi_fence"), 1L)
+          .otherwise(0L)).cast("long").as("n_outliers"),
+        trunc4(first(col("lo_fence"))).as("lo4"),
+        trunc4(first(col("hi_fence"))).as("hi4"))
+      .withColumn("outlier_pct4",
+        trunc4(col("n_outliers").cast("double") / col("n").cast("double") * 100.0))
+      .orderBy(col(groupCol))
+  }
+
   /** Join-key skew profile: the diagnostic that decides whether a key
     * needs salting/AQE-skew-join before a big shuffle. Emits the top-k
     * heaviest keys with their absolute count, share of all rows, and

@@ -136,6 +136,30 @@ object TextOps {
     docs.select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Conjunctive keyword search over the corpus: documents containing
+    * ALL the query terms, ranked by total term frequency. The posting
+    * "index" is built and consumed in one pass: explode to tokens,
+    * keep only query-term hits — the isin filter runs BEFORE the
+    * shuffle, so the aggregate receives |terms|-bounded postings, not
+    * the corpus — then a per-doc partial-first aggregate enforces the
+    * AND (distinct matched terms == |query|) and TakeOrderedAndProject
+    * emits the top-k. No full-text index materialization needed for
+    * ad-hoc queries; [[Dedup.incrementalDedup]]-style persisted state
+    * is the repeated-query upgrade.
+    */
+  def searchConjunctive(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_terms"), count(lit(1)).as("total_tf"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy(col("total_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus bigram language model (top-k transitions): conditional
     * probability P(w2 | w1) = count(w1 w2) / count(w1 _) from adjacent
     * token pairs. The unigram denominator is the row-sum of the bigram

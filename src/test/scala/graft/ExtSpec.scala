@@ -1271,6 +1271,40 @@ class ExtSpec extends SparkSpec {
     assert(r(1).getAs[Long]("key") === 2L && r(1).getAs[Double]("share4") === 0.3)
   }
 
+  test("covarianceMatrix: exact on constructed vectors, upper triangle only") {
+    import spark.implicits._
+    val e = Seq((1L, Array(0f, 2f)), (2L, Array(2f, 2f))).toDF("vec_id", "embedding")
+    val r = Similarity.covarianceMatrix(e).collect()
+    assert(r.length === 3) // (0,0) (0,1) (1,1)
+    def cov(i: Int, j: Int) = r.find(x =>
+      x.getAs[Int]("i") == i && x.getAs[Int]("j") == j).get.getAs[Double]("cov4")
+    assert(cov(0, 0) === 1.0) // var of {0,2}
+    assert(cov(0, 1) === 0.0) // x1 constant
+    assert(cov(1, 1) === 0.0)
+    assert(r.forall(_.getAs[Long]("n") === 2L))
+  }
+
+  test("searchConjunctive: AND semantics, tf ranking") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "a b"), (3L, "c a a")).toDF("doc_id", "text")
+    val r = TextOps.searchConjunctive(docs, Seq("a", "c"), 10).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L)) // doc 2 lacks 'c'
+    assert(r.forall(_.getAs[Long]("total_tf") === 3L))
+  }
+
+  test("iqrOutliers: fences and counts on a constructed distribution") {
+    import spark.implicits._
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(v => ("A", v)).toDF("g", "v")
+    val r = Aggregates.iqrOutliers(df, "v", "g").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") === 10L)
+    // q1=3.25 q3=7.75 -> fences [-3.5, 14.5]; only 100 is outside
+    assert(row.getAs[Long]("n_outliers") === 1L)
+    assert(row.getAs[Double]("lo4") === -3.5 && row.getAs[Double]("hi4") === 14.5)
+    assert(row.getAs[Double]("outlier_pct4") === 10.0)
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
