@@ -534,6 +534,9 @@ object SparkEntry {
     // conjunctive keyword search: docs containing ALL terms, tf-ranked
     "d_search" -> ((s, dir) =>
       TextOps.searchConjunctive(rd(s, dir, "documents"), Seq("merge", "scan", "sort"), 20)),
+    // exact adjacent-phrase search with occurrence counts
+    "d_phrase_search" -> ((s, dir) =>
+      TextOps.searchPhrase(rd(s, dir, "documents"), "merge", "scan", 20)),
     "q_conversion_lag" -> ((s, dir) => Events.conversionLagHistogram(rd(s, dir, "events"))),
     "q_rfm" -> ((s, dir) => Aggregates.rfmSegments(rd(s, dir, "orders"))),
     "q_monthly_growth" -> ((s, dir) => Aggregates.monthlyRevenueTrend(rd(s, dir, "orders"))),
@@ -543,6 +546,9 @@ object SparkEntry {
     // Tukey IQR outlier fences per group, exact percentiles
     "q_outlier_iqr" -> ((s, dir) =>
       Aggregates.iqrOutliers(rd(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")),
+    // Benford first-digit audit over order totals
+    "q_benford" -> ((s, dir) =>
+      Aggregates.benfordFirstDigit(rd(s, dir, "orders"), "o_totalprice")),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -732,6 +738,8 @@ object SparkEntry {
     "e_dim_stats" -> ((s, dir) => Similarity.dimStats(rd(s, dir, "embeddings"))),
     // upper-triangle covariance matrix — the PCA/whitening precursor
     "e_covariance" -> ((s, dir) => Similarity.covarianceMatrix(rd(s, dir, "embeddings"))),
+    // top principal component: 3-round power iteration on the cov matrix
+    "e_pca_top" -> ((s, dir) => Similarity.pcaTopComponent(rd(s, dir, "embeddings"), 3)),
     "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
     // materialized IVF: one-time partitioned layout, partition-pruned probe
     "e_ann_ivf_idx" -> ((s, dir) => {
@@ -968,6 +976,30 @@ x AS (SELECT p.i, p.j, COUNT(*) AS n, AVG(p.p) AS exixj FROM p GROUP BY 1, 2)
 SELECT x.i, x.j, n, floor((exixj - mi.mu * mj.mu) * 10000) / 10000.0 AS cov4
 FROM x JOIN m mi ON x.i = mi.i JOIN m mj ON x.j = mj.i
 ORDER BY x.i, x.j""",
+    "e_pca_top" -> {
+      val rounds = (1 to 3).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (SELECT f.i AS dim, SUM(f.c * $pv.v) AS w
+  FROM covfull f JOIN $pv ON f.j = $pv.dim GROUP BY 1),
+n$t AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w$t),
+v$t AS (SELECT dim, w / nrm AS v FROM w$t CROSS JOIN n$t)"""
+      }.mkString(",\n")
+      s"""WITH ce AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ca AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i FROM ce),
+cb AS (SELECT vec_id, unnest(v) AS y, generate_subscripts(v, 1) - 1 AS j FROM ce),
+cp AS (SELECT ca.i, cb.j, ca.x * cb.y AS p FROM ca JOIN cb ON ca.vec_id = cb.vec_id AND cb.j >= ca.i),
+cm AS (SELECT i, AVG(x) AS mu FROM ca GROUP BY 1),
+cx AS (SELECT cp.i, cp.j, AVG(cp.p) AS exixj FROM cp GROUP BY 1, 2),
+cov AS (SELECT cx.i, cx.j, floor((exixj - mi.mu * mj.mu) * 10000) / 10000.0 AS c
+        FROM cx JOIN cm mi ON cx.i = mi.i JOIN cm mj ON cx.j = mj.i),
+covfull AS (SELECT i, j, c FROM cov
+            UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j),
+v0 AS (SELECT DISTINCT i AS dim, 1.0 AS v FROM covfull),
+$rounds
+SELECT dim, floor(v * 10000) / 10000.0 AS loading4,
+  floor((SELECT nrm FROM n3) * 10000) / 10000.0 AS eigval4
+FROM v3 ORDER BY dim"""
+    },
     "e_ann_pairs" -> Similarity.lshCosinePairsOracleSql(),
     "t5_transpose" ->
       """SELECT 'r_regionkey' AS column_name, * FROM (
@@ -2075,6 +2107,17 @@ SELECT doc_id, COUNT(*) AS total_tf
 FROM hits GROUP BY doc_id
 HAVING COUNT(DISTINCT term) = 3
 ORDER BY total_tf DESC, doc_id LIMIT 20""",
+    "d_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+h AS (SELECT doc_id, term, pos,
+  LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt_term,
+  LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt_pos
+  FROM toks WHERE term IN ('merge', 'scan'))
+SELECT doc_id, COUNT(*) AS n_occurrences
+FROM h WHERE term = 'merge' AND nxt_term = 'scan' AND nxt_pos = pos + 1
+GROUP BY doc_id
+ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
     "q_outlier_iqr" ->
       """WITH q AS (SELECT l_returnflag,
   quantile_cont(l_extendedprice, 0.25) AS q1,
@@ -2090,6 +2133,29 @@ SELECT l.l_returnflag, COUNT(*) AS n,
                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100 * 10000) / 10000.0 AS outlier_pct4
 FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
 GROUP BY 1 ORDER BY 1""",
+    "q_benford" -> {
+      // the same JVM-computed constants Spark uses, embedded as
+      // round-trip decimal literals — no cross-engine log10 call
+      val digitLadder = (0 to 11)
+        .map(k => s"WHEN x >= 1e$k AND x < 1e${k + 1} THEN CAST(floor(x / 1e$k) AS BIGINT)")
+        .mkString("\n    ")
+      val expCase = (1 to 9)
+        .map(d => s"WHEN $d THEN ${math.log10(1 + 1.0 / d)}")
+        .mkString(" ")
+      s"""WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_totalprice >= 1 AND o_totalprice < 1e12),
+dg AS (SELECT CASE
+    $digitLadder
+  END AS digit FROM v),
+c AS (SELECT digit, COUNT(*) AS n FROM dg GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+e AS (SELECT digit, n, CAST(CASE digit $expCase END AS DOUBLE) AS exp_share FROM c)
+SELECT digit, n,
+  floor(CAST(n AS DOUBLE) / total * 10000) / 10000.0 AS share4,
+  floor(exp_share * 10000) / 10000.0 AS benford4,
+  floor((CAST(n AS DOUBLE) / total - exp_share) * 10000) / 10000.0 AS dev4
+FROM e CROSS JOIN t ORDER BY digit"""
+    },
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
   FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -425,6 +425,39 @@ object Aggregates {
       .limit(10)
   }
 
+  /** Benford's-law first-significant-digit audit (fraud/synthetic-data
+    * screening): observed share of each leading digit vs the Benford
+    * expectation log10(1 + 1/d). The digit comes from an exact
+    * range-ladder (`10^k <= x < 10^(k+1) -> floor(x / 10^k)`) rather
+    * than log10(x) — double division by an exact power of ten is
+    * bit-identical in every engine, while a 1-ulp log10 difference at
+    * a power-of-ten boundary would flip the digit. Expected shares are
+    * compile-time constants. One partial-first aggregate; 9 output
+    * rows.
+    */
+  def benfordFirstDigit(df: DataFrame, valueCol: String): DataFrame = {
+    import Num.trunc4
+    val x = col(valueCol).cast("double")
+    val digit = (0 to 11).foldLeft(lit(null).cast("long")) { (acc, k) =>
+      val lo = math.pow(10, k)
+      when(x >= lo && x < lo * 10, floor(x / lit(lo)).cast("long")).otherwise(acc)
+    }
+    val n = df.filter(x >= 1.0 && x < 1e12)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = n.agg(sum(col("n")).cast("long").as("total"))
+    val expected = (1 to 9).map(d => d.toLong -> math.log10(1 + 1.0 / d)).toMap
+    val expCol = expected.foldLeft(lit(null).cast("double")) { case (acc, (d, e)) =>
+      when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    n.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        trunc4(col("n").cast("double") / col("total").cast("double")).as("share4"),
+        trunc4(expCol).as("benford4"),
+        trunc4(col("n").cast("double") / col("total").cast("double") - expCol).as("dev4"))
+      .orderBy(col("digit"))
+  }
+
   /** Per-group IQR outlier fences (Tukey): exact q1/q3 per group, fences
     * at 1.5*IQR, and the count/share of rows outside them. Two passes
     * over the fact table: an exact-percentile aggregate per group

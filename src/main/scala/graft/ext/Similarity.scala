@@ -585,6 +585,47 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col("i"), col("j"))
   }
 
+  /** Top principal component by POWER ITERATION on the covariance
+    * matrix — the first step of PCA/whitening, as a relational plan.
+    * The corpus is touched exactly once (by [[covarianceMatrix]]);
+    * every iteration after that is a matvec on the dim x dim matrix —
+    * a dim^2-row join + aggregate, independent of corpus size, so the
+    * "iterative" part costs nothing at 100 TB. Seed vector is
+    * all-ones; K fixed rounds of v <- normalize(C v) (fixed count, not
+    * convergence polling — same unrolled-CTE oracle policy as
+    * [[Graph.pageRank]]). The trunc4'd covariance entries are the
+    * iteration INPUT, so both engines iterate on bit-identical
+    * matrices and the only cross-engine noise is the 64-term matvec
+    * sum, absorbed by the output trunc4. The final matvec norm is the
+    * dominant-eigenvalue estimate.
+    */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.ext.Num.trunc4
+    require(iters >= 1, s"iters=$iters out of range")
+    val covU = covarianceMatrix(embeddings)
+      .select(col("i"), col("j"), col("cov4").as("c"))
+    // mirror the upper triangle; referenced every round -> lazy
+    // localCheckpoint materializes the corpus pass exactly once
+    val covFull = covU
+      .union(covU.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .localCheckpoint(false)
+    var v = covFull.select(col("i").as("dim")).distinct().withColumn("v", lit(1.0))
+    var nrm: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val w = covFull.join(v.select(col("dim").as("j"), col("v")), "j")
+        .groupBy(col("i").as("dim"))
+        .agg(sum(col("c") * col("v")).as("w"))
+      nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm")) // 1 row
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("dim"), (col("w") / col("nrm")).as("v"))
+        .localCheckpoint(false) // bound per-round lineage growth
+    }
+    v.crossJoin(broadcast(nrm.select(trunc4(col("nrm")).as("eigval4"))))
+      .select(col("dim"), trunc4(col("v")).as("loading4"), col("eigval4"))
+      .orderBy(col("dim"))
+  }
+
   /** MATERIALIZED IVF index: train the coarse quantizer once, assign
     * every vector to its centroid map-side, persist the corpus
     * PARTITIONED BY cluster id. This is the at-scale shape the ad-hoc

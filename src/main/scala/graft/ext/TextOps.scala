@@ -160,6 +160,31 @@ object TextOps {
       .limit(k)
   }
 
+  /** Exact phrase search: documents containing the query tokens as an
+    * ADJACENT run, with the occurrence count. Same one-pass posting
+    * shape as [[searchConjunctive]], but hits must line up
+    * positionally: posexplode keeps token positions, the isin filter
+    * drops everything but query-term hits before any shuffle, and a
+    * per-document sort-free window pairs each position with its
+    * successor (per-doc state only). Currently two-token phrases — the
+    * n-token generalization chains n-1 leads.
+    */
+  def searchPhrase(docs: DataFrame, w1: String, w2: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(w1, w2))
+      .withColumn("nxt_term", lead(col("term"), 1).over(w))
+      .withColumn("nxt_pos", lead(col("pos"), 1).over(w))
+      .filter(col("term") === w1 && col("nxt_term") === w2 &&
+        col("nxt_pos") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus bigram language model (top-k transitions): conditional
     * probability P(w2 | w1) = count(w1 w2) / count(w1 _) from adjacent
     * token pairs. The unigram denominator is the row-sum of the bigram

@@ -1305,6 +1305,43 @@ class ExtSpec extends SparkSpec {
     assert(row.getAs[Double]("outlier_pct4") === 10.0)
   }
 
+  test("searchPhrase: adjacency required, occurrences counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "merge scan x merge scan"), // two adjacent occurrences
+      (2L, "merge x scan"),            // both terms, not adjacent
+      (3L, "scan merge")               // wrong order
+    ).toDF("doc_id", "text")
+    val r = TextOps.searchPhrase(docs, "merge", "scan", 10).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("doc_id") === 1L && r.head.getAs[Long]("n_occurrences") === 2L)
+  }
+
+  test("benfordFirstDigit: digits from the exact ladder, shares sum to 1") {
+    import spark.implicits._
+    val df = Seq(1.5, 19.0, 123.0, 950.0, 2.0, 29999.0, 1e6).map(Tuple1(_)).toDF("x")
+    val r = Aggregates.benfordFirstDigit(df, "x").collect()
+    val byDigit = r.map(x => x.getAs[Long]("digit") -> x.getAs[Long]("n")).toMap
+    assert(byDigit === Map(1L -> 4L, 2L -> 2L, 9L -> 1L))
+    assert(math.abs(r.map(_.getAs[Double]("share4")).sum - 1.0) < 1e-3)
+    val d1 = r.find(_.getAs[Long]("digit") == 1L).get
+    assert(d1.getAs[Double]("benford4") === 0.301)
+  }
+
+  test("pcaTopComponent: recovers the dominant axis of an anisotropic cloud") {
+    import spark.implicits._
+    // variance 4 on dim0 (+-2), ~0 on dim1: top PC is e0, eigval ~4
+    val e = (1 to 20).map(i =>
+      (i.toLong, Array(if (i % 2 == 0) 2f else -2f, 0.01f * (i % 3)))).toDF("vec_id", "embedding")
+    val r = Similarity.pcaTopComponent(e, 3).collect()
+    assert(r.length === 2)
+    val l0 = math.abs(r(0).getAs[Double]("loading4"))
+    assert(l0 > 0.99, s"dim0 loading $l0 should dominate")
+    assert(math.abs(r(1).getAs[Double]("loading4")) < 0.1)
+    val ev = r.head.getAs[Double]("eigval4")
+    assert(ev > 3.5 && ev < 4.5, s"eigval $ev should approximate var=4")
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
