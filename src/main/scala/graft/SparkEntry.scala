@@ -549,6 +549,8 @@ object SparkEntry {
     // Benford first-digit audit over order totals
     "q_benford" -> ((s, dir) =>
       Aggregates.benfordFirstDigit(rd(s, dir, "orders"), "o_totalprice")),
+    // 30-term truncated EWMA of the daily revenue series
+    "q_ewma_daily" -> ((s, dir) => Aggregates.ewmaDailyRevenue(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -2155,6 +2157,23 @@ SELECT digit, n,
   floor(exp_share * 10000) / 10000.0 AS benford4,
   floor((CAST(n AS DOUBLE) / total - exp_share) * 10000) / 10000.0 AS dev4
 FROM e CROSS JOIN t ORDER BY digit"""
+    },
+    "q_ewma_daily" -> {
+      // the exact JVM doubles Spark uses (q = 1.0 - 0.1 is NOT the
+      // literal 0.9), embedded as round-trip literals
+      val alpha = 0.1
+      val q = 1.0 - alpha
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM orders GROUP BY 1),
+b AS (SELECT MIN(day - DATE '1970-01-01') AS base FROM daily),
+t AS (SELECT day, (day - DATE '1970-01-01') - base AS d,
+  CAST(cents AS DOUBLE) / 100.0 AS x FROM daily CROSS JOIN b),
+s AS (SELECT day, d, x,
+  SUM(pow($q, -d) * x) OVER (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS s
+  FROM t)
+SELECT day, floor(x * 10000) / 10000.0 AS revenue,
+  floor($alpha * pow($q, d) * s * 10000) / 10000.0 AS ewma4
+FROM s ORDER BY day"""
     },
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv

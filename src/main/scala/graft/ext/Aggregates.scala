@@ -425,6 +425,45 @@ object Aggregates {
       .limit(10)
   }
 
+  /** 30-term truncated EWMA of daily revenue — the smoothing pass a
+    * monitoring/forecast pipeline runs over a metric series. Contract:
+    * ewma_t = alpha * sum over the last `terms` DAYS-rows of
+    * (1-alpha)^(day_t - day_j) * x_j — decay follows the CALENDAR gap
+    * (a 3-day hole decays 3x), truncation follows row count.
+    *
+    * Formulation: a windowed SUM of pre-scaled terms,
+    * `(1-a)^(-day_j) * x_j`, multiplied by `(1-a)^(day_t)` outside the
+    * window — a plain ROWS-window aggregate instead of an inexpressible
+    * recursion, identical in any SQL engine. Day offsets are
+    * re-based to the series minimum so the scaling factor spans at
+    * most (1-a)^(-series_days): well inside double range for years of
+    * data, and relative error stays ~1e-15 (no cancellation: all
+    * terms positive), absorbed by trunc4. The window runs over the
+    * DAY-level aggregate (|days| rows), never the fact table.
+    */
+  def ewmaDailyRevenue(
+      orders: DataFrame,
+      alpha: Double = 0.1,
+      terms: Int = 30): DataFrame = {
+    import Num.trunc4
+    require(alpha > 0 && alpha < 1 && terms >= 1, s"alpha=$alpha terms=$terms")
+    val q = 1.0 - alpha
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val base = daily.agg(min(datediff(col("day"), lit("1970-01-01"))).as("base"))
+    val w = Window.orderBy(col("d")).rowsBetween(-(terms - 1), 0)
+    daily.crossJoin(broadcast(base))
+      .select(col("day"),
+        (datediff(col("day"), lit("1970-01-01")) - col("base")).as("d"),
+        (col("cents").cast("double") / 100.0).as("x"))
+      .withColumn("s", sum(pow(lit(q), -col("d")) * col("x")).over(w))
+      .select(col("day"), trunc4(col("x")).as("revenue"),
+        trunc4(lit(alpha) * pow(lit(q), col("d")) * col("s")).as("ewma4"))
+      .orderBy(col("day"))
+  }
+
   /** Benford's-law first-significant-digit audit (fraud/synthetic-data
     * screening): observed share of each leading digit vs the Benford
     * expectation log10(1 + 1/d). The digit comes from an exact

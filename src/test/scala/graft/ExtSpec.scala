@@ -1342,6 +1342,24 @@ class ExtSpec extends SparkSpec {
     assert(ev > 3.5 && ev < 4.5, s"eigval $ev should approximate var=4")
   }
 
+  test("ewmaDailyRevenue: matches the recursive definition on a constant series") {
+    import spark.implicits._
+    // three consecutive days, 100.00/day: ewma_t = 100*(1 - 0.9^(t+1))
+    val orders = Seq(
+      ("1995-01-01", 60.0), ("1995-01-01", 40.0),
+      ("1995-01-02", 100.0), ("1995-01-03", 100.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.ewmaDailyRevenue(orders).collect()
+    assert(r.length === 3)
+    assert(r.forall(_.getAs[Double]("revenue") === 100.0))
+    val expected = Seq(10.0, 19.0, 27.1)
+    r.zip(expected).foreach { case (row, e) =>
+      assert(math.abs(row.getAs[Double]("ewma4") - e) < 1.1e-4,
+        s"day ${row.get(0)}: ${row.getAs[Double]("ewma4")} vs $e")
+    }
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
