@@ -2045,11 +2045,11 @@ cm AS (SELECT lang AS pred_label, CAST(pos AS BIGINT) AS dim_idx,
          floor(AVG(CAST(embedding[pos] AS DOUBLE)) * 10000) / 10000.0 AS mean_val
        FROM x GROUP BY 1, 2),
 cvec AS (SELECT pred_label, list(mean_val ORDER BY dim_idx) AS c FROM cm GROUP BY 1),
-scored AS (SELECT j.vec_id, j.lang, cv.pred_label,
-  list_sum(list_transform(range(1, len(j.embedding) + 1),
-    i -> (CAST(j.embedding[i] AS DOUBLE) - cv.c[i])
-       * (CAST(j.embedding[i] AS DOUBLE) - cv.c[i]))) AS dist
-  FROM j CROSS JOIN cvec cv),
+scored AS (SELECT jd.vec_id, jd.lang, cv.pred_label,
+  (list_dot_product(jd.v, jd.v) - 2 * list_dot_product(jd.v, cv.c))
+    + list_dot_product(cv.c, cv.c) AS dist
+  FROM (SELECT vec_id, lang, embedding::DOUBLE[] AS v FROM j) jd
+  CROSS JOIN cvec cv),
 best AS (SELECT vec_id, lang, pred_label,
   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, pred_label) AS rn FROM scored)
 SELECT lang, pred_label, COUNT(*) AS n FROM best WHERE rn = 1

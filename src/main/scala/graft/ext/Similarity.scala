@@ -845,18 +845,19 @@ FROM e ORDER BY vec_id"""
     * and cross-tabulate true vs predicted label — the cheap semantic
     * classifier / drift detector over an embedded corpus. Centroids are
     * the trunc4'd prototype values (both engines agree on them exactly,
-    * so the distance inputs are IDENTICAL, not merely close); distances
-    * fold sequentially in index order on both sides, and argmin ties
-    * break on the label — the whole prediction is deterministic
-    * cross-engine, which is what lets a float classifier carry a hash
-    * oracle at all.
+    * so the distance inputs are IDENTICAL, not merely close); the
+    * distance is `graft_sqdist` = (dot(v,v) - 2 dot(v,c)) + dot(c,c),
+    * three left-to-right dot folds and two scalar ops the oracle
+    * reproduces operation-for-operation, and argmin ties break on the
+    * label — the whole prediction is deterministic cross-engine, which
+    * is what lets a float classifier carry a hash oracle at all.
     *
     * Scale shape: the |labels| prototype rows broadcast under a cross
     * join (each vector scores |labels| candidates map-side); argmin is
     * a per-vec_id window on the |n| x |labels| scored rows; the
-    * confusion matrix is a partial-first aggregate. The interpreted
-    * zip_with/aggregate fold is the per-row cost to beat — a native
-    * kernel (graft_dot-style) is the upgrade path if |labels| grows.
+    * confusion matrix is a partial-first aggregate. Scoring runs as
+    * native codegen'd loops inside WholeStageCodegen (the interpreted
+    * zip_with fold it replaces was ~25us/pair).
     */
   def classifyByCentroid(
       embeddings: DataFrame,
@@ -867,12 +868,15 @@ FROM e ORDER BY vec_id"""
       .agg(transform(
         array_sort(collect_list(struct(col("dim_idx"), col("mean_val")))),
         s => s("mean_val")).as("cvec"))
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
     val j = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .join(labels, "vec_id")
-    val embD = transform(col("embedding"), x => x.cast("double"))
-    val dist = aggregate(
-      zip_with(embD, col("cvec"), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, v) => acc + v)
+    // native codegen'd |v|^2 - 2vc + |c|^2 (three fused dot loops)
+    // instead of the interpreted zip_with/aggregate fold — per-row cost
+    // no longer scales with the HOF-interpreter overhead as |labels|
+    // grows; the float side widens per element, identical to casting
+    // the whole array first
+    val dist = call_function("graft_sqdist", col("embedding"), col("cvec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist"), col("pred_label"))
     j.crossJoin(broadcast(cents))

@@ -140,6 +140,32 @@ object ArrayDotProduct {
       s"$cosineName expects exactly 2 arguments, got ${other.size}")
   }
 
+  val sqdistName = "graft_sqdist"
+
+  val sqdistInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ArrayDotProduct].getName, null, sqdistName,
+    "_FUNC_(a, b) - squared L2 distance of two float/double arrays " +
+      "(|a|^2 - 2ab + |b|^2, built from the codegen'd dot product).", "")
+
+  /** graft_sqdist(a,b) = (dot(a,a) - 2*dot(a,b)) + dot(b,b) — three
+    * native codegen'd loops composed in the expression tree, replacing
+    * the interpreted `aggregate(zip_with(...))` fold in nearest-
+    * centroid scoring. The association is written out exactly so a SQL
+    * oracle can reproduce the identical IEEE operation sequence:
+    * each dot folds left-to-right, then subtract, then add.
+    */
+  val sqdistBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) =>
+      import org.apache.spark.sql.catalyst.expressions.{Add, Literal, Multiply, Subtract}
+      Add(
+        Subtract(
+          ArrayDotProduct(a, a),
+          Multiply(Literal(2.0), ArrayDotProduct(a, b))),
+        ArrayDotProduct(b, b))
+    case other => throw new IllegalArgumentException(
+      s"$sqdistName expects exactly 2 arguments, got ${other.size}")
+  }
+
   /** Idempotently register into a LIVE session — needed because the
     * round driver owns its SparkSession (we cannot set
     * spark.sql.extensions on it); DataFrame-level ops call this before
@@ -151,5 +177,7 @@ object ArrayDotProduct {
     if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     val cid = FunctionIdentifier(cosineName)
     if (!registry.functionExists(cid)) registry.registerFunction(cid, cosineInfo, cosineBuilder)
+    val sid = FunctionIdentifier(sqdistName)
+    if (!registry.functionExists(sid)) registry.registerFunction(sid, sqdistInfo, sqdistBuilder)
   }
 }

@@ -1360,6 +1360,18 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("graft_sqdist: exact on integers, null propagation, codegen composition") {
+    import spark.implicits._
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(spark)
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 5.0))).toDF("a", "b")
+    val d = df.select(call_function("graft_sqdist", col("a"), col("b")).as("d")).head().getDouble(0)
+    assert(d === 13.0) // (1-3)^2 + (2-5)^2, exact in doubles
+    val withNull = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 1.0)))
+      .toDF("a", "b")
+      .select(call_function("graft_sqdist", col("a"), col("b")).as("d"))
+    assert(withNull.head().isNullAt(0))
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
