@@ -551,6 +551,13 @@ object SparkEntry {
       Aggregates.benfordFirstDigit(rd(s, dir, "orders"), "o_totalprice")),
     // 30-term truncated EWMA of the daily revenue series
     "q_ewma_daily" -> ((s, dir) => Aggregates.ewmaDailyRevenue(rd(s, dir, "orders"))),
+    // hash-assigned A/B split, conversion contingency + chi-square
+    "q_ab_test" -> ((s, dir) => Events.abTestConversion(rd(s, dir, "events"))),
+    // customer spend percent-rank + deciles over the aggregated ladder
+    "q_percentile_ladder" -> ((s, dir) =>
+      Aggregates.customerSpendPercentiles(rd(s, dir, "orders"))),
+    // median/MAD robust anomaly days (contamination-resistant screen)
+    "q_anomaly_robust" -> ((s, dir) => Aggregates.robustAnomalyDays(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -2175,6 +2182,49 @@ SELECT day, floor(x * 10000) / 10000.0 AS revenue,
   floor($alpha * pow($q, d) * s * 10000) / 10000.0 AS ewma4
 FROM s ORDER BY day"""
     },
+    "q_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1),
+v AS (SELECT CASE WHEN ((((user_id % 2147483648) * 2654435761) % 4294967296) * 2) >> 32 = 0
+             THEN 'A' ELSE 'B' END AS variant, converted FROM pu),
+g AS (SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv FROM v GROUP BY 1),
+f AS (SELECT
+  CAST(SUM(CASE WHEN variant = 'A' THEN n END) AS BIGINT) AS users_a,
+  CAST(SUM(CASE WHEN variant = 'A' THEN conv END) AS BIGINT) AS conv_a,
+  CAST(SUM(CASE WHEN variant = 'B' THEN n END) AS BIGINT) AS users_b,
+  CAST(SUM(CASE WHEN variant = 'B' THEN conv END) AS BIGINT) AS conv_b
+  FROM g),
+x AS (SELECT users_a, conv_a, users_b, conv_b,
+  CAST(conv_a AS DOUBLE) AS a, CAST(users_a - conv_a AS DOUBLE) AS b,
+  CAST(conv_b AS DOUBLE) AS c, CAST(users_b - conv_b AS DOUBLE) AS d,
+  CAST(users_a + users_b AS DOUBLE) AS n FROM f)
+SELECT users_a, conv_a, users_b, conv_b,
+  floor(a / CAST(users_a AS DOUBLE) * 10000) / 10000.0 AS rate_a4,
+  floor(c / CAST(users_b AS DOUBLE) * 10000) / 10000.0 AS rate_b4,
+  floor(((c / CAST(users_b AS DOUBLE)) / (a / CAST(users_a AS DOUBLE)) - 1.0) * 10000) / 10000.0 AS lift4,
+  floor(((n * ((a * d - b * c) * (a * d - b * c))) /
+         (((a + b) * (c + d)) * ((a + c) * (b + d)))) * 10000) / 10000.0 AS chi2_4
+FROM x""",
+    "q_percentile_ladder" ->
+      """WITH per AS (SELECT o_custkey,
+  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents FROM orders GROUP BY 1)
+SELECT o_custkey, CAST(cents AS DOUBLE) / 100.0 AS total_spend,
+  floor(percent_rank() OVER (ORDER BY cents, o_custkey) * 10000) / 10000.0 AS pr4,
+  CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+FROM per ORDER BY o_custkey""",
+    "q_anomaly_robust" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS x
+  FROM orders GROUP BY 1),
+m AS (SELECT quantile_cont(x, 0.5) AS med FROM daily),
+d AS (SELECT day, x, med, abs(x - med) AS dv FROM daily CROSS JOIN m),
+md AS (SELECT quantile_cont(dv, 0.5) AS mad FROM d)
+SELECT day, x AS revenue,
+  floor(0.6745 * (x - med) / mad * 10000) / 10000.0 AS z4
+FROM d CROSS JOIN md
+WHERE mad > 0 AND abs(0.6745 * (x - med) / mad) > 3.0
+ORDER BY day""",
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
   FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -425,6 +425,54 @@ object Aggregates {
       .limit(10)
   }
 
+  /** Customer lifetime-spend percentile ladder: percent_rank and decile
+    * (ntile) of every customer by exact total spend. The window runs
+    * over the per-customer AGGREGATE (|customers| rows after a
+    * partial-first cents sum), not the order fact table; rank
+    * arithmetic is (rank-1)/(N-1) on exact integers, so the grid is
+    * engine-neutral without tolerance. Ties in spend break on the
+    * customer key for a total order.
+    */
+  def customerSpendPercentiles(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    per.select(col("o_custkey"),
+        (col("cents").cast("double") / 100.0).as("total_spend"),
+        trunc4(percent_rank().over(w)).as("pr4"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Robust (median/MAD) daily-revenue anomaly days — the outlier
+    * screen that survives the very anomalies a mean/sigma z-score
+    * (see [[Events.dailyAnomalies]]) lets contaminate its own
+    * baseline. Day totals are exact cents; median and MAD are exact
+    * interpolated percentiles over the |days|-row aggregate, broadcast
+    * back as 1-row joins; the modified z-score 0.6745*(x-med)/mad is
+    * one IEEE expression over identical inputs in both engines, so
+    * even the > cutoff comparison is deterministic.
+    */
+  def robustAnomalyDays(orders: DataFrame, cutoff: Double = 3.0): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+      .select(col("day"), (col("cents").cast("double") / 100.0).as("x"))
+    val med = daily.agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .select(col("day"), col("x"), col("med"), abs(col("x") - col("med")).as("dv"))
+    val mad = dev.agg(expr("percentile(dv, 0.5)").as("mad"))
+    val z = lit(0.6745) * (col("x") - col("med")) / col("mad")
+    dev.crossJoin(broadcast(mad))
+      .filter(col("mad") > 0.0 && abs(z) > cutoff)
+      .select(col("day"), col("x").as("revenue"), trunc4(z).as("z4"))
+      .orderBy(col("day"))
+  }
+
   /** 30-term truncated EWMA of daily revenue — the smoothing pass a
     * monitoring/forecast pipeline runs over a metric series. Contract:
     * ewma_t = alpha * sum over the last `terms` DAYS-rows of

@@ -270,6 +270,50 @@ object Events {
       .orderBy(col("event_type"), col("day_num"))
   }
 
+  /** Deterministic A/B split + 2x2 conversion chi-square: users are
+    * assigned to variants by the same Knuth multiplicative-hash
+    * high-bits bucket as [[graft.ext.Curation.splitAssign]] (stable
+    * under appends/repartitioning, no RNG), conversion is "has at
+    * least one purchase event", and the output is ONE row with the
+    * contingency counts, per-variant rates, relative lift, and the
+    * chi-square statistic (1 dof). All counts are exact integers; the
+    * statistic is one fixed IEEE expression tree over them, mirrored
+    * operation-for-operation in the oracle. Shape: one per-user
+    * aggregate (map-side bucket assignment), one 2-row aggregate, one
+    * conditional flatten — nothing post-shuffle exceeds 2 rows.
+    */
+  def abTestConversion(eventsRaw: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val events = normalizeTs(eventsRaw)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    val bucket = shiftright(
+      pmod(pmod(col("user_id"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) *
+        lit(2L), 32)
+    val flat = perUser
+      .withColumn("variant", when(bucket === 0L, "A").otherwise("B"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).cast("long").as("conv"))
+      .agg(
+        sum(when(col("variant") === "A", col("n"))).cast("long").as("users_a"),
+        sum(when(col("variant") === "A", col("conv"))).cast("long").as("conv_a"),
+        sum(when(col("variant") === "B", col("n"))).cast("long").as("users_b"),
+        sum(when(col("variant") === "B", col("conv"))).cast("long").as("conv_b"))
+    val a = col("conv_a").cast("double")
+    val b = (col("users_a") - col("conv_a")).cast("double")
+    val c = col("conv_b").cast("double")
+    val d = (col("users_b") - col("conv_b")).cast("double")
+    val n = (col("users_a") + col("users_b")).cast("double")
+    val det = a * d - b * c
+    val chi2 = (n * (det * det)) / (((a + b) * (c + d)) * ((a + c) * (b + d)))
+    flat.select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+      trunc4(a / col("users_a").cast("double")).as("rate_a4"),
+      trunc4(c / col("users_b").cast("double")).as("rate_b4"),
+      trunc4((c / col("users_b").cast("double")) /
+        (a / col("users_a").cast("double")) - 1.0).as("lift4"),
+      trunc4(chi2).as("chi2_4"))
+  }
+
   /** Time-to-convert histogram: minutes from a user's FIRST view to
     * each subsequent purchase, bucketed in 30-minute bins up to 24h —
     * the latency distribution behind attribution-window choices. All

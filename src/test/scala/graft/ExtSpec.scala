@@ -1372,6 +1372,43 @@ class ExtSpec extends SparkSpec {
     assert(withNull.head().isNullAt(0))
   }
 
+  test("abTestConversion: users partitioned, conversions bounded, chi2 finite") {
+    val r = Events.abTestConversion(t("events")).head()
+    val ev = Events.normalizeTs(t("events"))
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(r.getAs[Long]("users_a") + r.getAs[Long]("users_b") === nUsers)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("users_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("users_b"))
+    assert(r.getAs[Double]("chi2_4") >= 0.0)
+    // synthetic uniform traffic: the hash split should be near 50/50
+    val ratio = r.getAs[Long]("users_a").toDouble / nUsers
+    assert(ratio > 0.4 && ratio < 0.6, s"suspicious split $ratio")
+  }
+
+  test("customerSpendPercentiles: pr in [0,1], deciles balanced within 1") {
+    val r = Aggregates.customerSpendPercentiles(t("orders")).collect()
+    assert(r.forall(x => x.getAs[Double]("pr4") >= 0.0 && x.getAs[Double]("pr4") <= 1.0))
+    val deciles = r.groupBy(_.getAs[Long]("decile")).view.mapValues(_.length).toMap
+    assert(deciles.keySet === (1L to 10L).toSet)
+    assert(deciles.values.max - deciles.values.min <= 1, s"ntile imbalance: $deciles")
+    // max spender has pr = 1
+    val top = r.maxBy(_.getAs[Double]("total_spend"))
+    assert(top.getAs[Double]("pr4") === 1.0 && top.getAs[Long]("decile") === 10L)
+  }
+
+  test("robustAnomalyDays: flags only beyond the modified-z cutoff, resists contamination") {
+    import spark.implicits._
+    // 29 quiet days at ~100 plus one 10x day: mean/sigma would be
+    // dragged; median/MAD flags exactly the spike
+    val rows = (1 to 29).map(i => (f"1995-01-$i%02d", 100.0 + (i % 3))) :+ ("1995-01-30", 1000.0)
+    val orders = rows.toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.robustAnomalyDays(orders).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[java.sql.Date]("day").toString === "1995-01-30")
+    assert(r.head.getAs[Double]("z4") > 3.0)
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
