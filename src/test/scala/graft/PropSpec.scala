@@ -312,4 +312,54 @@ class PropSpec extends SparkSpec {
       assert(out.length === multiDoc.size)
     }
   }
+
+  test("prop: equalFrequencyBins is layout-invariant and conserves rows into ordered bins") {
+    import spark.implicits._
+    cases(Gen.listOfN(60, Gen.chooseNum(1L, 25L)).suchThat(_.nonEmpty)) { vs =>
+      val base = vs.map(Tuple1(_)).toDF("v")
+      val ref = ext.Curation.equalFrequencyBins(base, "v", 5)
+        .collect().map(_.toString).toSeq
+      Seq(base.repartition(9), base.orderBy(col("v").desc)).foreach { d =>
+        val got = ext.Curation.equalFrequencyBins(d, "v", 5)
+          .collect().map(_.toString).toSeq
+        assert(got === ref)
+      }
+      val rows = ext.Curation.equalFrequencyBins(base, "v", 5).collect()
+      assert(rows.map(_.getAs[Long]("n_rows")).sum === vs.length.toLong)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("bin") < b.getAs[Long]("bin"))
+          assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+        case _ =>
+      }
+    }
+  }
+
+  test("prop: triangleStats is invariant to edge order, duplication, and reversal") {
+    import spark.implicits._
+    // remap instead of suchThat: rejection inside listOfN makes the
+    // whole sample fail with these seeds
+    val pairGen = Gen.zip(Gen.chooseNum(1L, 15L), Gen.chooseNum(1L, 14L))
+      .map { case (a, b0) => (a, if (b0 >= a) b0 + 1 else b0) }
+    cases(Gen.listOfN(30, pairGen)) { ps =>
+      val base = ps.toDF("a", "b")
+      val ref = ext.Graph.triangleStats(base, "a", "b").head().toString
+      // reversed edges, duplicated list, shuffled layout: same graph
+      val reversed = ps.map(_.swap).toDF("a", "b")
+      val doubled = (ps ++ ps).toDF("a", "b").repartition(7)
+      Seq(reversed, doubled).foreach { d =>
+        assert(ext.Graph.triangleStats(d, "a", "b").head().toString === ref)
+      }
+      // sanity vs brute force on the canonical edge set
+      val edges = ps.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.distinct
+      val eset = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = nodes.combinations(3).count { case Seq(x, y, z) =>
+        eset((x, y)) && eset((x, z)) && eset((y, z))
+      }
+      val row = ext.Graph.triangleStats(base, "a", "b").head()
+      assert(row.getAs[Long]("n_triangles") === brute.toLong)
+      assert(row.getAs[Long]("n_edges") === edges.length.toLong)
+    }
+  }
 }
