@@ -558,6 +558,9 @@ object SparkEntry {
       Aggregates.customerSpendPercentiles(rd(s, dir, "orders"))),
     // median/MAD robust anomaly days (contamination-resistant screen)
     "q_anomaly_robust" -> ((s, dir) => Aggregates.robustAnomalyDays(rd(s, dir, "orders"))),
+    // Lorenz decile concentration table + Gini / top-20% headline pair
+    "q_lorenz" -> ((s, dir) => Aggregates.revenueLorenz(rd(s, dir, "orders"))),
+    "q_gini" -> ((s, dir) => Aggregates.revenueGini(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -2225,6 +2228,35 @@ SELECT day, x AS revenue,
 FROM d CROSS JOIN md
 WHERE mad > 0 AND abs(0.6745 * (x - med) / mad) > 3.0
 ORDER BY day""",
+    "q_lorenz" ->
+      """WITH per AS (SELECT o_custkey,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+dec AS (SELECT cents, CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile FROM per),
+g AS (SELECT decile, COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS dc FROM dec GROUP BY 1),
+t AS (SELECT CAST(SUM(dc) AS BIGINT) AS total FROM g),
+c AS (SELECT decile, n_customers, dc,
+  CAST(SUM(dc) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM g)
+SELECT decile, n_customers, CAST(dc AS DOUBLE) / 100.0 AS spend,
+  floor(CAST(dc AS DOUBLE) / CAST(total AS DOUBLE) * 10000) / 10000.0 AS share4,
+  floor(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) * 10000) / 10000.0 AS cum_share4
+FROM c CROSS JOIN t ORDER BY decile""",
+    "q_gini" ->
+      """WITH per AS (SELECT o_custkey,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS ntot FROM per),
+a AS (SELECT COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS s0,
+  CAST(SUM(rnk * cents) AS BIGINT) AS s1,
+  CAST(SUM(CASE WHEN rnk * 5 > ntot * 4 THEN cents ELSE 0 END) AS BIGINT) AS top20c
+  FROM r)
+SELECT n_customers, CAST(s0 AS DOUBLE) / 100.0 AS total_revenue,
+  floor((2.0 * CAST(s1 AS DOUBLE) - CAST(n_customers + 1 AS DOUBLE) * CAST(s0 AS DOUBLE)) /
+        (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE)) * 10000) / 10000.0 AS gini4,
+  floor(CAST(top20c AS DOUBLE) / CAST(s0 AS DOUBLE) * 10000) / 10000.0 AS top20_share4
+FROM a""",
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
   FROM events WHERE event_type = 'view' GROUP BY 1),

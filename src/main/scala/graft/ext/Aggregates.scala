@@ -446,6 +446,67 @@ object Aggregates {
       .orderBy(col("o_custkey"))
   }
 
+  /** Lorenz curve by customer-spend decile: each decile's share of
+    * total revenue and the cumulative share — the concentration table
+    * behind "top X% of customers drive Y% of revenue". Deciles come
+    * from ntile over the per-customer exact-cents aggregate (the
+    * |customers|-row frame, never the fact table); shares divide exact
+    * integer cents, trunc4'd; the cumulative window runs on 10 rows.
+    */
+  def revenueLorenz(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val byDec = per.select(col("cents"), ntile(10).over(w).cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).cast("long").as("dc"))
+    val tot = byDec.agg(sum(col("dc")).cast("long").as("total"))
+    val wc = Window.orderBy(col("decile")).rowsBetween(Long.MinValue, 0)
+    byDec.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("dc")).over(wc))
+      .select(col("decile"), col("n_customers"),
+        (col("dc").cast("double") / 100.0).as("spend"),
+        trunc4(col("dc").cast("double") / col("total").cast("double")).as("share4"),
+        trunc4(col("cum").cast("double") / col("total").cast("double")).as("cum_share4"))
+      .orderBy(col("decile"))
+  }
+
+  /** Gini coefficient + top-20% revenue share of customer spend — the
+    * two headline inequality numbers over [[revenueLorenz]]'s
+    * distribution, from the closed form G = (2*S1 - (n+1)*S0)/(n*S0)
+    * with S1 = sum(rank * x) over spend-ranked customers. Both S0 and
+    * S1 are EXACT integer sums (rank and cents are integers; at
+    * extreme scale S1 is the [[graft.ext.expr.Int128Sum]] candidate),
+    * so the only float ops are the two final divisions — trunc4'd,
+    * engine-neutral. The rank window runs over the per-customer
+    * aggregate; one row out.
+    */
+  def revenueGini(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val wAll = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = per.select(col("cents"), row_number().over(w).cast("long").as("rnk"))
+      .withColumn("ntot", count(lit(1)).over(wAll))
+    val agg = ranked.agg(
+      count(lit(1)).as("n_customers"),
+      sum(col("cents")).cast("long").as("s0"),
+      sum(col("rnk") * col("cents")).cast("long").as("s1"),
+      // integer threshold: rank > 0.8 n  <=>  5*rank > 4*n
+      sum(when(col("rnk") * 5L > col("ntot") * 4L, col("cents"))
+        .otherwise(0L)).cast("long").as("top20c"))
+    agg.select(col("n_customers"),
+      (col("s0").cast("double") / 100.0).as("total_revenue"),
+      trunc4((lit(2.0) * col("s1").cast("double") -
+        (col("n_customers") + 1L).cast("double") * col("s0").cast("double")) /
+        (col("n_customers").cast("double") * col("s0").cast("double"))).as("gini4"),
+      trunc4(col("top20c").cast("double") / col("s0").cast("double")).as("top20_share4"))
+  }
+
   /** Robust (median/MAD) daily-revenue anomaly days — the outlier
     * screen that survives the very anomalies a mean/sigma z-score
     * (see [[Events.dailyAnomalies]]) lets contaminate its own

@@ -1409,6 +1409,23 @@ class ExtSpec extends SparkSpec {
     assert(r.head.getAs[Double]("z4") > 3.0)
   }
 
+  test("revenueGini and revenueLorenz: closed-form check on a known distribution") {
+    import spark.implicits._
+    // spends 1.00, 1.00, 2.00, 6.00 -> G = (2*33 - 5*10)/(4*10) = 0.4
+    val orders = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 6.0))
+      .toDF("o_custkey", "o_totalprice")
+    val g = Aggregates.revenueGini(orders).head()
+    assert(g.getAs[Long]("n_customers") === 4L)
+    assert(g.getAs[Double]("total_revenue") === 10.0)
+    assert(g.getAs[Double]("gini4") === 0.4)
+    assert(g.getAs[Double]("top20_share4") === 0.6) // only rank 4 of 4 passes 5r > 4n
+    val l = Aggregates.revenueLorenz(orders).collect()
+    assert(math.abs(l.map(_.getAs[Double]("share4")).sum - 1.0) < 1e-2)
+    assert(l.last.getAs[Double]("cum_share4") === 1.0)
+    val shares = l.map(_.getAs[Double]("cum_share4"))
+    assert(shares.sameElements(shares.sorted), "cumulative share must be monotone")
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
