@@ -561,6 +561,9 @@ object SparkEntry {
     // Lorenz decile concentration table + Gini / top-20% headline pair
     "q_lorenz" -> ((s, dir) => Aggregates.revenueLorenz(rd(s, dir, "orders"))),
     "q_gini" -> ((s, dir) => Aggregates.revenueGini(rd(s, dir, "orders"))),
+    // OLS trend from exact integer moments; CUSUM level-shift scan
+    "q_trend_ols" -> ((s, dir) => Aggregates.revenueTrendOls(rd(s, dir, "orders"))),
+    "q_changepoints" -> ((s, dir) => Aggregates.revenueChangepoints(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -2257,6 +2260,38 @@ SELECT n_customers, CAST(s0 AS DOUBLE) / 100.0 AS total_revenue,
         (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE)) * 10000) / 10000.0 AS gini4,
   floor(CAST(top20c AS DOUBLE) / CAST(s0 AS DOUBLE) * 10000) / 10000.0 AS top20_share4
 FROM a""",
+    "q_trend_ols" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+b AS (SELECT MIN(day - DATE '1970-01-01') AS base FROM daily),
+xy AS (SELECT CAST((day - DATE '1970-01-01') - base AS BIGINT) AS x, cents AS y
+       FROM daily CROSS JOIN b),
+m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+  CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+  CAST(SUM(x * x) AS BIGINT) AS sxx,
+  CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy FROM xy),
+f AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+  sxy, CAST(sxx AS DOUBLE) AS sxxd, syy FROM m)
+SELECT n AS n_days,
+  floor((nd * sxy - sxd * syd) / (nd * sxxd - sxd * sxd) / 100.0 * 10000) / 10000.0 AS slope_per_day4,
+  floor((syd / nd - (nd * sxy - sxd * syd) / (nd * sxxd - sxd * sxd) * (sxd / nd)) / 100.0 * 10000) / 10000.0 AS intercept4,
+  floor(((nd * sxy - sxd * syd) * (nd * sxy - sxd * syd)) /
+        ((nd * sxxd - sxd * sxd) * (nd * syy - syd * syd)) * 10000) / 10000.0 AS r2_4
+FROM f""",
+    "q_changepoints" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc, COUNT(*) AS n FROM daily),
+d AS (SELECT day,
+  CAST(cents AS DOUBLE) / 100.0 - CAST(tc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS dev
+  FROM daily CROSS JOIN t),
+c AS (SELECT day,
+  floor(SUM(dev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000)
+    / 10000.0 AS cusum4
+  FROM d)
+SELECT day, cusum4 FROM c ORDER BY abs(cusum4) DESC, day LIMIT 5""",
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
   FROM events WHERE event_type = 'view' GROUP BY 1),

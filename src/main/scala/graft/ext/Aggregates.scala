@@ -446,6 +446,72 @@ object Aggregates {
       .orderBy(col("o_custkey"))
   }
 
+  /** OLS linear trend of daily revenue: slope, intercept, and r^2 from
+    * the closed-form moment solution. Every moment (n, Sx, Sy, Sxy,
+    * Sxx, Syy) is an EXACT integer/decimal aggregate — day indices and
+    * cents are integers, and the squared terms widen to decimal(38,0)
+    * before summing so nothing overflows or rounds — which makes the
+    * whole regression independent of partial-aggregation order. The
+    * only float ops are the final closed-form divisions over exact
+    * operands, identical in both engines. One partial-first aggregate
+    * over the |days| frame; one output row.
+    */
+  def revenueTrendOls(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val base = daily.agg(min(datediff(col("day"), lit("1970-01-01"))).as("base"))
+    val m = daily.crossJoin(broadcast(base))
+      .select((datediff(col("day"), lit("1970-01-01")) - col("base")).cast("long").as("x"),
+        col("cents").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val cov = nD * col("sxy") - sxD * syD
+    val varX = nD * sxxD - sxD * sxD
+    val varY = nD * col("syy") - syD * syD
+    val slope = cov / varX
+    m.select(col("n").as("n_days"),
+      trunc4(slope / 100.0).as("slope_per_day4"),
+      trunc4((syD / nD - slope * (sxD / nD)) / 100.0).as("intercept4"),
+      trunc4((cov * cov) / (varX * varY)).as("r2_4"))
+  }
+
+  /** CUSUM changepoint scan over daily revenue: cumulative sum of
+    * deviations from the global mean, whose extremes mark the most
+    * likely level-shift points. The mean comes from the exact cents
+    * total; the cumulative sum is an ordered window over the |days|
+    * frame — sequential left-to-right accumulation, so both engines
+    * fold the identical sequence. Emits the top-k |CUSUM| days
+    * (TakeOrdered; ties break on day).
+    */
+  def revenueChangepoints(orders: DataFrame, k: Int = 5): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val tot = daily.agg(sum(col("cents")).cast("long").as("tc"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(Long.MinValue, 0)
+    daily.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("cents").cast("double") / 100.0 -
+          col("tc").cast("double") / col("n").cast("double") / 100.0).as("dev"))
+      .withColumn("cusum", sum(col("dev")).over(w))
+      .select(col("day"), trunc4(col("cusum")).as("cusum4"))
+      .orderBy(abs(col("cusum4")).desc, col("day"))
+      .limit(k)
+  }
+
   /** Lorenz curve by customer-spend decile: each decile's share of
     * total revenue and the cumulative share — the concentration table
     * behind "top X% of customers drive Y% of revenue". Deciles come

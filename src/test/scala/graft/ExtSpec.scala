@@ -1426,6 +1426,31 @@ class ExtSpec extends SparkSpec {
     assert(shares.sameElements(shares.sorted), "cumulative share must be monotone")
   }
 
+  test("revenueTrendOls: exact fit on a perfectly linear series") {
+    import spark.implicits._
+    // 1.00, 2.00, 3.00 on consecutive days: slope 1/day, intercept 1, r2 1
+    val orders = Seq(("1995-03-01", 1.0), ("1995-03-02", 2.0), ("1995-03-03", 3.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.revenueTrendOls(orders).head()
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Double]("slope_per_day4") === 1.0)
+    assert(r.getAs[Double]("intercept4") === 1.0)
+    assert(r.getAs[Double]("r2_4") === 1.0)
+  }
+
+  test("revenueChangepoints: the level-shift day carries the extreme CUSUM") {
+    import spark.implicits._
+    // 10 days at 100 then 10 days at 200: |CUSUM| peaks at the shift
+    val rows = (1 to 20).map(i => (f"1995-04-$i%02d", if (i <= 10) 100.0 else 200.0))
+    val orders = rows.toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.revenueChangepoints(orders).collect()
+    assert(r.length === 5)
+    assert(r.head.getAs[java.sql.Date]("day").toString === "1995-04-10")
+    assert(r.head.getAs[Double]("cusum4") < 0) // below-mean run bottoms out at the shift
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
