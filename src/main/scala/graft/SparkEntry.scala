@@ -529,6 +529,9 @@ object SparkEntry {
     // arithmetic — no float percentile, no fact-table sort)
     "d_eqfreq_bins" -> ((s, dir) =>
       Curation.equalFrequencyBins(rd(s, dir, "documents"), "n_chars", 10)),
+    // exact two-sample KS drift between the train and test splits
+    "d_ks_splits" -> ((s, dir) =>
+      Curation.ksSplitDrift(rd(s, dir, "documents"), "doc_id", "n_chars")),
     // corpus bigram LM: top transitions by P(w2|w1) with exact counts
     "d_bigrams" -> ((s, dir) => TextOps.bigramModel(rd(s, dir, "documents"), 30)),
     // conjunctive keyword search: docs containing ALL terms, tf-ranked
@@ -751,6 +754,8 @@ object SparkEntry {
     "e_project" -> ((s, dir) => Similarity.randomProjection(rd(s, dir, "embeddings"))),
     // per-dimension mean/std/min/max — the whitening/drift health check
     "e_dim_stats" -> ((s, dir) => Similarity.dimStats(rd(s, dir, "embeddings"))),
+    // L2-norm histogram: unnormalized-batch / zero-vector screen
+    "e_norm_hist" -> ((s, dir) => Similarity.normHistogram(rd(s, dir, "embeddings"))),
     // upper-triangle covariance matrix — the PCA/whitening precursor
     "e_covariance" -> ((s, dir) => Similarity.covarianceMatrix(rd(s, dir, "embeddings"))),
     // top principal component: 3-round power iteration on the cov matrix
@@ -981,6 +986,11 @@ SELECT dim, COUNT(*) AS n,
   floor(stddev_pop(x) * 10000) / 10000.0 AS std,
   MIN(x) AS lo, MAX(x) AS hi
 FROM x GROUP BY 1 ORDER BY 1""",
+    "e_norm_hist" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+SELECT CAST(floor(sqrt(list_dot_product(v, v)) * 10.0) AS BIGINT) AS bucket,
+  COUNT(*) AS n
+FROM e GROUP BY 1 ORDER BY 1""",
     "e_covariance" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 a AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i FROM e),
@@ -2104,6 +2114,26 @@ cum AS (SELECT v, c,
 SELECT CAST((below * 10) // n AS BIGINT) AS bin, COUNT(*) AS n_values,
   CAST(SUM(c) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
 FROM cum GROUP BY 1 ORDER BY 1""",
+    "d_ks_splits" ->
+      """WITH sp AS (SELECT n_chars,
+  CASE WHEN ((((doc_id % 2147483648) * 2654435761) % 4294967296) * 100) >> 32 < 90 THEN 'train'
+       WHEN ((((doc_id % 2147483648) * 2654435761) % 4294967296) * 100) >> 32 < 95 THEN 'valid'
+       ELSE 'test' END AS split
+  FROM documents WHERE n_chars IS NOT NULL),
+c AS (SELECT n_chars AS v,
+  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM sp WHERE split IN ('train', 'test') GROUP BY 1),
+w AS (SELECT v,
+  CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+  CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+  CAST(SUM(ca) OVER () AS BIGINT) AS na, CAST(SUM(cb) OVER () AS BIGINT) AS nb
+  FROM c),
+d AS (SELECT v, na, nb, abs(cuma * nb - cumb * na) AS dd FROM w
+      ORDER BY dd DESC, v LIMIT 1)
+SELECT na AS n_train, nb AS n_test, v AS at_value,
+  floor(CAST(dd AS DOUBLE) / CAST(na * nb AS DOUBLE) * 10000) / 10000.0 AS ks4
+FROM d""",
     "d_bigrams" ->
       """WITH toks AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),

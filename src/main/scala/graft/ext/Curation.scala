@@ -565,6 +565,48 @@ object Curation {
       .orderBy(col(keyCol))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic between the train
+    * and test [[splitAssign]] populations over an integral column —
+    * the release gate that a random split did not skew a covariate.
+    * D = max over values of |F_train(v) - F_test(v)|, computed WITHOUT
+    * floats until the last step: per-value counts for both samples,
+    * running-count windows over the distinct-value frame (the same
+    * bounded-domain trick as [[equalFrequencyBins]] — the fact table
+    * is never sorted), and the argmax taken over the exact integer
+    * cross-product |cum_a*n_b - cum_b*n_a| (at extreme scale this
+    * product is the decimal-widening candidate). One row out: D
+    * (trunc4), the value where it peaks, and both sample sizes.
+    */
+  def ksSplitDrift(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      trainPct: Int = 90,
+      validPct: Int = 5): DataFrame = {
+    import Num.trunc4
+    val counts = splitAssign(df, keyCol, trainPct, validPct)
+      .filter(col("split").isin("train", "test") && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("cb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v")).rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
+      .select(col("v"),
+        sum(col("ca")).over(wCum).as("cuma"), sum(col("cb")).over(wCum).as("cumb"),
+        sum(col("ca")).over(wAll).as("na"), sum(col("cb")).over(wAll).as("nb"))
+      .select(col("v"), col("na"), col("nb"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("d"))
+      .orderBy(col("d").desc, col("v"))
+      .limit(1)
+      .select(col("na").as("n_train"), col("nb").as("n_test"),
+        col("v").as("at_value"),
+        trunc4(col("d").cast("double") /
+          (col("na") * col("nb")).cast("double")).as("ks4"))
+  }
+
   /** EXACT distributed equal-frequency binning over an integral column
     * (length-balanced shards, difficulty tiers, quantile features)
     * without a global sort of the fact table. Two-level shape: a

@@ -585,6 +585,23 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col("i"), col("j"))
   }
 
+  /** Embedding L2-norm histogram (0.1-wide buckets) — the one-pass
+    * health check that catches unnormalized batches, zero vectors, and
+    * scale drift before they poison cosine pipelines. The norm is
+    * sqrt(graft_dot(v, v)) — the native codegen'd loop, fused into the
+    * scan stage — and the histogram is a single partial-first
+    * aggregate on the bucket id.
+    */
+  def normHistogram(embeddings: DataFrame): DataFrame = {
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
+    val norm = sqrt(call_function("graft_dot",
+      col("embedding").cast("array<double>"), col("embedding").cast("array<double>")))
+    embeddings
+      .select(floor(norm * 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Top principal component by POWER ITERATION on the covariance
     * matrix — the first step of PCA/whitening, as a relational plan.
     * The corpus is touched exactly once (by [[covarianceMatrix]]);

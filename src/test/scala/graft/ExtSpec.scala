@@ -1451,6 +1451,34 @@ class ExtSpec extends SparkSpec {
     assert(r.head.getAs[Double]("cusum4") < 0) // below-mean run bottoms out at the shift
   }
 
+  test("normHistogram: buckets from exact norms") {
+    import spark.implicits._
+    val e = Seq((1L, Array(3f, 4f)), (2L, Array(0f, 0f)), (3L, Array(3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.normHistogram(e).collect()
+    val m = r.map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("n")).toMap
+    assert(m === Map(50L -> 2L, 0L -> 1L)) // |(3,4)| = 5 -> bucket 50
+  }
+
+  test("ksSplitDrift: 0 on identical distributions, 1 on disjoint ones") {
+    import spark.implicits._
+    val ids = (0L until 500L).map(Tuple1(_)).toDF("doc_id")
+    val assigned = Curation.splitAssign(ids, "doc_id")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical: every doc has the same value -> D = 0
+    val same = (0L until 500L).map(i => (i, 7L)).toDF("doc_id", "n_chars")
+    val r0 = Curation.ksSplitDrift(same, "doc_id", "n_chars").head()
+    assert(r0.getAs[Double]("ks4") === 0.0)
+    assert(r0.getAs[Long]("n_train") + r0.getAs[Long]("n_test") <= 500L)
+    // disjoint: test docs get value 1, others 0 -> D = 1
+    val disj = (0L until 500L)
+      .map(i => (i, if (assigned(i) == "test") 1L else 0L)).toDF("doc_id", "n_chars")
+    val r1 = Curation.ksSplitDrift(disj, "doc_id", "n_chars").head()
+    assert(r1.getAs[Double]("ks4") === 1.0)
+    assert(r1.getAs[Long]("at_value") === 0L) // gap peaks after the train-only value
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
