@@ -540,6 +540,8 @@ object SparkEntry {
     // exact adjacent-phrase search with occurrence counts
     "d_phrase_search" -> ((s, dir) =>
       TextOps.searchPhrase(rd(s, dir, "documents"), "merge", "scan", 20)),
+    // term-pair association by exact-ratio lift (PMI-monotone, no log)
+    "d_term_lift" -> ((s, dir) => TextOps.termLift(rd(s, dir, "documents"))),
     "q_conversion_lag" -> ((s, dir) => Events.conversionLagHistogram(rd(s, dir, "events"))),
     "q_rfm" -> ((s, dir) => Aggregates.rfmSegments(rd(s, dir, "orders"))),
     "q_monthly_growth" -> ((s, dir) => Aggregates.monthlyRevenueTrend(rd(s, dir, "orders"))),
@@ -549,6 +551,9 @@ object SparkEntry {
     // Tukey IQR outlier fences per group, exact percentiles
     "q_outlier_iqr" -> ((s, dir) =>
       Aggregates.iqrOutliers(rd(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")),
+    // winsorized mean per group (exact interior cents + count x fence)
+    "q_winsorize" -> ((s, dir) =>
+      Aggregates.winsorizedMean(rd(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")),
     // Benford first-digit audit over order totals
     "q_benford" -> ((s, dir) =>
       Aggregates.benfordFirstDigit(rd(s, dir, "orders"), "o_totalprice")),
@@ -2163,6 +2168,18 @@ SELECT doc_id, COUNT(*) AS n_occurrences
 FROM h WHERE term = 'merge' AND nxt_term = 'scan' AND nxt_pos = pos + 1
 GROUP BY doc_id
 ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
+    "d_term_lift" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+tf AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+p AS (SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+SELECT term_a, term_b, c_ab,
+  floor(CAST(c_ab * n_docs AS DOUBLE) / CAST(ta.df * tb.df AS DOUBLE) * 10000) / 10000.0 AS lift4
+FROM p JOIN tf ta ON p.term_a = ta.term JOIN tf tb ON p.term_b = tb.term CROSS JOIN nd
+ORDER BY lift4 DESC, term_a, term_b LIMIT 30""",
     "q_outlier_iqr" ->
       """WITH q AS (SELECT l_returnflag,
   quantile_cont(l_extendedprice, 0.25) AS q1,
@@ -2176,6 +2193,23 @@ SELECT l.l_returnflag, COUNT(*) AS n,
   floor(MIN(f.hi_fence) * 10000) / 10000.0 AS hi4,
   floor(CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence OR l.l_extendedprice > f.hi_fence
                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100 * 10000) / 10000.0 AS outlier_pct4
+FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+GROUP BY 1 ORDER BY 1""",
+    "q_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.05) AS lo,
+  quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+  CAST(SUM(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+  floor(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000.0 AS mean4,
+  floor(((CAST(SUM(CASE WHEN l.l_extendedprice >= f.lo AND l.l_extendedprice <= f.hi
+                   THEN CAST(round(l.l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0
+          + CAST(SUM(CASE WHEN l.l_extendedprice < f.lo THEN 1 ELSE 0 END) AS DOUBLE) * MIN(f.lo))
+          + CAST(SUM(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS DOUBLE) * MIN(f.hi))
+        / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000.0 AS winsor_mean4
 FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
 GROUP BY 1 ORDER BY 1""",
     "q_benford" -> {

@@ -672,6 +672,46 @@ object Aggregates {
       .orderBy(col("digit"))
   }
 
+  /** Per-group winsorized mean (clip at [p_lo, p_hi]): the robust
+    * location estimate next to [[iqrOutliers]]'s detection. The
+    * winsorized SUM is decomposed so it stays deterministic: interior
+    * rows accumulate as EXACT cents (decimal sum, order-free), and the
+    * clipped tails contribute count x fence — two exact integers times
+    * one double — so no double is ever accumulated across rows. Output
+    * per group: n, clip counts, raw mean, winsorized mean (trunc4).
+    */
+  def winsorizedMean(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    import Num.trunc4
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad clip range [$pLo, $pHi]")
+    val fences = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("q"))
+      .select(col(groupCol),
+        element_at(col("q"), 1).as("lo"), element_at(col("q"), 2).as("hi"))
+    val x = col(valueCol)
+    df.join(fences, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(x < col("lo"), 1L).otherwise(0L)).cast("long").as("n_lo"),
+        sum(when(x > col("hi"), 1L).otherwise(0L)).cast("long").as("n_hi"),
+        sum(round(x * 100d).cast("long")).cast("long").as("cents_all"),
+        sum(when(x >= col("lo") && x <= col("hi"), round(x * 100d).cast("long"))
+          .otherwise(0L)).cast("long").as("cents_in"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .select(col(groupCol), col("n"), col("n_lo"), col("n_hi"),
+        trunc4(col("cents_all").cast("double") / 100.0 / col("n").cast("double"))
+          .as("mean4"),
+        trunc4((col("cents_in").cast("double") / 100.0 +
+          col("n_lo").cast("double") * col("lo") +
+          col("n_hi").cast("double") * col("hi")) / col("n").cast("double"))
+          .as("winsor_mean4"))
+      .orderBy(col(groupCol))
+  }
+
   /** Per-group IQR outlier fences (Tukey): exact q1/q3 per group, fences
     * at 1.5*IQR, and the count/share of rows outside them. Two passes
     * over the fact table: an exact-percentile aggregate per group

@@ -160,6 +160,40 @@ object TextOps {
       .limit(k)
   }
 
+  /** Term-pair association by LIFT: P(a,b) / (P(a) P(b)) over per-
+    * document distinct terms = (c_ab * N) / (c_a * c_b) — deliberately
+    * the RATIO, not PMI's log of it: one exact-integer multiply per
+    * side and one division, bit-identical across engines where libm
+    * log is not (same policy as tf/df in [[Curation.tfIdfTop]], and
+    * monotone in PMI so the ranking is unchanged). Pairs come from a
+    * per-document distinct-term self-join (bounded by per-doc
+    * vocabulary; cap documents upstream for adversarial inputs), then
+    * two partial-first aggregates and a TakeOrdered top-k. Min support
+    * keeps rare-pair noise out.
+    */
+  def termLift(docs: DataFrame, minSupport: Long = 20, k: Int = 30): DataFrame = {
+    import graft.ext.Num.trunc4
+    val dt = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+    val nDocs = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    pairs
+      .join(tf.select(col("term").as("term_a"), col("df").as("c_a")), "term_a")
+      .join(tf.select(col("term").as("term_b"), col("df").as("c_b")), "term_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("c_ab"),
+        trunc4((col("c_ab") * col("n_docs")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift4"))
+      .orderBy(col("lift4").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   /** Exact phrase search: documents containing the query tokens as an
     * ADJACENT run, with the occurrence count. Same one-pass posting
     * shape as [[searchConjunctive]], but hits must line up

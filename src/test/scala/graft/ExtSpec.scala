@@ -1479,6 +1479,33 @@ class ExtSpec extends SparkSpec {
     assert(r1.getAs[Long]("at_value") === 0L) // gap peaks after the train-only value
   }
 
+  test("winsorizedMean: clipping pulls the mean toward the fences, counts add up") {
+    import spark.implicits._
+    // group A: 1..19 plus an outlier 1000 -> winsorized mean well below raw
+    val df = ((1 to 19).map(_.toDouble) :+ 1000.0).map(v => ("A", v)).toDF("g", "v")
+    val r = Aggregates.winsorizedMean(df, "v", "g").head()
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Long]("n_lo") + r.getAs[Long]("n_hi") >= 1L)
+    assert(r.getAs[Double]("winsor_mean4") < r.getAs[Double]("mean4"))
+    assert(r.getAs[Double]("winsor_mean4") > 0.0)
+  }
+
+  test("termLift: independent terms near lift 1, perfectly-coupled pair at the top") {
+    import spark.implicits._
+    // 'x' and 'y' always co-occur in half the docs; fillers everywhere
+    val docs = (1 to 40).map { i =>
+      val base = "a b c"
+      (i.toLong, if (i % 2 == 0) s"$base x y" else base)
+    }.toDF("doc_id", "text")
+    val r = TextOps.termLift(docs, minSupport = 10, k = 10).collect()
+    val xy = r.find(t => t.getAs[String]("term_a") == "x" && t.getAs[String]("term_b") == "y").get
+    // P(x,y)/(P(x)P(y)) = 0.5/(0.5*0.5) = 2
+    assert(xy.getAs[Double]("lift4") === 2.0)
+    assert(r.head.getAs[Double]("lift4") === 2.0, "coupled pair ranks first")
+    val ab = r.find(t => t.getAs[String]("term_a") == "a" && t.getAs[String]("term_b") == "b").get
+    assert(ab.getAs[Double]("lift4") === 1.0)
+  }
+
   test("monthlyRevenueTrend: one row per month, revenue conserved, growth matches adjacent months") {
     val orders = t("orders")
     val r = Aggregates.monthlyRevenueTrend(orders).collect()
