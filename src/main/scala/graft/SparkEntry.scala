@@ -540,6 +540,28 @@ object SparkEntry {
     // exact adjacent-phrase search with occurrence counts
     "d_phrase_search" -> ((s, dir) =>
       TextOps.searchPhrase(rd(s, dir, "documents"), "merge", "scan", 20)),
+    // n-token generalization: 3-word adjacent run
+    "d_phrase3" -> ((s, dir) =>
+      TextOps.searchPhraseN(rd(s, dir, "documents"), Seq("slow", "hash", "batch"), 20)),
+    // per-language lexical richness: TTR + hapax share
+    "d_lexical" -> ((s, dir) => TextOps.lexicalProfile(rd(s, dir, "documents"))),
+    // Zipf's-law fit over the top-100 terms (grid-snapped ln inputs)
+    "d_zipf" -> ((s, dir) => TextOps.zipfSlope(rd(s, dir, "documents"), 100)),
+    // lag-1..7 autocorrelation of daily revenue (exact integer moments)
+    "q_autocorr" -> ((s, dir) => Aggregates.revenueAutocorr(rd(s, dir, "orders"), 7)),
+    // per-brand Pareto frontier: cheapest price per size tier
+    "q_skyline" -> ((s, dir) => {
+      val p = rd(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").cast("long").as("p_size"))
+      Aggregates.paretoFrontier(p, "p_brand", "price_c", "p_size")
+        .orderBy(col("p_brand"), col("price_c"), col("p_partkey"))
+    }),
+    // label-cluster cohesion vs separation over the embeddings
+    "e_cluster_quality" -> ((s, dir) => Similarity.clusterQuality(rd(s, dir, "embeddings"))),
+    // per-group equal-frequency binning (each language gets its own quartiles)
+    "d_eqfreq_by_lang" -> ((s, dir) =>
+      Curation.equalFrequencyBinsByGroup(rd(s, dir, "documents"), "n_chars", "lang", 4)),
     // term-pair association by exact-ratio lift (PMI-monotone, no log)
     "d_term_lift" -> ((s, dir) => TextOps.termLift(rd(s, dir, "documents"))),
     "q_conversion_lag" -> ((s, dir) => Events.conversionLagHistogram(rd(s, dir, "events"))),
@@ -765,6 +787,8 @@ object SparkEntry {
     "e_covariance" -> ((s, dir) => Similarity.covarianceMatrix(rd(s, dir, "embeddings"))),
     // top principal component: 3-round power iteration on the cov matrix
     "e_pca_top" -> ((s, dir) => Similarity.pcaTopComponent(rd(s, dir, "embeddings"), 3)),
+    // top-2 PCA: power iteration + Hotelling deflation on the trunc4'd cov
+    "e_pca_top2" -> ((s, dir) => Similarity.pcaTopTwo(rd(s, dir, "embeddings"), 3)),
     "e_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 0L, 10)),
     // materialized IVF: one-time partitioned layout, partition-pruned probe
     "e_ann_ivf_idx" -> ((s, dir) => {
@@ -1029,6 +1053,43 @@ $rounds
 SELECT dim, floor(v * 10000) / 10000.0 AS loading4,
   floor((SELECT nrm FROM n3) * 10000) / 10000.0 AS eigval4
 FROM v3 ORDER BY dim"""
+    },
+    "e_pca_top2" -> {
+      val r1 = (1 to 3).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (SELECT f.i AS dim, SUM(f.c * $pv.v) AS w
+  FROM covfull f JOIN $pv ON f.j = $pv.dim GROUP BY 1),
+n$t AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w$t),
+v$t AS (SELECT dim, w / nrm AS v FROM w$t CROSS JOIN n$t)"""
+      }.mkString(",\n")
+      val r2 = (1 to 3).map { t =>
+        val pv = if (t == 1) "u0" else s"u${t - 1}"
+        s"""x$t AS (SELECT d.i AS dim, SUM(d.c * $pv.v) AS w
+  FROM defl d JOIN $pv ON d.j = $pv.dim GROUP BY 1),
+m$t AS (SELECT sqrt(SUM(w * w)) AS nrm FROM x$t),
+u$t AS (SELECT dim, w / nrm AS v FROM x$t CROSS JOIN m$t)"""
+      }.mkString(",\n")
+      s"""WITH ce AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ca AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i FROM ce),
+cb AS (SELECT vec_id, unnest(v) AS y, generate_subscripts(v, 1) - 1 AS j FROM ce),
+cp AS (SELECT ca.i, cb.j, ca.x * cb.y AS p FROM ca JOIN cb ON ca.vec_id = cb.vec_id AND cb.j >= ca.i),
+cm AS (SELECT i, AVG(x) AS mu FROM ca GROUP BY 1),
+cx AS (SELECT cp.i, cp.j, AVG(cp.p) AS exixj FROM cp GROUP BY 1, 2),
+cov AS (SELECT cx.i, cx.j, floor((exixj - mi.mu * mj.mu) * 10000) / 10000.0 AS c
+        FROM cx JOIN cm mi ON cx.i = mi.i JOIN cm mj ON cx.j = mj.i),
+covfull AS (SELECT i, j, c FROM cov
+            UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j),
+v0 AS (SELECT DISTINCT i AS dim, 1.0 AS v FROM covfull),
+$r1,
+p1 AS (SELECT dim, floor(v * 10000) / 10000.0 AS v1 FROM v3),
+e1 AS (SELECT floor(nrm * 10000) / 10000.0 AS ev FROM n3),
+defl AS (SELECT f.i, f.j, f.c - e1.ev * a.v1 * b.v1 AS c
+         FROM covfull f JOIN p1 a ON f.i = a.dim JOIN p1 b ON f.j = b.dim CROSS JOIN e1),
+u0 AS (SELECT DISTINCT i AS dim, 1.0 AS v FROM defl),
+$r2
+SELECT p1.dim, p1.v1 AS loading1_4, floor(u3.v * 10000) / 10000.0 AS loading2_4,
+  (SELECT ev FROM e1) AS eig1_4, floor((SELECT nrm FROM m3) * 10000) / 10000.0 AS eig2_4
+FROM p1 JOIN u3 ON p1.dim = u3.dim ORDER BY p1.dim"""
     },
     "e_ann_pairs" -> Similarity.lshCosinePairsOracleSql(),
     "t5_transpose" ->
@@ -2168,6 +2229,95 @@ SELECT doc_id, COUNT(*) AS n_occurrences
 FROM h WHERE term = 'merge' AND nxt_term = 'scan' AND nxt_pos = pos + 1
 GROUP BY doc_id
 ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
+    "d_phrase3" ->
+      """WITH toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+h AS (SELECT doc_id, term, pos,
+  LEAD(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+  LEAD(pos, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+  LEAD(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+  LEAD(pos, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+  FROM toks WHERE term IN ('slow', 'hash', 'batch'))
+SELECT doc_id, COUNT(*) AS n_occurrences
+FROM h WHERE term = 'slow' AND t1 = 'hash' AND p1 = pos + 1
+         AND t2 = 'batch' AND p2 = pos + 2
+GROUP BY doc_id
+ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
+    "d_lexical" ->
+      """WITH tc AS (SELECT lang, w AS term, COUNT(*) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2)
+SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  floor(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 10000) / 10000.0 AS ttr4,
+  floor(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000.0 AS hapax4
+FROM tc GROUP BY lang ORDER BY lang""",
+    "d_zipf" ->
+      """WITH tc AS (SELECT w AS term, COUNT(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1
+  ORDER BY n DESC, term LIMIT 100),
+rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank FROM tc),
+xy AS (SELECT floor(ln(CAST(rank AS DOUBLE)) * 100000000) / 100000000.0 AS x,
+              floor(ln(CAST(n AS DOUBLE)) * 100000000) / 100000000.0 AS y FROM rk),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
+SELECT CAST(nt AS BIGINT) AS n_terms,
+  floor((nt * sxy - sx * sy) / (nt * sxx - sx * sx) * 10000) / 10000.0 AS slope4,
+  floor((sy - (nt * sxy - sx * sy) / (nt * sxx - sx * sx) * sx) / nt * 10000) / 10000.0 AS intercept4
+FROM m""",
+    "q_autocorr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS cents
+  FROM orders GROUP BY 1),
+idx AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+tot AS (SELECT CAST(SUM(cents) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS nn FROM idx),
+dev AS (SELECT rn, nn * cents - s AS dev FROM idx CROSS JOIN tot),
+den AS (SELECT SUM(dev * dev) AS den FROM dev),
+ks AS (SELECT unnest(range(1, 8)) AS k),
+pr AS (SELECT k, COUNT(*) AS n_pairs, SUM(a.dev * b.dev) AS num
+       FROM dev a CROSS JOIN ks JOIN dev b ON b.rn = a.rn + ks.k GROUP BY k)
+SELECT k, n_pairs,
+  floor(CAST(num AS DOUBLE) / CAST((SELECT den FROM den) AS DOUBLE) * 10000) / 10000.0 AS ac4
+FROM pr ORDER BY k""",
+    "q_skyline" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+  CAST(p_size AS BIGINT) AS p_size FROM part),
+w AS (SELECT *,
+  MAX(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict,
+  MAX(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_incl
+  FROM p)
+SELECT p_brand, p_partkey, price_c, p_size FROM w
+WHERE (m_strict IS NULL OR m_strict < p_size) AND m_incl = p_size
+ORDER BY p_brand, price_c, p_partkey""",
+    "e_cluster_quality" ->
+      """WITH e AS (SELECT label, vec_id, unnest(embedding::DOUBLE[]) AS v,
+  generate_subscripts(embedding::DOUBLE[], 1) - 1 AS dim FROM embeddings),
+cent AS (SELECT label, dim, floor(AVG(v) * 10000) / 10000.0 AS mu4 FROM e GROUP BY 1, 2),
+dm AS (SELECT e.label, e.vec_id, SUM((e.v - c.mu4) * (e.v - c.mu4)) AS d2
+       FROM e JOIN cent c ON e.label = c.label AND e.dim = c.dim GROUP BY 1, 2),
+intra AS (SELECT label, COUNT(*) AS n_members, AVG(sqrt(d2)) AS intra FROM dm GROUP BY 1),
+cp AS (SELECT a.label, b.label AS label_b, SUM((a.mu4 - b.mu4) * (a.mu4 - b.mu4)) AS d2
+       FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label GROUP BY 1, 2),
+sep AS (SELECT label, MIN(sqrt(d2)) AS sep FROM cp GROUP BY 1)
+SELECT label, n_members, floor(intra * 10000) / 10000.0 AS intra4,
+  floor(sep * 10000) / 10000.0 AS sep4,
+  floor(intra / sep * 10000) / 10000.0 AS ratio4
+FROM intra JOIN sep USING (label) ORDER BY label""",
+    "d_eqfreq_by_lang" ->
+      """WITH vc AS (SELECT lang AS g, n_chars AS v, COUNT(*) AS c FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+cum AS (SELECT g, v, c,
+  CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS below,
+  CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM vc)
+SELECT g, CAST((below * 4) // n AS BIGINT) AS bin, COUNT(*) AS n_values,
+  CAST(SUM(c) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+FROM cum GROUP BY 1, 2 ORDER BY 1, 2""",
     "d_term_lift" ->
       """WITH dt AS (SELECT DISTINCT doc_id, w AS term
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),

@@ -512,6 +512,81 @@ object Aggregates {
       .limit(k)
   }
 
+  /** Autocorrelation of the daily-revenue series at lags 1..maxLag —
+    * the seasonality detector (a weekly cycle shows as a peak at lag
+    * 7). Same exact-moment policy as [[revenueTrendOls]]: with S the
+    * exact cents total and N the day count, the mean-centered terms
+    * are scaled to integers dev_t = N·x_t − S (decimal(38,0): N~1e4 ×
+    * cents~1e12 and their squared products stay far under 38 digits),
+    * so numerator and denominator are EXACT integer aggregates in any
+    * partial-aggregation order, and the only float op is the final
+    * division, identical in both engines.
+    *
+    * Scale shape: one partial-first aggregate collapses the fact table
+    * to |days| rows; the lag pairing is a broadcast of maxLag lag ids
+    * against the tiny series + one equi-join on the shifted index —
+    * nothing downstream of the first aggregate depends on corpus size.
+    */
+  def revenueAutocorr(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    import Num.trunc4
+    require(maxLag >= 1, s"maxLag=$maxLag out of range")
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val wRn = Window.orderBy(col("day"))
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val tot = daily.agg(sum(col("cents")).cast("decimal(38,0)").as("s"),
+      count(lit(1)).cast("decimal(38,0)").as("nn"))
+    val dev = daily
+      .withColumn("rn", row_number().over(wRn))
+      .crossJoin(broadcast(tot))
+      .select(col("rn"),
+        (col("nn") * col("cents").cast("decimal(38,0)") - col("s")).as("dev"))
+      .localCheckpoint(false) // referenced 3x below; one window pass only
+    val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
+    val ks = orders.sparkSession.range(1, maxLag + 1).toDF("k")
+    val num = dev
+      .crossJoin(broadcast(ks))
+      .select(col("k"), (col("rn") + col("k")).as("rn2"), col("dev").as("dev_a"))
+      .join(dev.select(col("rn").as("rn2"), col("dev").as("dev_b")), "rn2")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dev_a") * col("dev_b")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        trunc4(col("num").cast("double") / col("den").cast("double")).as("ac4"))
+      .orderBy(col("k"))
+  }
+
+  /** 2-D SKYLINE (Pareto frontier) per group: rows not dominated on a
+    * (minimize cost, maximize gain) pair — e.g. cheapest-per-size
+    * parts within a brand, best quality-per-length documents within a
+    * source. A row is dominated iff some same-group row is strictly
+    * cheaper with gain ≥ its own, or no costlier with gain strictly
+    * greater. Both conditions are running-max window frames over the
+    * cost order — the O(n log n) sweep formulation of the classic
+    * skyline operator, not the O(n²) dominance self-join — expressed
+    * as two RANGE frames so cost TIES are handled exactly (duplicates
+    * on both axes survive together; neither dominates).
+    *
+    * `costCol` must be integral (cents, not raw doubles): the
+    * `RANGE ... 1 PRECEDING` strict frame subtracts 1 from the
+    * current cost, which is only a "strictly cheaper" boundary on an
+    * integer domain. Scale shape: per-group hash-partitioned window,
+    * no global sort, no self-join.
+    */
+  def paretoFrontier(
+      df: DataFrame, groupCol: String, costCol: String, gainCol: String): DataFrame = {
+    val wStrict = Window.partitionBy(col(groupCol)).orderBy(col(costCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.partitionBy(col(groupCol)).orderBy(col(costCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("m_strict", max(col(gainCol)).over(wStrict))
+      .withColumn("m_incl", max(col(gainCol)).over(wIncl))
+      .filter((col("m_strict").isNull || col("m_strict") < col(gainCol)) &&
+        col("m_incl") === col(gainCol))
+      .drop("m_strict", "m_incl")
+  }
+
   /** Lorenz curve by customer-spend decile: each decile's share of
     * total revenue and the cumulative share — the concentration table
     * behind "top X% of customers drive Y% of revenue". Deciles come

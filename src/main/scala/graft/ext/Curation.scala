@@ -642,4 +642,39 @@ object Curation {
         min(col("v")).as("lo"), max(col("v")).as("hi"))
       .orderBy(col("bin"))
   }
+
+  /** PER-GROUP exact equal-frequency binning — [[equalFrequencyBins]]
+    * with every window PARTITIONED BY the group column, so each group
+    * gets its own k quantile tiers computed against its own
+    * distribution (per-language difficulty tiers, per-source length
+    * shards). Same integer rank rule per group: a value whose group-
+    * local 0-indexed rank is r lands in bin `(r * k) div n_g`.
+    *
+    * Scale shape: the fact table is never sorted — the
+    * `groupBy(group, value)` partial-first aggregate shrinks the
+    * stream to distinct (group, value) pairs, and the running-total
+    * window runs per group over that reduced frame, hash-distributed
+    * across executors by the partition key (unlike the global variant,
+    * which needs its one bounded-domain single partition).
+    */
+  def equalFrequencyBinsByGroup(
+      df: DataFrame, valueCol: String, groupCol: String, k: Int = 4): DataFrame = {
+    require(k > 1, s"need at least 2 bins, got $k")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below", sum(col("c")).over(wCum) - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("bin", expr(s"(below * ${k}L) div n"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n_values"), sum(col("c")).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("g"), col("bin"))
+  }
 }

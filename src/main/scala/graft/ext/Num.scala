@@ -13,4 +13,12 @@ object Num {
     * caught live on the quality score at sf0.1).
     */
   def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+
+  /** 8-decimal variant of [[trunc4]], for snapping libm-derived
+    * INTERMEDIATE values (ln, sqrt outputs) onto a shared grid before
+    * they enter cross-engine summations: a ≤1-ulp libm difference can
+    * only survive the snap if the value lands within a ulp of a grid
+    * boundary (~1e-8 probability per value).
+    */
+  def trunc8(c: Column): Column = floor(c * lit(1.0e8)) / lit(1.0e8)
 }

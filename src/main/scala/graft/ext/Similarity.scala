@@ -643,6 +643,109 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col("dim"))
   }
 
+  /** Top TWO principal components by power iteration + HOTELLING
+    * DEFLATION: find v1 on the covariance matrix as in
+    * [[pcaTopComponent]], subtract its rank-1 contribution
+    * (C' = C - λ1·v1·v1ᵀ), and power-iterate again on C' — the
+    * textbook sequential-PCA step, as a relational plan. The corpus is
+    * still touched exactly once (the covariance pass); both iteration
+    * phases and the deflation are dim²-row joins, independent of
+    * corpus size.
+    *
+    * Cross-engine determinism: v1 and λ1 are trunc4'd BEFORE the
+    * deflation, so the deflated matrix is computed from bit-identical
+    * finite inputs on both engines (pure IEEE arithmetic, no
+    * accumulated iteration noise crossing the subtraction), and the
+    * only per-engine noise anywhere is each matvec's 64-term
+    * summation order, absorbed by the output trunc4 — the same policy
+    * [[pcaTopComponent]] and its unrolled-CTE oracle already prove out.
+    */
+  def pcaTopTwo(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    import graft.ext.Num.trunc4
+    require(iters >= 1, s"iters=$iters out of range")
+    val covU = covarianceMatrix(embeddings)
+      .select(col("i"), col("j"), col("cov4").as("c"))
+    val covFull = covU
+      .union(covU.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .localCheckpoint(false)
+    def powerIterate(cov: DataFrame): (DataFrame, DataFrame) = {
+      var v = cov.select(col("i").as("dim")).distinct().withColumn("v", lit(1.0))
+      var nrm: DataFrame = null
+      (1 to iters).foreach { _ =>
+        val w = cov.join(v.select(col("dim").as("j"), col("v")), "j")
+          .groupBy(col("i").as("dim"))
+          .agg(sum(col("c") * col("v")).as("w"))
+        nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm")) // 1 row
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("dim"), (col("w") / col("nrm")).as("v"))
+          .localCheckpoint(false)
+      }
+      (v, nrm)
+    }
+    val (v1raw, n1raw) = powerIterate(covFull)
+    // truncate BEFORE deflating: both engines subtract the identical rank-1 term
+    val v1 = v1raw.select(col("dim"), trunc4(col("v")).as("v1")).localCheckpoint(false)
+    val e1 = n1raw.select(trunc4(col("nrm")).as("eig1_4")) // 1 row
+    val deflated = covFull
+      .join(v1.select(col("dim").as("i"), col("v1").as("vi")), "i")
+      .join(v1.select(col("dim").as("j"), col("v1").as("vj")), "j")
+      .crossJoin(broadcast(e1))
+      .select(col("i"), col("j"),
+        (col("c") - col("eig1_4") * col("vi") * col("vj")).as("c"))
+      .localCheckpoint(false)
+    val (v2raw, n2raw) = powerIterate(deflated)
+    v1.join(v2raw.select(col("dim"), trunc4(col("v")).as("loading2_4")), "dim")
+      .crossJoin(broadcast(
+        e1.crossJoin(n2raw.select(trunc4(col("nrm")).as("eig2_4")))))
+      .select(col("dim"), col("v1").as("loading1_4"), col("loading2_4"),
+        col("eig1_4"), col("eig2_4"))
+      .orderBy(col("dim"))
+  }
+
+  /** Label-cluster quality report: per label, the mean member-to-own-
+    * centroid distance (cohesion), the distance to the nearest OTHER
+    * label's centroid (separation), and their ratio — the cheap
+    * Davies-Bouldin-style diagnostic run before trusting labels for
+    * classifier training or stratified sampling. ratio4 ≫ 1 means the
+    * label's members scatter wider than the gap to the next cluster.
+    *
+    * Scale shape: one posexplode feeds the centroid aggregate
+    * (labels×dims rows — tiny) and the member-distance join; the
+    * centroid-pair sweep is (labels×dims)² — independent of corpus
+    * size. Centroids are trunc4'd BEFORE any distance math so the
+    * heavy phase consumes bit-identical inputs in both engines; the
+    * only cross-engine noise is dim-sum/member-avg ordering, absorbed
+    * by the output trunc4.
+    */
+  def clusterQuality(embeddings: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val x = embeddings.select(col("label"), col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+    val cent = x.groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("mu"))
+      .select(col("label"), col("dim"), trunc4(col("mu")).as("mu4"))
+      .localCheckpoint(false) // reused by member distances + pair sweep
+    val intra = x.join(cent, Seq("label", "dim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("v") - col("mu4")) * (col("v") - col("mu4"))).as("d2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), avg(sqrt(col("d2"))).as("intra"))
+    val sep = cent.as("a")
+      .join(cent.select(col("label").as("label_b"), col("dim"),
+        col("mu4").as("mu4b")).as("b"), Seq("dim"))
+      .filter(col("label") =!= col("label_b"))
+      .groupBy(col("label"), col("label_b"))
+      .agg(sum((col("mu4") - col("mu4b")) * (col("mu4") - col("mu4b"))).as("d2"))
+      .groupBy(col("label"))
+      .agg(min(sqrt(col("d2"))).as("sep"))
+    intra.join(sep, "label")
+      .select(col("label"), col("n_members"), trunc4(col("intra")).as("intra4"),
+        trunc4(col("sep")).as("sep4"),
+        trunc4(col("intra") / col("sep")).as("ratio4"))
+      .orderBy(col("label"))
+  }
+
   /** MATERIALIZED IVF index: train the coarse quantizer once, assign
     * every vector to its centroid map-side, persist the corpus
     * PARTITIONED BY cluster id. This is the at-scale shape the ad-hoc

@@ -247,4 +247,102 @@ object TextOps {
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** N-token exact phrase search — the general form [[searchPhrase]]'s
+    * scaladoc promises. Same one-pass posting shape: posexplode keeps
+    * positions, the isin filter drops every non-query token before any
+    * shuffle, and n-1 chained leads over the per-document position
+    * window verify the run: lead(i) must carry word i AND sit at
+    * pos + i. Because only query-term hits survive the filter, the
+    * position arithmetic alone proves the i intermediate slots are
+    * exactly the required words — no array reassembly, no substring
+    * scan of the raw text.
+    *
+    * Scale shape: the window is PARTITIONED BY doc_id (per-document
+    * state only, no global sort), state per partition is n-1 rows of
+    * look-ahead, and the shuffle carries only query-term hits — for a
+    * selective phrase that is a vanishing fraction of the corpus.
+    */
+  def searchPhraseN(docs: DataFrame, words: Seq[String], k: Int = 20): DataFrame = {
+    require(words.length >= 2, s"phrase needs >= 2 tokens, got ${words.length}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val hits = graft.Tables.spread(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(words: _*))
+    val run = words.zipWithIndex.tail.foldLeft(col("term") === words.head) {
+      case (acc, (word, i)) =>
+        acc && lead(col("term"), i).over(w) === word &&
+          lead(col("pos"), i).over(w) === col("pos") + i
+    }
+    hits
+      .withColumn("is_run", run)
+      .filter(col("is_run"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-language lexical-richness profile: token count, type count,
+    * hapax-legomena count (terms occurring exactly once in that
+    * language's subcorpus), type-token ratio, and hapax share. TTR and
+    * hapax rate are the standard cheap signals for template spam (low
+    * TTR) and OCR noise / mojibake (high hapax share) when triaging a
+    * crawl before expensive model-based quality scoring.
+    *
+    * Scale shape: one explode, then two partial-first aggregates —
+    * (lang, term) counts shrink the stream to vocabulary size, and the
+    * per-language rollup is a handful of rows. All counts are exact
+    * integers; the two ratios are single divisions, trunc4'd.
+    */
+  def lexicalProfile(docs: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val tc = graft.Tables.spread(docs)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        trunc4(col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr4"),
+        trunc4(col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax4"))
+      .orderBy(col("lang"))
+  }
+
+  /** Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top-N
+    * terms. Natural corpora sit near slope -1; a much flatter slope
+    * flags template/boilerplate floods, a much steeper one flags a
+    * degenerate vocabulary — a one-number corpus health check used
+    * when triaging crawl snapshots.
+    *
+    * Scale shape: one partial-first term count, a TakeOrdered top-N,
+    * and a single-partition row_number over the N-row frame — the fact
+    * stream is never sorted. Determinism: ranks and counts are exact
+    * integers; the ln values are snapped to the 1e-8 grid
+    * ([[graft.ext.Num.trunc8]]) so both engines sum bit-identical
+    * inputs, and the residual summation-order noise (~1e-13 over N
+    * terms) is absorbed by the output trunc4.
+    */
+  def zipfSlope(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import graft.ext.Num.{trunc4, trunc8}
+    val tc = graft.Tables.spread(docs)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    val m = tc.withColumn("rank", row_number().over(w))
+      .select(trunc8(log(col("rank").cast("double"))).as("x"),
+        trunc8(log(col("n").cast("double"))).as("y"))
+      .agg(count(lit(1)).cast("double").as("nt"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("nt") * col("sxy") - col("sx") * col("sy")) /
+      (col("nt") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("nt").cast("long").as("n_terms"),
+      trunc4(slope).as("slope4"),
+      trunc4((col("sy") - slope * col("sx")) / col("nt")).as("intercept4"))
+  }
 }

@@ -1671,4 +1671,134 @@ class ExtSpec extends SparkSpec {
     assert(r.head.getAs[Double]("corr_qty_price") >= 0.9999)
     assert(r.head.getAs[Long]("n") === 100L)
   }
+
+  test("searchPhraseN: full n-token run required, interruptions rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow hash batch y slow hash batch"), // two full runs
+      (2L, "slow hash x batch"),                 // broken after 2 tokens
+      (3L, "slow hash"),                         // prefix only
+      (4L, "batch hash slow")                    // wrong order
+    ).toDF("doc_id", "text")
+    val r = TextOps.searchPhraseN(docs, Seq("slow", "hash", "batch"), 10).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("doc_id") === 1L &&
+      r.head.getAs[Long]("n_occurrences") === 2L)
+    // degenerate 2-token form agrees with the specialized searchPhrase
+    val a = TextOps.searchPhraseN(t("documents"), Seq("merge", "scan"), 20).collect()
+    val b = TextOps.searchPhrase(t("documents"), "merge", "scan", 20).collect()
+    assert(a.map(x => (x.getLong(0), x.getLong(1))).toSeq ===
+      b.map(x => (x.getLong(0), x.getLong(1))).toSeq)
+  }
+
+  test("lexicalProfile: exact counts on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b", "en"), (2L, "b c", "en"), // en: 5 tokens, types {a,b,c}, hapax {c}
+      (3L, "x x", "fr")                       // fr: 2 tokens, 1 type, 0 hapax
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.lexicalProfile(docs).collect()
+    val en = r.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Long]("n_tokens") === 5L && en.getAs[Long]("n_types") === 3L &&
+      en.getAs[Long]("n_hapax") === 1L)
+    assert(en.getAs[Double]("ttr4") === 0.6)
+    val fr = r.find(_.getAs[String]("lang") == "fr").get
+    assert(fr.getAs[Long]("n_hapax") === 0L && fr.getAs[Double]("hapax4") === 0.0)
+  }
+
+  test("equalFrequencyBinsByGroup: each group tiers against its own distribution") {
+    import spark.implicits._
+    // group A: values 1..8 uniform; group B: values 101..104
+    val df = ((1 to 8).map(v => ("A", v.toLong)) ++ (101 to 104).map(v => ("B", v.toLong)))
+      .toDF("g", "v")
+    val r = Curation.equalFrequencyBinsByGroup(df, "v", "g", 4).collect()
+    val a = r.filter(_.getAs[String]("g") == "A")
+    val b = r.filter(_.getAs[String]("g") == "B")
+    assert(a.length === 4 && b.length === 4)
+    // rows conserved per group, bin ranges disjoint and ordered within group
+    assert(a.map(_.getAs[Long]("n_rows")).sum === 8L)
+    assert(b.map(_.getAs[Long]("n_rows")).sum === 4L)
+    a.sortBy(_.getAs[Long]("bin")).sliding(2).foreach {
+      case Array(lo, hi) => assert(lo.getAs[Long]("hi") < hi.getAs[Long]("lo"))
+      case _ =>
+    }
+    // B's quartiles reflect B's own domain, not the global one
+    assert(b.forall(_.getAs[Long]("lo") >= 101L))
+  }
+
+  test("zipfSlope: exact -1 slope on a perfect two-point Zipf corpus") {
+    import spark.implicits._
+    // term a: 4 occurrences (rank 1), term b: 2 (rank 2):
+    // slope = (ln2 - ln4)/(ln2 - ln1) = -1, intercept = ln(4)
+    val docs = Seq((1L, "a a a a b b")).toDF("doc_id", "text")
+    val r = TextOps.zipfSlope(docs, 10).head()
+    assert(r.getAs[Long]("n_terms") === 2L)
+    assert(r.getAs[Double]("slope4") === -1.0)
+    assert(math.abs(r.getAs[Double]("intercept4") - 1.3862) < 1e-9)
+  }
+
+  test("revenueAutocorr: alternating series gives the closed-form lags") {
+    import spark.implicits._
+    // daily cents 100,200,100,200 -> devs -2,+2,-2,+2 (scaled):
+    // ac1 = -0.75, ac2 = +0.5, ac3 = -0.25
+    val orders = Seq(
+      ("1995-01-01", 100.0), ("1995-01-02", 200.0),
+      ("1995-01-03", 100.0), ("1995-01-04", 200.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.revenueAutocorr(orders, 3).collect()
+    assert(r.map(_.getAs[Long]("k")).toSeq === Seq(1L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("n_pairs")).toSeq === Seq(3L, 2L, 1L))
+    assert(r.map(_.getAs[Double]("ac4")).toSeq === Seq(-0.75, 0.5, -0.25))
+  }
+
+  test("paretoFrontier: dominance with ties on both axes") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, 5L, "keep-dup1"), ("g", 1L, 5L, "keep-dup2"),
+      ("g", 2L, 7L, "keep"), ("g", 2L, 6L, "dom-by-27"),
+      ("g", 3L, 7L, "dom-by-cheaper-equal"), ("g", 3L, 8L, "keep-top"))
+      .toDF("grp", "cost", "gain", "tag")
+    val kept = Aggregates.paretoFrontier(df, "grp", "cost", "gain")
+      .select("tag").collect().map(_.getString(0)).sorted
+    assert(kept.toSeq === Seq("keep", "keep-dup1", "keep-dup2", "keep-top"))
+  }
+
+  test("clusterQuality: tight far-apart clusters score low ratio") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(0.1f, 0f), 0), (2L, Array(-0.1f, 0f), 0),
+      (3L, Array(10.1f, 0f), 1), (4L, Array(9.9f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterQuality(e).collect().sortBy(_.getAs[Int]("label"))
+    assert(r.length === 2)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_members") === 2L)
+      assert(math.abs(row.getAs[Double]("intra4") - 0.1) < 1e-3)
+      assert(math.abs(row.getAs[Double]("sep4") - 10.0) < 1e-3)
+      assert(row.getAs[Double]("ratio4") === 0.01)
+    }
+  }
+
+  test("pcaTopTwo: recovers both axes of a 2-variance cloud, orthogonal loadings") {
+    import spark.implicits._
+    // dim0 variance 4 (+-2), dim1 variance 1 (+-1): PC1=e0, PC2=e1
+    val e = (1 to 40).map { i =>
+      (i.toLong, Array(if (i % 2 == 0) 2f else -2f, if ((i / 2) % 2 == 0) 1f else -1f))
+    }.toDF("vec_id", "embedding")
+    // 6 rounds: eigen-gap 4:1 -> PC1 residual ~(1/4)^6, tight enough for the
+    // orthogonality assertion (3 rounds leaves ~5% of e1 in the v1 estimate)
+    val r = Similarity.pcaTopTwo(e, 6).collect().sortBy(_.getAs[Int]("dim"))
+    assert(r.length === 2)
+    assert(math.abs(r(0).getAs[Double]("loading1_4")) > 0.99)
+    assert(math.abs(r(1).getAs[Double]("loading2_4")) > 0.99)
+    val eig1 = r.head.getAs[Double]("eig1_4")
+    val eig2 = r.head.getAs[Double]("eig2_4")
+    assert(eig1 > 3.5 && eig1 < 4.5, s"eig1 $eig1 should approximate var=4")
+    assert(eig2 > 0.5 && eig2 < 1.5, s"eig2 $eig2 should approximate var=1")
+    // orthogonality of the trunc4'd loadings
+    val dot = r.map(x =>
+      x.getAs[Double]("loading1_4") * x.getAs[Double]("loading2_4")).sum
+    assert(math.abs(dot) < 0.01, s"PC1.PC2 = $dot should be ~0")
+  }
 }
