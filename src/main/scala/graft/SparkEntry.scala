@@ -559,6 +559,18 @@ object SparkEntry {
     }),
     // label-cluster cohesion vs separation over the embeddings
     "e_cluster_quality" -> ((s, dir) => Similarity.clusterQuality(rd(s, dir, "embeddings"))),
+    // monthly cohort retention triangle over orders
+    "q_cohorts" -> ((s, dir) => Aggregates.cohortRetention(rd(s, dir, "orders"))),
+    // per-source exact-duplicate mass report
+    "d_dup_profile" -> ((s, dir) => Dedup.dupProfileBySource(rd(s, dir, "documents"))),
+    // step-relative int8 quantization error per label
+    "e_quantize_error" -> ((s, dir) => Similarity.quantizeError(rd(s, dir, "embeddings"))),
+    // wide-to-long unpivot of the lineitem measures (map-side Expand)
+    "t12_unpivot" -> ((s, dir) =>
+      Reshape.unpivot(rd(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("value"))),
     // per-group equal-frequency binning (each language gets its own quartiles)
     "d_eqfreq_by_lang" -> ((s, dir) =>
       Curation.equalFrequencyBinsByGroup(rd(s, dir, "documents"), "n_chars", "lang", 4)),
@@ -2253,6 +2265,41 @@ SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
   floor(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000.0 AS hapax4
 FROM tc GROUP BY lang ORDER BY lang""",
+    "q_cohorts" ->
+      """WITH om AS (SELECT o_custkey,
+  year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1 AS m
+  FROM orders),
+f AS (SELECT o_custkey, MIN(m) AS cm FROM om GROUP BY 1)
+SELECT CAST(cm AS BIGINT) AS cohort_month, CAST(om.m - cm AS BIGINT) AS month_offset,
+  COUNT(DISTINCT om.o_custkey) AS n_active
+FROM om JOIN f USING (o_custkey) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d_dup_profile" ->
+      """WITH fp AS (SELECT source, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+g AS (SELECT source, fp, COUNT(*) AS c FROM fp GROUP BY 1, 2)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_redundant,
+  floor(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 100 * 10000) / 10000.0 AS dup_pct4
+FROM g GROUP BY source ORDER BY source""",
+    "e_quantize_error" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e
+      WHERE list_max(list_transform(v, x -> abs(x))) / 127.0 > 0),
+x AS (SELECT label, unnest(v) AS x, sc FROM s),
+r AS (SELECT label, x / sc - floor(x / sc + 0.5) AS rel FROM x)
+SELECT label, COUNT(*) AS n_elems,
+  floor(AVG(rel * rel) * 10000) / 10000.0 AS mse_rel4,
+  floor(MAX(abs(rel)) * 10000) / 10000.0 AS max_rel4
+FROM r GROUP BY label ORDER BY label""",
+    "t12_unpivot" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM b
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM b
+  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM b)
+ORDER BY l_orderkey, l_linenumber, metric, value""",
     "d_zipf" ->
       """WITH tc AS (SELECT w AS term, COUNT(*) AS n
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1

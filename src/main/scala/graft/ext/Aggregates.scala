@@ -557,6 +557,29 @@ object Aggregates {
       .orderBy(col("k"))
   }
 
+  /** Monthly COHORT RETENTION matrix: customers grouped by their
+    * first-order month (the cohort), counted as active in each
+    * month-offset since — the standard retention triangle. Months are
+    * absolute integer indices (year*12 + month - 1), engine-neutral
+    * integer arithmetic with no date-diff semantics to disagree on.
+    *
+    * Scale shape: one aggregate finds each customer's cohort (partial-
+    * first min), one equi-join on the customer key brings it back to
+    * the order stream (AQE broadcasts the cohort side when it fits),
+    * and the distinct-count collapses per (cohort, offset) — all
+    * hash-partitioned, no window, no sort of the fact table.
+    */
+  def cohortRetention(orders: DataFrame): DataFrame = {
+    val om = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+    val first = om.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+    om.join(first, "o_custkey")
+      .groupBy(col("cm").cast("long").as("cohort_month"),
+        (col("m") - col("cm")).cast("long").as("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
   /** 2-D SKYLINE (Pareto frontier) per group: rows not dominated on a
     * (minimize cost, maximize gain) pair — e.g. cheapest-per-size
     * parts within a brand, best quality-per-length documents within a

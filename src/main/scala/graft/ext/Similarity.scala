@@ -525,6 +525,36 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     quantized.select(col("vec_id"),
       transform(col("qvec"), q => q.cast("double") * col("scale")).as("embedding"))
 
+  /** Quantization-error audit for [[quantizeInt8]]: per label, the
+    * residual x/s − round(x/s) in UNITS OF THE QUANTIZATION STEP —
+    * mean-square (≈1/12 for a healthy uniform residual) and worst
+    * case (≤ 0.5 by construction). Reporting step-relative error
+    * keeps the statistics O(1) (trunc4 retains resolution; raw MSE at
+    * ~1e-5 would truncate to zero) and makes the numbers comparable
+    * across vectors with different scales. Zero-scale (all-zero)
+    * vectors are excluded — they quantize losslessly.
+    *
+    * Determinism: x, s, and the residual are identical IEEE doubles in
+    * both engines (same floor(x/s + 0.5) spelling as the quantizer);
+    * MAX is selection (exact), and the AVG's summation-order noise is
+    * absorbed by trunc4 on the O(0.08) value.
+    */
+  def quantizeError(embeddings: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val s = embeddings
+      .withColumn("emb_d", col("embedding").cast("array<double>"))
+      .withColumn("sc", array_max(transform(col("emb_d"), x => abs(x))) / lit(127.0))
+      .filter(col("sc") > 0)
+    s.select(col("label"), explode(col("emb_d")).as("x"), col("sc"))
+      .select(col("label"),
+        (col("x") / col("sc") - floor(col("x") / col("sc") + lit(0.5))).as("rel"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_elems"),
+        trunc4(avg(col("rel") * col("rel"))).as("mse_rel4"),
+        trunc4(max(abs(col("rel")))).as("max_rel4"))
+      .orderBy(col("label"))
+  }
+
   /** Per-dimension embedding-column health check (whitening prep /
     * drift detection): mean, population stddev, min, max for every
     * dimension. posexplode then ONE partial-first hash aggregate keyed

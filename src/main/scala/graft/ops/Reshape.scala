@@ -88,4 +88,17 @@ object Reshape {
     */
   def topK(df: DataFrame, k: Int, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
+
+  /** Wide-to-long UNPIVOT (melt) — the inverse of [[pivotCount]] and
+    * the scale-safe half of [[transpose]]: id columns are repeated,
+    * each measure column becomes a (metric, value) row. Spark 4's
+    * native `Dataset.unpivot` is a zero-shuffle map-side expansion
+    * (one Expand node — each input row emits |measures| output rows in
+    * place), so it composes into any downstream plan without a
+    * repartition. Measure columns must share a common type, as in SQL
+    * UNPIVOT.
+    */
+  def unpivot(df: DataFrame, ids: Seq[String], measures: Seq[String],
+      metricName: String = "metric", valueName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, measures.map(col).toArray, metricName, valueName)
 }

@@ -1780,6 +1780,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention: first month defines the cohort, offsets count distinct actives") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "1995-01-05"), (1L, "1995-01-20"), (1L, "1995-02-01"), // c1: cohort Jan, active Jan+Feb
+      (2L, "1995-02-10"))                                         // c2: cohort Feb
+      .toDF("o_custkey", "o_orderdate")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
+    val r = Aggregates.cohortRetention(orders).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val jan = 1995L * 12 + 0
+    assert(r.toSeq === Seq((jan, 0L, 1L), (jan, 1L, 1L), (jan + 1, 0L, 1L)))
+  }
+
+  test("dupProfileBySource: redundancy counted per feed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x", "A"), (2L, "x", "A"), (3L, "y", "A"), (4L, "z", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.dupProfileBySource(docs).collect()
+    val a = r.find(_.getAs[String]("source") == "A").get
+    assert(a.getAs[Long]("n_docs") === 3L && a.getAs[Long]("n_unique") === 2L)
+    assert(a.getAs[Long]("n_in_dup_groups") === 2L && a.getAs[Long]("n_redundant") === 1L)
+    assert(math.abs(a.getAs[Double]("dup_pct4") - 33.3333) < 1e-9)
+    val b = r.find(_.getAs[String]("source") == "B").get
+    assert(b.getAs[Long]("n_redundant") === 0L && b.getAs[Double]("dup_pct4") === 0.0)
+  }
+
+  test("quantizeError: closed-form residuals in step units") {
+    import spark.implicits._
+    // scale = 127/127 = 1: residual of 127 is 0, of 63.5 is -0.5
+    val e = Seq((1L, Array(127f, 63.5f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizeError(e).head()
+    assert(r.getAs[Long]("n_elems") === 2L)
+    assert(r.getAs[Double]("mse_rel4") === 0.125)
+    assert(r.getAs[Double]("max_rel4") === 0.5)
+  }
+
   test("pcaTopTwo: recovers both axes of a 2-variance cloud, orthogonal loadings") {
     import spark.implicits._
     // dim0 variance 4 (+-2), dim1 variance 1 (+-1): PC1=e0, PC2=e1

@@ -581,4 +581,16 @@ class OpsSpec extends SparkSpec {
     cat.drop("products_t")
     assert(!cat.contains("products_t"))
   }
+
+  test("unpivot: each measure becomes a row, ids repeated, no shuffle") {
+    import spark.implicits._
+    val df = Seq((1L, 2, 10.0, 20.0)).toDF("k", "ln", "qty", "price")
+    val r = ops.Reshape.unpivot(df, Seq("k", "ln"), Seq("qty", "price"))
+    val rows = r.collect().map(x =>
+      (x.getLong(0), x.getInt(1), x.getString(2), x.getDouble(3))).sortBy(_._3)
+    assert(rows.toSeq === Seq((1L, 2, "price", 20.0), (1L, 2, "qty", 10.0)))
+    // map-side Expand only: no exchange in the plan
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unpivot should not shuffle:\n$plan")
+  }
 }
