@@ -565,6 +565,12 @@ object SparkEntry {
     "d_dup_profile" -> ((s, dir) => Dedup.dupProfileBySource(rd(s, dir, "documents"))),
     // step-relative int8 quantization error per label
     "e_quantize_error" -> ((s, dir) => Similarity.quantizeError(rd(s, dir, "embeddings"))),
+    // per-language robust length outliers (median/MAD modified z)
+    "d_length_anomaly" -> ((s, dir) => Curation.lengthAnomalies(rd(s, dir, "documents"))),
+    // bigram conditional entropy: sequence-level repetitiveness
+    "d_bigram_entropy" -> ((s, dir) => TextOps.bigramEntropy(rd(s, dir, "documents"))),
+    // DAU / trailing-7d WAU / stickiness via window expansion
+    "q_dau_wau" -> ((s, dir) => Events.rollingActiveUsers(rd(s, dir, "events"))),
     // wide-to-long unpivot of the lineitem measures (map-side Expand)
     "t12_unpivot" -> ((s, dir) =>
       Reshape.unpivot(rd(s, dir, "lineitem"),
@@ -2292,6 +2298,41 @@ SELECT label, COUNT(*) AS n_elems,
   floor(AVG(rel * rel) * 10000) / 10000.0 AS mse_rel4,
   floor(MAX(abs(rel)) * 10000) / 10000.0 AS max_rel4
 FROM r GROUP BY label ORDER BY label""",
+    "d_length_anomaly" ->
+      """WITH base AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+m AS (SELECT lang, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1),
+d AS (SELECT base.lang, x, med, abs(x - med) AS dv FROM base JOIN m USING (lang)),
+md AS (SELECT lang, quantile_cont(dv, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN mad > 0 AND 0.6745 * abs(x - med) / mad > 3.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  floor(MAX(med) * 10000) / 10000.0 AS med4,
+  floor(MAX(mad) * 10000) / 10000.0 AS mad4
+FROM d JOIN md USING (lang) GROUP BY d.lang ORDER BY d.lang""",
+    "d_bigram_entropy" ->
+      """WITH toks AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+bg AS (SELECT w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM toks),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+t AS (SELECT c12.c12,
+  CAST(c12.c12 AS DOUBLE) * ln(CAST(c1.c1 AS DOUBLE) / CAST(c12.c12 AS DOUBLE)) AS t
+  FROM c12 JOIN c1 USING (w1))
+SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams, COUNT(*) AS n_distinct,
+  floor(SUM(t) / CAST(SUM(c12) AS DOUBLE) / ln(2.0) * 10000) / 10000.0 AS cond_entropy_bits
+FROM t""",
+    "q_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+ex AS (SELECT DISTINCT day + CAST(x AS INTEGER) AS day2, user_id
+       FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS x)),
+wau AS (SELECT day2 AS day, COUNT(DISTINCT user_id) AS wau
+        FROM ex JOIN days ON days.day = ex.day2 GROUP BY 1),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+SELECT day, dau, wau,
+  floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) * 10000) / 10000.0 AS stickiness4
+FROM dau JOIN wau USING (day) ORDER BY day""",
     "t12_unpivot" ->
       """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
   FROM lineitem)

@@ -643,6 +643,45 @@ object Curation {
       .orderBy(col("bin"))
   }
 
+  /** Per-language robust length-outlier report: modified z-score
+    * (0.6745·|x−median|/MAD) on n_chars, counted per language — the
+    * pre-tokenization screen that catches truncated fragments and
+    * concatenation blobs inside each language's own length regime
+    * (a 400-char doc is normal English, an outlier in a CJK feed).
+    * Same median/MAD machinery as
+    * [[graft.ext.Aggregates.robustAnomalyDays]], but grouped.
+    *
+    * Determinism: medians interpolate exact integer-valued doubles
+    * (both engines' exact-percentile halves agree bit-for-bit), the z
+    * threshold compares identically-computed doubles, and med/MAD are
+    * trunc4'd only on output. Scale shape: exact percentile per group
+    * needs the group's values — computed on the (lang, n_chars)
+    * aggregate? No: percentile runs over per-group rows; Spark's
+    * `percentile` is a sort-based aggregate per group, hash-
+    * partitioned by lang — each group's sort is distributed to its
+    * reducer, no global sort. The doc stream itself is touched twice
+    * (stats pass + flag pass), both scan-pruned to two columns.
+    */
+  def lengthAnomalies(docs: DataFrame, cutoff: Double = 3.5): DataFrame = {
+    import Num.trunc4
+    val base = graft.Tables.spread(docs)
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), col("n_chars").cast("double").as("x"))
+    val med = base.groupBy(col("lang")).agg(expr("percentile(x, 0.5)").as("med"))
+    val mad = base.join(broadcast(med), "lang")
+      .select(col("lang"), abs(col("x") - col("med")).as("dv"))
+      .groupBy(col("lang")).agg(expr("percentile(dv, 0.5)").as("mad"))
+    val z = lit(0.6745) * abs(col("x") - col("med")) / col("mad")
+    base.join(broadcast(med), "lang").join(broadcast(mad), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mad") > 0.0 && z > cutoff, 1L).otherwise(0L))
+          .cast("long").as("n_outliers"),
+        trunc4(max(col("med"))).as("med4"),
+        trunc4(max(col("mad"))).as("mad4"))
+      .orderBy(col("lang"))
+  }
+
   /** PER-GROUP exact equal-frequency binning — [[equalFrequencyBins]]
     * with every window PARTITIONED BY the group column, so each group
     * gets its own k quantile tiers computed against its own

@@ -196,6 +196,41 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Rolling-window active users: DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per observed day — the standard
+    * engagement health panel. Rolling DISTINCT doesn't compose as a
+    * window aggregate, so the window is EXPANDED instead: each
+    * (day, user) pair is fanned out to the 7 trailing-window days it
+    * contributes to, then deduplicated — turning the rolling distinct
+    * into a plain hash aggregate.
+    *
+    * Scale shape: the fan-out is map-side (explode of a 7-element
+    * date sequence), the stream it feeds is the DISTINCT (day, user)
+    * set (already collapsed from raw events by a partial-first
+    * distinct), and everything downstream is hash-partitioned
+    * aggregates — no window state, no sort. Fan-out factor equals the
+    * window length, the price any exact rolling-distinct pays.
+    */
+  def rollingActiveUsers(eventsRaw: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val events = normalizeTs(eventsRaw)
+    val du = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .localCheckpoint(false) // feeds dau, wau fan-out, and the day filter
+    val days = du.select(col("day")).distinct()
+    val wau = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day2"),
+        col("user_id"))
+      .distinct()
+      .join(days.select(col("day").as("day2")), "day2")
+      .groupBy(col("day2").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      .join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        trunc4(col("dau").cast("double") / col("wau").cast("double")).as("stickiness4"))
+      .orderBy(col("day"))
+  }
+
   def dailyFunnel(eventsRaw: DataFrame): DataFrame = {
     val events = normalizeTs(eventsRaw)
     events

@@ -311,6 +311,40 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Conditional entropy H(w2|w1) of the corpus bigram model, in bits
+    * — the sequence-level repetitiveness signal [[bigramModel]]'s
+    * top-k view doesn't give: boilerplate/template corpora have LOW
+    * conditional entropy (each word's successor is predictable) even
+    * when their unigram entropy looks healthy. H = Σ c12·ln(c1/c12) /
+    * N / ln 2 over exact integer counts.
+    *
+    * Scale shape: identical to [[bigramModel]] — per-doc lead window,
+    * two partial-first aggregates, one vocabulary-sized join — plus a
+    * single global scalar reduce. The ln(count ratio) calls are the
+    * libm lean, same policy as tokenEntropy: ≤1-ulp per term, summed
+    * error orders below the trunc4 grid.
+    */
+  def bigramEntropy(docs: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val ln2 = math.log(2.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = graft.Tables.spread(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("w").as("w1"), lead(col("w"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
+    c12.join(c1, "w1")
+      .select(col("c12"),
+        (col("c12").cast("double") *
+          log(col("c1").cast("double") / col("c12").cast("double"))).as("t"))
+      .agg(sum(col("c12")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        trunc4(sum(col("t")) / sum(col("c12")).cast("double") / lit(ln2))
+          .as("cond_entropy_bits"))
+  }
+
   /** Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top-N
     * terms. Natural corpora sit near slope -1; a much flatter slope
     * flags template/boilerplate floods, a much steeper one flags a

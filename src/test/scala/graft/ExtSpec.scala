@@ -1817,6 +1817,43 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Double]("max_rel4") === 0.5)
   }
 
+  test("lengthAnomalies: robust z flags the blob, med/MAD exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", 1L), (2L, "en", 2L), (3L, "en", 3L),
+      (4L, "en", 4L), (5L, "en", 100L)).toDF("doc_id", "lang", "n_chars")
+    val r = Curation.lengthAnomalies(docs).head()
+    // med=3, deviations {2,1,0,1,97} -> mad=1; only 100 crosses 3.5
+    assert(r.getAs[Long]("n_docs") === 5L && r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Double]("med4") === 3.0 && r.getAs[Double]("mad4") === 1.0)
+  }
+
+  test("bigramEntropy: zero for deterministic successors, closed form otherwise") {
+    import spark.implicits._
+    val det = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r1 = TextOps.bigramEntropy(det).head()
+    assert(r1.getAs[Long]("n_bigrams") === 4L && r1.getAs[Long]("n_distinct") === 2L)
+    assert(r1.getAs[Double]("cond_entropy_bits") === 0.0)
+    // "a b a c": successors of a are 50/50 -> H = 2/3 bit
+    val mix = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val r2 = TextOps.bigramEntropy(mix).head()
+    assert(math.abs(r2.getAs[Double]("cond_entropy_bits") - 0.6666) < 1.1e-4)
+  }
+
+  test("rollingActiveUsers: trailing-7d distinct window expansion") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 11:00:00", 2L),
+      (3L, "2024-01-02 10:00:00", 1L), (4L, "2024-01-08 10:00:00", 1L))
+      .toDF("event_id", "ts", "user_id")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"))
+    val r = Events.rollingActiveUsers(events).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, 1.0),   // window = Jan1 only
+      ("2024-01-02", 1L, 2L, 0.5),   // window = Jan1+Jan2 -> users {1,2}
+      ("2024-01-08", 1L, 1L, 1.0)))  // window = Jan2..Jan8 -> user 1
+  }
+
   test("pcaTopTwo: recovers both axes of a 2-variance cloud, orthogonal loadings") {
     import spark.implicits._
     // dim0 variance 4 (+-2), dim1 variance 1 (+-1): PC1=e0, PC2=e1
