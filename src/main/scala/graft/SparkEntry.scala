@@ -565,6 +565,25 @@ object SparkEntry {
     "d_dup_profile" -> ((s, dir) => Dedup.dupProfileBySource(rd(s, dir, "documents"))),
     // step-relative int8 quantization error per label
     "e_quantize_error" -> ((s, dir) => Similarity.quantizeError(rd(s, dir, "embeddings"))),
+    // pairwise Jensen-Shannon divergence between language unigram LMs
+    "d_lang_divergence" -> ((s, dir) => Curation.langDivergence(rd(s, dir, "documents"))),
+    // exact all-pairs cosine distribution profile (n^2 compute rectangle)
+    "e_cos_stats" -> ((s, dir) => Similarity.cosinePairStats(rd(s, dir, "embeddings"))),
+    // per-label train/test centroid drift under the hash split rule
+    "e_split_drift" -> ((s, dir) => Similarity.splitDrift(rd(s, dir, "embeddings"))),
+    // window-function surface: cume_dist + running nth_value
+    "q_window_dist" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("price_c"), col("l_orderkey"), col("l_linenumber"))
+      rd(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .withColumn("cd4", Num.trunc4(cume_dist().over(w)))
+        .withColumn("nth10", nth_value(col("price_c"), 10).over(w))
+        .orderBy(col("l_returnflag"), col("price_c"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
     // per-language robust length outliers (median/MAD modified z)
     "d_length_anomaly" -> ((s, dir) => Curation.lengthAnomalies(rd(s, dir, "documents"))),
     // bigram conditional entropy: sequence-level repetitiveness
@@ -2298,6 +2317,63 @@ SELECT label, COUNT(*) AS n_elems,
   floor(AVG(rel * rel) * 10000) / 10000.0 AS mse_rel4,
   floor(MAX(abs(rel)) * 10000) / 10000.0 AS max_rel4
 FROM r GROUP BY label ORDER BY label""",
+    "d_lang_divergence" ->
+      """WITH tf AS (SELECT lang, w AS term, COUNT(*) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2),
+n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+p AS (SELECT tf.lang, term, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+      FROM tf JOIN n USING (lang)),
+sh AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared,
+  SUM(a.p * ln(2.0 * a.p / (a.p + b.p)) + b.p * ln(2.0 * b.p / (a.p + b.p))) AS core,
+  SUM(a.p) AS sa, SUM(b.p) AS sb
+  FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang
+  GROUP BY 1, 2)
+SELECT lang_a, lang_b, n_shared,
+  floor((core + (1.0 - sa) * ln(2.0) + (1.0 - sb) * ln(2.0)) / 2.0 / ln(2.0) * 10000) / 10000.0 AS js_bits4
+FROM sh ORDER BY lang_a, lang_b""",
+    "e_cos_stats" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM s),
+pr AS (SELECT floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) / 10000.0 AS c4
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE a.nrm > 0 AND b.nrm > 0)
+SELECT COUNT(*) AS n_pairs, floor(AVG(c4) * 10000) / 10000.0 AS mean_cos4,
+  MIN(c4) AS min_cos4, MAX(c4) AS max_cos4,
+  floor(quantile_cont(c4, 0.5) * 10000) / 10000.0 AS med_cos4
+FROM pr""",
+    "e_split_drift" ->
+      """WITH sp AS (SELECT label, embedding::DOUBLE[] AS v,
+  CASE WHEN ((((vec_id % 2147483648) * 2654435761) % 4294967296) * 100) >> 32 < 90 THEN 'train'
+       WHEN ((((vec_id % 2147483648) * 2654435761) % 4294967296) * 100) >> 32 < 95 THEN 'valid'
+       ELSE 'test' END AS split
+  FROM embeddings),
+x AS (SELECT label, split, unnest(v) AS v, generate_subscripts(v, 1) - 1 AS dim
+      FROM sp WHERE split IN ('train', 'test')),
+cent AS (SELECT label, split, dim, floor(AVG(v) * 10000) / 10000.0 AS mu4
+         FROM x GROUP BY 1, 2, 3),
+j AS (SELECT a.label, SUM(a.mu4 * b.mu4) AS ab, SUM(a.mu4 * a.mu4) AS aa,
+             SUM(b.mu4 * b.mu4) AS bb
+      FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+      WHERE a.split = 'train' AND b.split = 'test' GROUP BY 1),
+cnt AS (SELECT label,
+  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM sp WHERE split IN ('train', 'test') GROUP BY 1)
+SELECT cnt.label, n_train, n_test,
+  floor(ab / (sqrt(aa) * sqrt(bb)) * 10000) / 10000.0 AS cos4
+FROM j JOIN cnt ON j.label = cnt.label ORDER BY cnt.label""",
+    "q_window_dist" ->
+      """WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem WHERE l_quantity >= 49)
+SELECT l_returnflag, l_orderkey, l_linenumber, price_c,
+  floor(cume_dist() OVER (PARTITION BY l_returnflag
+    ORDER BY price_c, l_orderkey, l_linenumber) * 10000) / 10000.0 AS cd4,
+  nth_value(price_c, 10) OVER (PARTITION BY l_returnflag
+    ORDER BY price_c, l_orderkey, l_linenumber
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth10
+FROM b
+ORDER BY l_returnflag, price_c, l_orderkey, l_linenumber""",
     "d_length_anomaly" ->
       """WITH base AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents
   WHERE n_chars IS NOT NULL AND lang IS NOT NULL),

@@ -643,6 +643,48 @@ object Curation {
       .orderBy(col("bin"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between language unigram
+    * distributions, in bits — the corpus-mix diagnostic for "are these
+    * two language slices actually distinct distributions" (near-0 =
+    * mislabeled same-language feeds; near-1 = fully disjoint
+    * vocabularies). Computed over SHARED terms plus a closed-form
+    * correction for each side's unshared mass: a term absent from the
+    * other side contributes exactly p·ln2 to its side's KL half, so
+    * JS = ½[ Σ_shared (p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    *         + (1−Σp_shared)·ln2 + (1−Σq_shared)·ln2 ] — no outer
+    * join, no null-handling in the hot path.
+    *
+    * Scale shape: one partial-first (lang, term) count, a vocabulary-
+    * sized self-join on term (|langs| is small, so each posting list
+    * is short), and a |lang-pairs|-row aggregate. Probabilities are
+    * exact-integer ratios (bit-identical inputs both engines); the ln
+    * calls follow the tokenEntropy libm policy, absorbed by trunc4.
+    */
+  def langDivergence(docs: DataFrame): DataFrame = {
+    import Num.trunc4
+    val ln2 = math.log(2.0)
+    val tf = graft.Tables.spread(docs)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    val n = tf.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("n"))
+    val p = tf.join(n, "lang")
+      .select(col("lang"), col("term"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+      .localCheckpoint(false) // both sides of the pair join
+    val a = p.select(col("lang").as("lang_a"), col("term"), col("p").as("pa"))
+    val b = p.select(col("lang").as("lang_b"), col("term"), col("p").as("pb"))
+    a.join(b, Seq("term")).filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+          col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb")))).as("core"),
+        sum(col("pa")).as("sa"), sum(col("pb")).as("sb"))
+      .select(col("lang_a"), col("lang_b"), col("n_shared"),
+        trunc4((col("core") + (lit(1.0) - col("sa")) * lit(ln2) +
+          (lit(1.0) - col("sb")) * lit(ln2)) / lit(2.0) / lit(ln2)).as("js_bits4"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** Per-language robust length-outlier report: modified z-score
     * (0.6745·|x−median|/MAD) on n_chars, counted per language — the
     * pre-tokenization screen that catches truncated fragments and

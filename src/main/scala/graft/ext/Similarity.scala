@@ -555,6 +555,84 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col("label"))
   }
 
+  /** Full pairwise-cosine distribution profile (mean / median / min /
+    * max over ALL n·(n−1)/2 pairs) — the similarity-structure health
+    * check run before choosing near-dup thresholds: a healthy
+    * embedding space has mean pair-cosine near 0; a collapsed encoder
+    * pushes it toward 1. Exact, not sampled — this is the n² "compute
+    * rectangle" shape where a parallel engine earns its keep, and the
+    * per-pair kernel is the codegen'd graft_dot.
+    *
+    * Determinism: each pair's cosine is computed from the identical
+    * sequential-order dot/norm doubles in both engines and trunc4'd
+    * PER PAIR before any aggregation; mean/median aggregate the
+    * snapped grid values (summation-order noise absorbed by the final
+    * trunc4; min/max/median are exact selections).
+    *
+    * Scale note: n² pairs is exact-sweep territory — fine to ~1e5
+    * vectors, beyond which [[topCosinePairs]]' blocked formulation or
+    * LSH prefilters are the path; this op is the CALIBRATION read on
+    * a sample, not the production near-dup join.
+    */
+  def cosinePairStats(embeddings: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
+    val withNorm = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .localCheckpoint(false) // both sides of the pair join
+    withNorm.as("a")
+      .join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(trunc4(call_function("graft_dot", col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm"))).as("c4"))
+      .agg(count(lit(1)).as("n_pairs"),
+        trunc4(avg(col("c4"))).as("mean_cos4"),
+        min(col("c4")).as("min_cos4"),
+        max(col("c4")).as("max_cos4"),
+        trunc4(expr("percentile(c4, 0.5)")).as("med_cos4"))
+  }
+
+  /** Train/test embedding drift per label: cosine between the split
+    * centroids, split assignment by the engine-neutral
+    * [[graft.ext.Curation.splitAssign]] hash rule — the "did my split
+    * accidentally shear a class" check run before training a probe on
+    * frozen embeddings. cos ≈ 1 per label = splits are exchangeable;
+    * a low-cos label has its members unevenly distributed.
+    *
+    * Scale shape: one posexplode feeds a (label, split, dim) partial-
+    * first centroid aggregate (output is labels×2×dims rows — tiny);
+    * the cosine is a dims-row join per label. Centroids trunc4'd
+    * before the cosine so both engines consume identical inputs.
+    */
+  def splitDrift(embeddings: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val sp = graft.ext.Curation.splitAssign(embeddings, "vec_id")
+      .filter(col("split").isin("train", "test"))
+      .select(col("label"), col("split"), col("embedding"))
+      .localCheckpoint(false) // centroid pass + membership counts
+    val x = sp.select(col("label"), col("split"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+    val cent = x.groupBy(col("label"), col("split"), col("dim"))
+      .agg(avg(col("v")).as("mu"))
+      .select(col("label"), col("split"), col("dim"), trunc4(col("mu")).as("mu4"))
+    val tr = cent.filter(col("split") === "train")
+      .select(col("label"), col("dim"), col("mu4").as("a"))
+    val te = cent.filter(col("split") === "test")
+      .select(col("label"), col("dim"), col("mu4").as("b"))
+    val cos = tr.join(te, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(sum(col("a") * col("b")).as("ab"),
+        sum(col("a") * col("a")).as("aa"), sum(col("b") * col("b")).as("bb"))
+    val cnt = sp.groupBy(col("label"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    cnt.join(cos, "label")
+      .select(col("label"), col("n_train"), col("n_test"),
+        trunc4(col("ab") / (sqrt(col("aa")) * sqrt(col("bb")))).as("cos4"))
+      .orderBy(col("label"))
+  }
+
   /** Per-dimension embedding-column health check (whitening prep /
     * drift detection): mean, population stddev, min, max for every
     * dimension. posexplode then ONE partial-first hash aggregate keyed

@@ -1854,6 +1854,43 @@ class ExtSpec extends SparkSpec {
       ("2024-01-08", 1L, 1L, 1.0)))  // window = Jan2..Jan8 -> user 1
   }
 
+  test("langDivergence: identical distributions at 0, half overlap at 0.5 bit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "en"), (2L, "a b", "fr"), // identical unigram dists
+      (3L, "a c", "zz"))                    // half-overlap with both
+      .toDF("doc_id", "text", "lang")
+    val rows = Curation.langDivergence(docs).collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getAs[Double]("js_bits4"))).toMap
+    assert(rows(("en", "fr")) === 0.0)
+    assert(rows(("en", "zz")) === 0.5 && rows(("fr", "zz")) === 0.5)
+  }
+
+  test("cosinePairStats: closed-form stats on an orthogonal triple") {
+    import spark.implicits._
+    val e = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cosinePairStats(e).head()
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("mean_cos4") === 0.3333)
+    assert(r.getAs[Double]("min_cos4") === 0.0 && r.getAs[Double]("max_cos4") === 1.0)
+    assert(r.getAs[Double]("med_cos4") === 0.0)
+  }
+
+  test("splitDrift: identical train/test members give cos 1 per label") {
+    import spark.implicits._
+    def bucket(id: Long): Long = ((id % 2147483648L) * 2654435761L % 4294967296L) * 100 >> 32
+    val ids = (1L to 400L)
+    val train = ids.filter(bucket(_) < 90).take(3)
+    val test = ids.filter(bucket(_) >= 95).take(3)
+    assert(train.length === 3 && test.length === 3, "fixture ids must cover both splits")
+    val e = (train ++ test).map(id => (id, Array(1f, 2f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.splitDrift(e).head()
+    assert(r.getAs[Long]("n_train") === 3L && r.getAs[Long]("n_test") === 3L)
+    // sqrt(5)*sqrt(5) = 5 + 1ulp, so the exact-identity cosine trunc4s to 0.9999
+    assert(r.getAs[Double]("cos4") >= 0.9999)
+  }
+
   test("pcaTopTwo: recovers both axes of a 2-variance cloud, orthogonal loadings") {
     import spark.implicits._
     // dim0 variance 4 (+-2), dim1 variance 1 (+-1): PC1=e0, PC2=e1
