@@ -567,6 +567,19 @@ object SparkEntry {
     "e_quantize_error" -> ((s, dir) => Similarity.quantizeError(rd(s, dir, "embeddings"))),
     // pairwise Jensen-Shannon divergence between language unigram LMs
     "d_lang_divergence" -> ((s, dir) => Curation.langDivergence(rd(s, dir, "documents"))),
+    // hottest 8-gram shingles: the df-cap tuning read for LSH dedup
+    "d_hot_shingles" -> ((s, dir) => Dedup.hotShingles(rd(s, dir, "documents"), 8, 20)),
+    // ordered string aggregation surface: per-nation supplier roster
+    "q_string_agg" -> ((s, dir) =>
+      rd(s, dir, "supplier")
+        .join(rd(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          concat_ws(",", sort_array(collect_list(col("s_name")))).as("roster"))
+        .orderBy(col("n_name"))),
+    // mutual-5NN graph degree histogram over the embeddings
+    "e_knn_graph" -> ((s, dir) => Similarity.mutualKnnDegrees(rd(s, dir, "embeddings"), 5)),
     // exact all-pairs cosine distribution profile (n^2 compute rectangle)
     "e_cos_stats" -> ((s, dir) => Similarity.cosinePairStats(rd(s, dir, "embeddings"))),
     // per-label train/test centroid drift under the hash split rule
@@ -2317,6 +2330,34 @@ SELECT label, COUNT(*) AS n_elems,
   floor(AVG(rel * rel) * 10000) / 10000.0 AS mse_rel4,
   floor(MAX(abs(rel)) * 10000) / 10000.0 AS max_rel4
 FROM r GROUP BY label ORDER BY label""",
+    "d_hot_shingles" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS s
+       FROM l, LATERAL (SELECT unnest(range(1, len(l) - 6)) AS i) t),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT s AS shingle, COUNT(*) AS df,
+  floor(CAST(COUNT(*) AS DOUBLE) / CAST(n_docs AS DOUBLE) * 100 * 10000) / 10000.0 AS df_pct4
+FROM sh CROSS JOIN nd GROUP BY s, n_docs
+ORDER BY df DESC, shingle LIMIT 20""",
+    "q_string_agg" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+  string_agg(s_name, ',' ORDER BY s_name) AS roster
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""",
+    "e_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      WHERE sqrt(list_dot_product(v, v)) > 0),
+p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) / 10000.0 AS c4
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY c4 DESC, dst) AS rk
+      FROM p),
+knn AS (SELECT src, dst FROM r WHERE rk <= 5),
+m AS (SELECT x.src, x.dst FROM knn x JOIN knn y ON y.src = x.dst AND y.dst = x.src),
+deg AS (SELECT src AS vec_id, COUNT(*) AS deg FROM m GROUP BY 1)
+SELECT COALESCE(deg, 0) AS deg, COUNT(*) AS n_vecs
+FROM n LEFT JOIN deg USING (vec_id) GROUP BY 1 ORDER BY 1""",
     "d_lang_divergence" ->
       """WITH tf AS (SELECT lang, w AS term, COUNT(*) AS c
   FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2),

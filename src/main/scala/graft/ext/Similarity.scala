@@ -633,6 +633,50 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col("label"))
   }
 
+  /** Mutual-kNN graph degree histogram: for each vector its top-k
+    * cosine neighbors, kept only where the edge is RECIPROCAL, then
+    * the distribution of mutual degrees (0..k) — the standard
+    * manifold-health read (hubness/isolation) run before trusting
+    * kNN-based label propagation or dedup clustering: a healthy
+    * manifold concentrates mass at mid degrees; heavy degree-0 means
+    * noise points, heavy degree-k with high hub counts means a
+    * collapsed space.
+    *
+    * Determinism: per-pair cosines are trunc4-snapped BEFORE ranking
+    * and ties break on neighbor id, so both engines pick identical
+    * neighbor sets. Scale note: the exact n² sweep is the calibration
+    * form; at corpus scale the pair stream comes from [[ivfTopK]]/LSH
+    * candidates instead — the mutual-join + histogram tail of the
+    * plan is unchanged.
+    */
+  def mutualKnnDegrees(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import graft.ext.Num.trunc4
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
+    val v = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .localCheckpoint(false) // pair sweep both sides + degree-0 base
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("c4").desc, col("dst"))
+    val knn = v.as("a")
+      .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        trunc4(call_function("graft_dot", col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("c4"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(false) // self-joined for reciprocity
+    val mutual = knn.join(
+      knn.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"))
+    val deg = mutual.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("deg"))
+    v.select(col("vec_id")).join(deg, Seq("vec_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("deg"))
+  }
+
   /** Per-dimension embedding-column health check (whitening prep /
     * drift detection): mean, population stddev, min, max for every
     * dimension. posexplode then ONE partial-first hash aggregate keyed

@@ -1891,6 +1891,29 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Double]("cos4") >= 0.9999)
   }
 
+  test("hotShingles: duplicate boilerplate tops the df ranking") {
+    import spark.implicits._
+    val boiler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, boiler + " tailA"), (2L, boiler + " tailB"), (3L, "x1 x2 x3")) // 3rd: too short
+      .toDF("doc_id", "text")
+    val r = Dedup.hotShingles(docs, 8, 5).collect()
+    assert(r.head.getAs[String]("shingle") === boiler)
+    assert(r.head.getAs[Long]("df") === 2L)
+    assert(math.abs(r.head.getAs[Double]("df_pct4") - 66.6666) < 1e-9)
+  }
+
+  test("mutualKnnDegrees: reciprocal pairs all land at degree 1 for k=1") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.01f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.01f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mutualKnnDegrees(e, 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("deg") === 1L && r.head.getAs[Long]("n_vecs") === 4L)
+  }
+
   test("pcaTopTwo: recovers both axes of a 2-variance cloud, orthogonal loadings") {
     import spark.implicits._
     // dim0 variance 4 (+-2), dim1 variance 1 (+-1): PC1=e0, PC2=e1
