@@ -569,6 +569,12 @@ object SparkEntry {
     "d_lang_divergence" -> ((s, dir) => Curation.langDivergence(rd(s, dir, "documents"))),
     // hottest 8-gram shingles: the df-cap tuning read for LSH dedup
     "d_hot_shingles" -> ((s, dir) => Dedup.hotShingles(rd(s, dir, "documents"), 8, 20)),
+    // CCNet-style bigram-LM log-loss histogram (corpus as its own LM)
+    "d_doc_logloss" -> ((s, dir) => TextOps.docLogLoss(rd(s, dir, "documents"))),
+    // re-chunking seams: suffix-of-A == prefix-of-B joins
+    "d_prefix_suffix" -> ((s, dir) => Dedup.prefixSuffixOverlap(rd(s, dir, "documents"), 8, 50)),
+    // per-user lifetime/rate panel
+    "q_user_span" -> ((s, dir) => Events.userActivitySpan(rd(s, dir, "events"))),
     // ordered string aggregation surface: per-nation supplier roster
     "q_string_agg" -> ((s, dir) =>
       rd(s, dir, "supplier")
@@ -2330,6 +2336,43 @@ SELECT label, COUNT(*) AS n_elems,
   floor(AVG(rel * rel) * 10000) / 10000.0 AS mse_rel4,
   floor(MAX(abs(rel)) * 10000) / 10000.0 AS max_rel4
 FROM r GROUP BY label ORDER BY label""",
+    "d_doc_logloss" ->
+      """WITH toks AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+bg AS (SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+       FROM toks),
+bgn AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgn GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM c12),
+lm AS (SELECT w1, w2,
+  -ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) / ln(2.0) AS bits
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+pd AS (SELECT doc_id, SUM(bits) / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+       FROM bgn JOIN lm USING (w1, w2) GROUP BY 1)
+SELECT CAST(floor(mean_bits * 2.0) AS BIGINT) AS bucket, COUNT(*) AS n_docs
+FROM pd GROUP BY 1 ORDER BY 1""",
+    "d_prefix_suffix" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 8),
+b AS (SELECT doc_id, array_to_string(l[1:8], ' ') AS prefix,
+             array_to_string(l[-8:], ' ') AS suffix FROM l),
+u AS (
+  SELECT a.doc_id AS doc_a, p.doc_id AS doc_b, 'seam' AS match_type
+  FROM b a JOIN b p ON a.suffix = p.prefix AND a.doc_id <> p.doc_id
+  UNION ALL
+  SELECT a.doc_id AS doc_a, p.doc_id AS doc_b, 'head' AS match_type
+  FROM b a JOIN b p ON a.prefix = p.prefix AND a.doc_id < p.doc_id)
+SELECT doc_a, doc_b, match_type FROM u
+ORDER BY match_type, doc_a, doc_b LIMIT 50""",
+    "q_user_span" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+  MIN(epoch_us(ts) // 1000000) AS first_s, MAX(epoch_us(ts) // 1000000) AS last_s,
+  (MAX(epoch_us(ts) // 1000000) // 86400) - (MIN(epoch_us(ts) // 1000000) // 86400) + 1 AS span_days,
+  floor(CAST(COUNT(*) AS DOUBLE) /
+    CAST((MAX(epoch_us(ts) // 1000000) // 86400) - (MIN(epoch_us(ts) // 1000000) // 86400) + 1 AS DOUBLE)
+    * 10000) / 10000.0 AS rate4
+FROM events GROUP BY user_id ORDER BY user_id""",
     "d_hot_shingles" ->
       """WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS s

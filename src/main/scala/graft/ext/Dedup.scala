@@ -79,6 +79,43 @@ object Dedup {
       .limit(k)
   }
 
+  /** Boundary-gram pair detection, two signatures in one pass:
+    * 'seam' — A's LAST n tokens equal B's FIRST n (one logical
+    * document split across records, the seam overlapping — re-chunked
+    * or sharded crawls); 'head' — A and B share their FIRST n tokens
+    * (re-scrapes of the same page with divergent tails, template
+    * families). Neither Jaccard nor containment flags a seam reliably
+    * (the overlap can be a tiny fraction of both docs); the boundary
+    * join does, exactly.
+    *
+    * Scale shape: one map-side pass computes a single prefix + suffix
+    * gram per doc (no shingle explosion); both joins key on that gram
+    * — posting lists are boilerplate-bounded, at most one pair per
+    * (a, b, type) by construction.
+    */
+  def prefixSuffixOverlap(docs: DataFrame, n: Int = 8, k: Int = 50): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = graft.Tables.spread(docs)
+      .filter(size(toks) >= n)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(toks, 1, n)).as("prefix"),
+        concat_ws(" ", slice(toks, -n, n)).as("suffix"))
+      .localCheckpoint(false) // all four join sides
+    val pre = (side: String) =>
+      base.select(col("doc_id").as(side), col("prefix").as("gram"))
+    val seams = base.select(col("doc_id").as("doc_a"), col("suffix").as("gram"))
+      .join(pre("doc_b"), "gram")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit("seam").as("match_type"))
+    val heads = pre("doc_a")
+      .join(pre("doc_b"), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit("head").as("match_type"))
+    seams.union(heads)
+      .orderBy(col("match_type"), col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
   /** Distinct word n-gram shingles per document: (doc_id, s). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextOps.tokens(col("text"))

@@ -231,6 +231,28 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Per-user activity span profile: event count, first/last epoch
+    * second, inclusive span in days, and events-per-active-day rate —
+    * the user-lifetime panel feeding churn features and bot screens
+    * (thousands of events over a one-day span is automation).
+    * One partial-first aggregate keyed by user; min/max/count all
+    * combine associatively, so the pass is a single shuffle of partial
+    * tuples regardless of event volume.
+    */
+  def userActivitySpan(eventsRaw: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val e = normalizeTs(eventsRaw)
+    e.select(col("user_id"), expr("unix_micros(ts) div 1000000").as("s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("s")).as("first_s"), max(col("s")).as("last_s"))
+      .withColumn("span_days",
+        expr("(last_s div 86400) - (first_s div 86400) + 1"))
+      .withColumn("rate4",
+        trunc4(col("n_events").cast("double") / col("span_days").cast("double")))
+      .orderBy(col("user_id"))
+  }
+
   def dailyFunnel(eventsRaw: DataFrame): DataFrame = {
     val events = normalizeTs(eventsRaw)
     events

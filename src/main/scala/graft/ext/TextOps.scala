@@ -345,6 +345,49 @@ object TextOps {
           .as("cond_entropy_bits"))
   }
 
+  /** Per-document bigram log-loss histogram — the CCNet-style
+    * perplexity quality filter, with the corpus itself as the LM:
+    * score every document by its mean −log₂ P(w2|w1) under the
+    * corpus bigram model (add-one smoothed against the unigram
+    * continuation so unseen pairs stay finite), then bucket into
+    * 0.5-bit bins. Documents far above the corpus mode are
+    * out-of-distribution (mojibake, foreign text, tables); far below
+    * are degenerate repetition — both tails get cut in a real
+    * pipeline, and this histogram is where the thresholds come from.
+    *
+    * Scale shape: the doc-side bigram stream joins the (w1,w2) count
+    * table (vocabulary-sized, data-dependent — AQE broadcasts when
+    * small) and aggregates per doc; one more partial-first aggregate
+    * builds the histogram. Probabilities are exact integer ratios
+    * (smoothed: (c12+1)/(c1+V)); the ln is the usual ≤1-ulp libm lean
+    * and the bucket edge sits 1e-13 of noise away from a 0.5-wide
+    * boundary — absorbed.
+    */
+  def docLogLoss(docs: DataFrame): DataFrame = {
+    val ln2 = math.log(2.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = graft.Tables.spread(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("w").as("w1"), lead(col("w"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .localCheckpoint(false) // feeds the LM build AND the scoring join
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
+    val vocab = c12.agg(countDistinct(col("w2")).as("v"))
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        (-log((col("c12") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")) / lit(ln2)).as("bits"))
+    val perDoc = bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("bits")) / count(lit(1)).cast("double")).as("mean_bits"))
+    perDoc
+      .select(floor(col("mean_bits") * 2.0).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))
+  }
+
   /** Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top-N
     * terms. Natural corpora sit near slope -1; a much flatter slope
     * flags template/boilerplate floods, a much steeper one flags a

@@ -1914,6 +1914,42 @@ class ExtSpec extends SparkSpec {
     assert(r.head.getAs[Long]("deg") === 1L && r.head.getAs[Long]("n_vecs") === 4L)
   }
 
+  test("docLogLoss: closed-form smoothed bigram bits on a single doc") {
+    import spark.implicits._
+    // "a b a b": P(b|a)=(2+1)/(2+2), P(a|b)=(1+1)/(1+2)
+    // mean bits = (2*log2(4/3) + log2(3/2)) / 3 = 0.47168 -> bucket 0
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = TextOps.docLogLoss(docs).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("bucket") === 0L && r.head.getAs[Long]("n_docs") === 1L)
+  }
+
+  test("prefixSuffixOverlap: seam and head signatures both detected") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"t$i").mkString(" ")
+    val seamGram = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " tailX"), (2L, run + " tailY"),   // shared head
+      (3L, "z " + seamGram),                        // suffix = seamGram
+      (4L, seamGram + " q"))                        // prefix = seamGram
+      .toDF("doc_id", "text")
+    val r = Dedup.prefixSuffixOverlap(docs, 8, 50).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSet === Set((1L, 2L, "head"), (3L, 4L, "seam")))
+  }
+
+  test("userActivitySpan: span and rate from epoch-day arithmetic") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 23:59:00", 7L), (2L, "2024-01-02 00:01:00", 7L))
+      .toDF("event_id", "ts", "user_id")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("user_id"))
+    val r = Events.userActivitySpan(events).head()
+    assert(r.getAs[Long]("n_events") === 2L)
+    assert(r.getAs[Long]("span_days") === 2L)
+    assert(r.getAs[Double]("rate4") === 1.0)
+  }
+
   test("pcaTopTwo: recovers both axes of a 2-variance cloud, orthogonal loadings") {
     import spark.implicits._
     // dim0 variance 4 (+-2), dim1 variance 1 (+-1): PC1=e0, PC2=e1
