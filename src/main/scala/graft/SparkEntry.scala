@@ -571,6 +571,13 @@ object SparkEntry {
     "d_hot_shingles" -> ((s, dir) => Dedup.hotShingles(rd(s, dir, "documents"), 8, 20)),
     // CCNet-style bigram-LM log-loss histogram (corpus as its own LM)
     "d_doc_logloss" -> ((s, dir) => TextOps.docLogLoss(rd(s, dir, "documents"))),
+    // lang-ID heuristic vs labels: confusion matrix
+    "d_langid_eval" -> ((s, dir) => TextOps.langIdEval(rd(s, dir, "documents"))),
+    // repeat-purchase cadence percentiles per market segment
+    "q_reorder_gap" -> ((s, dir) =>
+      Aggregates.reorderGaps(rd(s, dir, "orders"), rd(s, dir, "customer"))),
+    // STL-lite: trailing-MA detrend + day-of-week seasonal profile
+    "q_stl_lite" -> ((s, dir) => Aggregates.seasonalDecompose(rd(s, dir, "orders"))),
     // re-chunking seams: suffix-of-A == prefix-of-B joins
     "d_prefix_suffix" -> ((s, dir) => Dedup.prefixSuffixOverlap(rd(s, dir, "documents"), 8, 50)),
     // per-user lifetime/rate panel
@@ -1125,6 +1132,12 @@ v$t AS (SELECT dim, w / nrm AS v FROM w$t CROSS JOIN n$t)"""
 m$t AS (SELECT sqrt(SUM(w * w)) AS nrm FROM x$t),
 u$t AS (SELECT dim, w / nrm AS v FROM x$t CROSS JOIN m$t)"""
       }.mkString(",\n")
+      // covfull/p1/defl are MATERIALIZED: DuckDB inlines plain CTEs per
+      // reference, and the deflation phase references the whole first
+      // phase from every iteration — un-hinted, the covariance pass
+      // re-evaluates exponentially (observed: minutes at sf0.1 vs
+      // seconds materialized). Spark's localCheckpoint is the same fix
+      // on the engine side.
       s"""WITH ce AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ca AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS i FROM ce),
 cb AS (SELECT vec_id, unnest(v) AS y, generate_subscripts(v, 1) - 1 AS j FROM ce),
@@ -1133,13 +1146,13 @@ cm AS (SELECT i, AVG(x) AS mu FROM ca GROUP BY 1),
 cx AS (SELECT cp.i, cp.j, AVG(cp.p) AS exixj FROM cp GROUP BY 1, 2),
 cov AS (SELECT cx.i, cx.j, floor((exixj - mi.mu * mj.mu) * 10000) / 10000.0 AS c
         FROM cx JOIN cm mi ON cx.i = mi.i JOIN cm mj ON cx.j = mj.i),
-covfull AS (SELECT i, j, c FROM cov
+covfull AS MATERIALIZED (SELECT i, j, c FROM cov
             UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j),
 v0 AS (SELECT DISTINCT i AS dim, 1.0 AS v FROM covfull),
 $r1,
-p1 AS (SELECT dim, floor(v * 10000) / 10000.0 AS v1 FROM v3),
+p1 AS MATERIALIZED (SELECT dim, floor(v * 10000) / 10000.0 AS v1 FROM v3),
 e1 AS (SELECT floor(nrm * 10000) / 10000.0 AS ev FROM n3),
-defl AS (SELECT f.i, f.j, f.c - e1.ev * a.v1 * b.v1 AS c
+defl AS MATERIALIZED (SELECT f.i, f.j, f.c - e1.ev * a.v1 * b.v1 AS c
          FROM covfull f JOIN p1 a ON f.i = a.dim JOIN p1 b ON f.j = b.dim CROSS JOIN e1),
 u0 AS (SELECT DISTINCT i AS dim, 1.0 AS v FROM defl),
 $r2
@@ -2336,6 +2349,46 @@ SELECT label, COUNT(*) AS n_elems,
   floor(AVG(rel * rel) * 10000) / 10000.0 AS mse_rel4,
   floor(MAX(abs(rel)) * 10000) / 10000.0 AS max_rel4
 FROM r GROUP BY label ORDER BY label""",
+    "d_langid_eval" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+  ${hitsSql(enStop)} AS en_hits, ${hitsSql(esStop)} AS es_hits,
+  ${hitsSql(deStop)} AS de_hits, ${hitsSql(frStop)} AS fr_hits
+FROM documents),
+p AS (SELECT lang,
+  CASE WHEN en_hits IS NULL THEN 'unknown'
+       WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'unknown'
+       WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+       WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+       WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+  FROM h)
+SELECT lang, lang_pred, COUNT(*) AS n
+FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_reorder_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+  CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d FROM orders),
+g AS (SELECT o_custkey,
+  CAST(d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS DOUBLE) AS gap
+  FROM o),
+gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, COUNT(*) AS n_gaps,
+  floor(quantile_cont(gap, 0.5) * 10000) / 10000.0 AS med_gap4,
+  floor(quantile_cont(gap, 0.9) * 10000) / 10000.0 AS p90_gap4
+FROM gg JOIN customer ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY 1""",
+    "q_stl_lite" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS x
+  FROM orders GROUP BY 1),
+m AS (SELECT day, x,
+  ROW_NUMBER() OVER (ORDER BY day) AS rn,
+  AVG(x) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma
+  FROM daily),
+d AS (SELECT (day - DATE '1970-01-01') % 7 AS dow, x - ma AS det FROM m WHERE rn >= 7)
+SELECT CAST(dow AS BIGINT) AS dow, COUNT(*) AS n_days,
+  floor(AVG(det) * 10000) / 10000.0 AS seasonal4,
+  floor(stddev_pop(det) * 10000) / 10000.0 AS resid_sd4
+FROM d GROUP BY 1 ORDER BY 1""",
     "d_doc_logloss" ->
       """WITH toks AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),

@@ -557,6 +557,73 @@ object Aggregates {
       .orderBy(col("k"))
   }
 
+  /** Repeat-purchase cadence per market segment: exact median and p90
+    * of the day-gaps between a customer's consecutive orders — the
+    * replenishment-cycle read behind inventory planning and
+    * "customer overdue" churn triggers. Day indices are integer
+    * days-since-epoch (engine-neutral), gaps come from a per-customer
+    * lag window (hash-partitioned by customer, no global sort), and
+    * the percentiles interpolate exact integer-valued doubles.
+    * Null segments are normalized to 'UNKNOWN' (Spark and DuckDB
+    * disagree on NULL sort order; names don't).
+    */
+  def reorderGaps(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import Num.trunc4
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"))
+      .withColumn("prev_d", lag(col("d"), 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .select(col("o_custkey"), (col("d") - col("prev_d")).cast("double").as("gap"))
+    gaps
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment")), "o_custkey")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        trunc4(expr("percentile(gap, 0.5)")).as("med_gap4"),
+        trunc4(expr("percentile(gap, 0.9)")).as("p90_gap4"))
+      .orderBy(col("segment"))
+  }
+
+  /** Additive seasonal decomposition (STL-lite) of daily revenue:
+    * detrend by a trailing 7-day moving average (full windows only),
+    * then per-day-of-week mean of the detrended series = the seasonal
+    * component, and the within-dow spread = the residual scale. The
+    * day-of-week is (days-since-epoch mod 7) — pure integer
+    * arithmetic, immune to the engines' dayofweek numbering mismatch
+    * (Spark 1=Sun..7, DuckDB 0=Sun..6).
+    *
+    * Scale shape: everything after the first partial-first daily
+    * aggregate runs on the |days| frame. Trailing (not centered) MA
+    * keeps the op streaming/incremental-friendly. The sliding-window
+    * mean may accumulate in different orders across engines (segment
+    * trees vs running sums) — the ~1e-16-relative noise that admits is
+    * far under the trunc4 grid at these magnitudes.
+    */
+  def seasonalDecompose(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+      .select(col("day"), (col("cents").cast("double") / 100.0).as("x"))
+    val wRn = Window.orderBy(col("day"))
+    val wMa = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("ma", avg(col("x")).over(wMa))
+      .filter(col("rn") >= 7)
+      .select(
+        pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long").as("dow"),
+        (col("x") - col("ma")).as("det"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        trunc4(avg(col("det"))).as("seasonal4"),
+        trunc4(stddev_pop(col("det"))).as("resid_sd4"))
+      .orderBy(col("dow"))
+  }
+
   /** Monthly COHORT RETENTION matrix: customers grouped by their
     * first-order month (the cohort), counted as active in each
     * month-offset since — the standard retention triangle. Months are

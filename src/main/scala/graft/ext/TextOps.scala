@@ -345,6 +345,21 @@ object TextOps {
           .as("cond_entropy_bits"))
   }
 
+  /** Lang-ID confusion matrix: the [[langId]] heuristic's prediction
+    * against the labeled lang column — the quality eval every
+    * classifier-based router needs before its output is trusted for
+    * corpus partitioning. Rows are (actual, predicted, n); diagonal
+    * mass = accuracy, off-diagonal rows name the confusable pairs,
+    * 'unknown' rows measure the heuristic's abstention rate.
+    * Scale: the classify pass is the langId map-side kernel; the
+    * matrix is one partial-first aggregate over |langs|² keys.
+    */
+  def langIdEval(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
   /** Per-document bigram log-loss histogram — the CCNet-style
     * perplexity quality filter, with the corpus itself as the LM:
     * score every document by its mean −log₂ P(w2|w1) under the

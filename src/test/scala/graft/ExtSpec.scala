@@ -1950,6 +1950,44 @@ class ExtSpec extends SparkSpec {
     assert(r.getAs[Double]("rate4") === 1.0)
   }
 
+  test("langIdEval: confusion matrix counts every doc once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the of and to in is", "en"),  // clear en -> diagonal
+      (2L, "el la de que y los", "en"),   // es-looking labeled en -> off-diagonal
+      (3L, "zz yy xx", "de"))             // no stopword hits -> unknown
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.langIdEval(docs).collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    assert(r === Map(("en", "en") -> 1L, ("en", "es") -> 1L, ("de", "unknown") -> 1L))
+  }
+
+  test("reorderGaps: interpolated percentiles of integer day gaps") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 101L, "1970-01-01"), (2L, 101L, "1970-01-11"), (3L, 101L, "1970-01-31"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+    val customer = Seq((101L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+    val r = Aggregates.reorderGaps(orders, customer).head()
+    assert(r.getAs[String]("segment") === "BUILDING")
+    assert(r.getAs[Long]("n_gaps") === 2L)
+    assert(r.getAs[Double]("med_gap4") === 15.0) // gaps {10, 20}
+    assert(r.getAs[Double]("p90_gap4") === 19.0) // 10 + 0.9*(20-10)
+  }
+
+  test("seasonalDecompose: constant series has zero seasonal and residual") {
+    import spark.implicits._
+    val orders = (1 to 14).map(d => (f"2024-01-$d%02d", 100.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.seasonalDecompose(orders).collect()
+    assert(r.map(_.getAs[Long]("n_days")).sum === 8L) // days 7..14 survive the full-window filter
+    assert(r.forall(_.getAs[Double]("seasonal4") === 0.0))
+    assert(r.forall(_.getAs[Double]("resid_sd4") === 0.0))
+  }
+
   test("pcaTopTwo: recovers both axes of a 2-variance cloud, orthogonal loadings") {
     import spark.implicits._
     // dim0 variance 4 (+-2), dim1 variance 1 (+-1): PC1=e0, PC2=e1
