@@ -362,4 +362,52 @@ class PropSpec extends SparkSpec {
       assert(row.getAs[Long]("n_edges") === edges.length.toLong)
     }
   }
+
+  test("prop: paretoFrontier equals the brute-force dominance filter, layout-invariant") {
+    import spark.implicits._
+    val rowG = for {
+      g <- Gen.oneOf("g1", "g2")
+      c <- Gen.chooseNum(0L, 6L)
+      v <- Gen.chooseNum(0L, 6L)
+    } yield (g, c, v)
+    cases(Gen.chooseNum(1, 18).flatMap(Gen.listOfN(_, rowG))) { rows =>
+      val base = rows.toDF("grp", "cost", "gain")
+      def key(r: Row) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val got = ext.Aggregates.paretoFrontier(base, "grp", "cost", "gain")
+        .collect().map(key).sorted.toSeq
+      // brute force: p survives iff no q in its group dominates it
+      val brute = rows.filter { case (g, c, v) =>
+        !rows.exists { case (g2, c2, v2) =>
+          g2 == g && (c2 <= c && v2 >= v) && (c2 < c || v2 > v)
+        }
+      }.map { case (g, c, v) => (g, c, v) }.sorted
+      assert(got === brute)
+      val shuffled = ext.Aggregates.paretoFrontier(
+        base.repartition(7).orderBy(col("gain")), "grp", "cost", "gain")
+        .collect().map(key).sorted.toSeq
+      assert(shuffled === got)
+    }
+  }
+
+  test("prop: equalFrequencyBinsByGroup matches the global op applied per group") {
+    import spark.implicits._
+    val rowG = for {
+      g <- Gen.oneOf("x", "y", "z")
+      v <- Gen.chooseNum(1L, 20L)
+    } yield (g, v)
+    cases(Gen.chooseNum(2, 40).flatMap(Gen.listOfN(_, rowG))) { rows =>
+      val base = rows.toDF("g", "v")
+      val got = ext.Curation.equalFrequencyBinsByGroup(base, "v", "g", 4)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).sorted.toSeq
+      val expected = rows.map(_._1).distinct.sorted.flatMap { g =>
+        val sub = rows.filter(_._1 == g).map(t => Tuple1(t._2)).toDF("v")
+        ext.Curation.equalFrequencyBins(sub, "v", 4).collect()
+          .map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+      }.sorted.toSeq
+      assert(got === expected)
+    }
+  }
 }
