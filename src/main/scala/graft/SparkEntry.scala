@@ -414,6 +414,12 @@ object SparkEntry {
         rd(s, dir, "orders"))),
     "q_tpch_q22" -> ((s, dir) =>
       Tpch.q22DormantCustomers(rd(s, dir, "customer"), rd(s, dir, "orders"))),
+    "q_tpch_q2" -> ((s, dir) =>
+      Tpch.q2MinCostSupplier(rd(s, dir, "part"), rd(s, dir, "supplier"),
+        rd(s, dir, "nation"), rd(s, dir, "region"))),
+    "q_tpch_q11" -> ((s, dir) =>
+      Tpch.q11ImportantStock(rd(s, dir, "part"), rd(s, dir, "supplier"),
+        rd(s, dir, "nation"))),
     // bloom-pruned semi join: lineitems of high-value orders — the
     // manual runtime-filter shape; result is EXACT (verify join covers
     // the bloom's false positives)
@@ -1726,6 +1732,48 @@ WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
   AND NOT EXISTS (SELECT 1 FROM orders
     WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY cntrycode ORDER BY cntrycode""",
+    "q_tpch_q2" ->
+      """WITH scnt AS (SELECT count(*) AS s_cnt FROM supplier),
+ps AS (
+  SELECT p_partkey AS ps_partkey,
+    (p_partkey + p_partkey // s_cnt + i * (s_cnt // 4)) % s_cnt AS ps_suppkey,
+    (p_partkey * 31 + ((p_partkey + p_partkey // s_cnt + i * (s_cnt // 4)) % s_cnt) * 17) % 99900 + 100 AS cost_cents
+  FROM part CROSS JOIN scnt CROSS JOIN (VALUES (0),(1),(2),(3)) AS gen(i)),
+sr AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cand AS (
+  SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand,
+    cost_cents,
+    MIN(cost_cents) OVER (PARTITION BY ps_partkey) AS min_cents
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey AND p_size = 15 AND p_type = 'LARGE'
+  JOIN sr ON ps_suppkey = s_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+  CAST(cost_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS ps_supplycost
+FROM cand WHERE cost_cents = min_cents
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q_tpch_q11" ->
+      """WITH scnt AS (SELECT count(*) AS s_cnt FROM supplier),
+ps AS (
+  SELECT p_partkey AS ps_partkey,
+    (p_partkey + p_partkey // s_cnt + i * (s_cnt // 4)) % s_cnt AS ps_suppkey,
+    (p_partkey * 37 + ((p_partkey + p_partkey // s_cnt + i * (s_cnt // 4)) % s_cnt) * 11) % 9999 + 1 AS ps_availqty,
+    (p_partkey * 31 + ((p_partkey + p_partkey // s_cnt + i * (s_cnt // 4)) % s_cnt) * 17) % 99900 + 100 AS cost_cents
+  FROM part CROSS JOIN scnt CROSS JOIN (VALUES (0),(1),(2),(3)) AS gen(i)),
+byp AS (
+  SELECT ps_partkey, CAST(SUM(cost_cents * ps_availqty) AS BIGINT) AS part_cents
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+  GROUP BY ps_partkey),
+tot AS (SELECT CAST(SUM(part_cents) AS BIGINT) AS total_cents FROM byp)
+SELECT ps_partkey, CAST(part_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS value
+FROM byp CROSS JOIN tot
+WHERE part_cents * 1000 > total_cents * 1
+ORDER BY value DESC, ps_partkey""",
     "q_bloom_join" ->
       """SELECT l_returnflag, COUNT(*) AS n,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty

@@ -130,6 +130,120 @@ object Tpch {
       .orderBy(col("o_year"))
   }
 
+  /** Deterministic `partsupp` derivation — the fixture ships no partsupp
+    * table, so Q2/Q11 derive one from the published dbgen assignment
+    * pattern (TPC-H spec v3 §4.2.3, adapted to the fixture's 0-based
+    * keys): each part gets 4 suppliers spread across the key space,
+    *   ps_suppkey = (p + p div S + i * (S div 4)) mod S,  i in 0..3
+    * where S = |supplier|. The four offsets i*(S div 4) are distinct
+    * mod S for any S >= 4 (each is < S and nonzero differences stay
+    * in (0, S)), so the (partkey, suppkey) key is a true PK at every
+    * SF — dbgen's own stride `S/4 + p/S` collides when |part| >= S^2/4,
+    * which tiny test fixtures hit. The `p div S` rotation keeps parts
+    * that share p mod S from pinning the same 4 suppliers.
+    * Cost and availqty come from engine-neutral
+    * integer arithmetic so the DuckDB oracle re-derives the identical
+    * table rather than trusting a side-channel file:
+    *   cost_cents  = (p*31 + s*17) mod 99900 + 100      (1.00..999.99)
+    *   ps_availqty = (p*37 + s*11) mod 9999 + 1
+    * `cost_cents` stays a LONG so downstream sums are exact integers
+    * (no double accumulation); `ps_supplycost` is cents/100.0 — one IEEE
+    * divide, bit-equal in both engines.
+    *
+    * Scale shape: the derivation is map-side — part scan cross-joined to
+    * the 1-row supplier count and exploded 4x; partsupp is 4|part| rows
+    * that exist only inside the plan, never materialized. At any SF it
+    * inherits part's partitioning, so the per-part min/sum below shuffle
+    * 4 small rows per part, not the fact table.
+    */
+  def derivedPartsupp(part: DataFrame, supplier: DataFrame): DataFrame = {
+    val sCount = supplier.agg(count(lit(1)).cast("long").as("s_cnt"))
+    part.select(col("p_partkey").cast("long").as("ps_partkey"))
+      .crossJoin(broadcast(sCount))
+      .select(col("ps_partkey"), col("s_cnt"),
+        explode(array(lit(0L), lit(1L), lit(2L), lit(3L))).as("i"))
+      .select(col("ps_partkey"),
+        ((col("ps_partkey") + expr("ps_partkey div s_cnt") +
+          col("i") * expr("s_cnt div 4")) % col("s_cnt"))
+          .as("ps_suppkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        ((col("ps_partkey") * 37 + col("ps_suppkey") * 11) % 9999 + 1)
+          .as("ps_availqty"),
+        ((col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 99900 + 100)
+          .as("cost_cents"))
+  }
+
+  /** Q2 "minimum cost supplier": for parts of one size and type, the
+    * region's suppliers offering the part at that part's minimum
+    * region-wide cost. The correlated-subquery min becomes a window
+    * min over ps_partkey — one shuffle of the (region-pruned, 4-rows-
+    * per-part) partsupp slice, no second join back. Supplier, nation
+    * and region are broadcast (bounded catalogs); part is pruned by the
+    * size/type predicate before its join. The fixture has no p_mfgr /
+    * s_address / s_phone / s_comment, so the output keeps the spec's
+    * remaining columns with p_brand standing in for p_mfgr. The sort
+    * key set (acctbal desc, nation, supplier, part) is a total order —
+    * a supplier supplies a part at most once — so the LIMIT boundary is
+    * deterministic.
+    */
+  def q2MinCostSupplier(
+      part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, size: Int = 15, typeName: String = "LARGE",
+      regionName: String = "EUROPE", k: Int = 100): DataFrame = {
+    val suppRegion = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = part.filter(col("p_size") === size && col("p_type") === typeName)
+      .select(col("p_partkey").cast("long").as("p_key"), col("p_brand"))
+    val w = Window.partitionBy(col("ps_partkey"))
+    derivedPartsupp(part, supplier)
+      .join(broadcast(p), col("ps_partkey") === col("p_key"))
+      .join(broadcast(suppRegion), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cents", min(col("cost_cents")).over(w))
+      .filter(col("cost_cents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey").as("p_partkey"), col("p_brand"),
+        (col("cost_cents") / 100.0).as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(k)
+  }
+
+  /** Q11 "important stock identification": per-part stock value
+    * (supplycost x availqty summed over one nation's suppliers) for
+    * parts holding more than `fraction` of that nation's total. All
+    * value arithmetic is exact integer cents (cost_cents x availqty
+    * sums in LONG — max ~8e13, well inside 64 bits), so the HAVING
+    * threshold is the exact integer compare
+    * `part_cents * denom > total_cents * num` with fraction = num/denom
+    * — no double rounding at the cut. The grand total is a 1-row
+    * aggregate broadcast-cross-joined back (no driver collect); the
+    * per-part aggregate is partial-first on the map-side-derived
+    * partsupp.
+    */
+  def q11ImportantStock(
+      part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationName: String = "NATION_3",
+      fracNum: Int = 1, fracDenom: Int = 1000): DataFrame = {
+    val supp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val ps = derivedPartsupp(part, supplier)
+      .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"), (col("cost_cents") * col("ps_availqty")).as("v_cents"))
+    val byPart = ps.groupBy(col("ps_partkey"))
+      .agg(sum(col("v_cents")).as("part_cents"))
+    val total = byPart.agg(sum(col("part_cents")).as("total_cents"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("part_cents") * fracDenom > col("total_cents") * fracNum)
+      .select(col("ps_partkey"), (col("part_cents") / 100.0).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
   /** Q9 "product type profit". The spec's cost term is
     * ps_supplycost*l_quantity; with no partsupp table the stand-in cost
     * is 0.6*p_retailprice*l_quantity (same join topology, same per-line

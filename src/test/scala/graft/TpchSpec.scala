@@ -124,4 +124,66 @@ class TpchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(q14Plan.contains("BroadcastHashJoin"), q14Plan.take(2000))
   }
+
+  test("derived partsupp: 4 distinct suppliers per part, valid key range, deterministic") {
+    val ps = Tpch.derivedPartsupp(t("part"), t("supplier")).cache()
+    val nParts = t("part").count()
+    val nSupp = t("supplier").count()
+    assert(ps.count() == 4 * nParts)
+    // supplier keys in range and distinct within each part
+    val perPart = ps.groupBy(col("ps_partkey"))
+      .agg(countDistinct(col("ps_suppkey")).as("k"),
+        max(col("ps_suppkey")).as("mx"), min(col("ps_suppkey")).as("mn"))
+    assert(perPart.filter(col("k") =!= 4).count() == 0)
+    assert(perPart.filter(col("mx") >= nSupp || col("mn") < 0).count() == 0)
+    // cost/qty bounds from the modular arithmetic
+    assert(ps.filter(col("cost_cents") < 100 || col("cost_cents") > 99999).count() == 0)
+    assert(ps.filter(col("ps_availqty") < 1 || col("ps_availqty") > 9999).count() == 0)
+    ps.unpersist()
+  }
+
+  test("q2: every output row carries its part's minimum region-wide cost") {
+    val out = Tpch.q2MinCostSupplier(t("part"), t("supplier"), t("nation"),
+      t("region"), size = 15, typeName = "LARGE", regionName = "EUROPE")
+    val rows = out.collect()
+    if (rows.nonEmpty) {
+      // independent min: groupBy over the same region-pruned partsupp
+      val sr = t("supplier")
+        .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t("region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val minCost = Tpch.derivedPartsupp(t("part"), t("supplier"))
+        .join(sr, col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg((min(col("cost_cents")) / 100.0).as("mc"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.foreach { r =>
+        val (pk, cost) = (r.getLong(3), r.getDouble(5))
+        assert(minCost(pk) == cost, s"part $pk: $cost != ${minCost(pk)}")
+      }
+    }
+  }
+
+  test("q11: parts above threshold; values sum consistent with the nation slice") {
+    val out = Tpch.q11ImportantStock(t("part"), t("supplier"), t("nation"),
+      nationName = "NATION_3", fracNum = 1, fracDenom = 1000).collect()
+    assert(out.nonEmpty)
+    // each returned value must exceed fraction * total of the full slice
+    val supp = t("supplier")
+      .join(t("nation").filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val totalCents = Tpch.derivedPartsupp(t("part"), t("supplier"))
+      .join(supp, col("ps_suppkey") === col("s_suppkey"))
+      .agg(sum(col("cost_cents") * col("ps_availqty")))
+      .collect()(0).getLong(0)
+    out.foreach { r =>
+      assert(r.getDouble(1) * 100 * 1000 > totalCents.toDouble,
+        s"part ${r.getLong(0)} below threshold")
+    }
+    // descending order
+    val vals = out.map(_.getDouble(1))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
 }
