@@ -226,6 +226,41 @@ object SparkEntry {
       Sources.parquetMerged(s, s"$tmp/b1", s"$tmp/b2")
         .orderBy(col("n_nationkey"))
     }),
+    // XML re-infers types like JSON -> same explicit casts back
+    "k15_xml_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString + "/nation"
+      Sinks.xml(rd(s, dir, "nation"), tmp, "nation")
+      Sources.xml(s, tmp, "nation")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+    // one-doc-per-line corpus export: write composed lines, read the
+    // directory back as raw text, re-parse and aggregate — the lossless
+    // field roundtrip through the line format is what's being checked
+    "k16_lines_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_txt").toString + "/doclines"
+      Sinks.textLines(rd(s, dir, "documents")
+        .select(concat_ws("|", col("lang"), col("doc_id")).as("value")), tmp)
+      Sources.textLines(s, tmp)
+        .select(split(col("value"), "\\|").as("p"))
+        .select(col("p").getItem(0).as("lang"),
+          col("p").getItem(1).cast("bigint").as("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    }),
+    // binary-file ingestion: write text shards, list+read them as opaque
+    // payloads; total byte mass is layout-independent (sum of per-file
+    // lengths == sum of per-line bytes regardless of partitioning)
+    "k17_binary_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bin").toString + "/blobs"
+      Sinks.textLines(rd(s, dir, "documents")
+        .select(concat_ws("|", col("lang"), col("doc_id")).as("value")), tmp)
+      Sources.binaryFiles(s, tmp, "*.txt")
+        .agg(sum(col("length")).cast("bigint").as("total_bytes"))
+    }),
     // JSON re-infers types on read (ints widen to long) -> explicit casts
     "k8_json_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/nation"
@@ -1238,6 +1273,17 @@ FROM nation ORDER BY n_nationkey""",
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
   CAST(n_regionkey AS BIGINT) AS n_regionkey
 FROM nation ORDER BY n_nationkey""",
+    "k15_xml_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+  CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation ORDER BY n_nationkey""",
+    "k16_lines_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, MIN(doc_id) AS min_doc,
+  MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang ORDER BY lang""",
+    "k17_binary_scan" ->
+      """SELECT CAST(SUM(strlen(lang) + strlen(CAST(doc_id AS VARCHAR)) + 2) AS BIGINT) AS total_bytes
+FROM documents""",
     "k6_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     // session_window merges on a half-open interval, so a gap of

@@ -95,6 +95,27 @@ object Sinks {
     df
   }
 
+  /** XML write — interchange counterpart of [[Sources.xml]]: each row
+    * becomes one `<rowTag>` element under a shared root, one file per
+    * partition. Like JSON the schema is re-inferred on read, so a
+    * round-trip needs the same explicit casts.
+    */
+  def xml(df: DataFrame, path: String, rowTag: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag)
+      .format("xml").save(path)
+    df
+  }
+
+  /** Plain-text write: exactly one string column, one line per row, one
+    * file per partition — the one-doc-per-line corpus export. Rows must
+    * not contain the line separator (caller's contract, as in Spark
+    * itself); [[Sources.textLines]] reads the directory back.
+    */
+  def textLines(df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).text(path)
+    df
+  }
+
   /** Bucketed parquet table write: hash-partition rows into `numBuckets`
     * files per partition by `bucketCols`, sorted within each bucket, and
     * register in the session catalog (bucket metadata lives there, which

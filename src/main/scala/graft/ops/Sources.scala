@@ -73,6 +73,33 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** XML scan — Spark 4 ships the (formerly spark-xml) reader natively.
+    * `rowTag` names the repeated element that becomes one row; types are
+    * re-inferred from the text like JSON (ints widen to long). An
+    * interchange source for feed/export data, same distributed scan
+    * contract as JSON-lines (one task per file split).
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.option("rowTag", rowTag).format("xml").load(path)
+
+  /** Plain-text scan: one row (`value: string`) per line across every
+    * file under `path` — the raw-corpus entry point (log shards, one-
+    * doc-per-line exports). Splittable and column-pruned like any
+    * FileScan; pair with [[Sinks.textLines]] for the roundtrip.
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Binary-file scan: one row per FILE — (path, modificationTime,
+    * length, content) — the ingestion point for opaque payloads (images,
+    * audio, model shards) that downstream multimodal ops treat as
+    * `binary` columns. `pathGlobFilter` prunes by extension at listing
+    * time, before any bytes are read; whole files are never split, so
+    * `content` is always complete.
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
   /** S5 — JDBC table scan (reference: simple_etl.py:114-123, full-table
     * `pd.read_sql`). Distributed variant: when `partitionColumn` bounds
     * are given the read is split into `numPartitions` range-parallel

@@ -593,4 +593,32 @@ class OpsSpec extends SparkSpec {
     val plan = r.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unpivot should not shuffle:\n$plan")
   }
+
+  test("xml roundtrip preserves rows and survives special characters") {
+    import spark.implicits._
+    val tmp = Scratch.dir() + "/xml_rt"
+    val df = Seq((1L, "a<b&c", "x"), (2L, "plain", "y"))
+      .toDF("id", "payload", "tag")
+    ops.Sinks.xml(df, tmp, "rec")
+    val back = ops.Sources.xml(spark, tmp, "rec")
+      .select(col("id").cast("bigint"), col("payload"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    // XML escaping of <, & must round-trip losslessly
+    assert(back.toSeq === Seq((1L, "a<b&c", "x"), (2L, "plain", "y")))
+  }
+
+  test("binaryFiles: per-file content is complete and glob prunes extensions") {
+    import spark.implicits._
+    val tmp = Scratch.dir() + "/bin_rt"
+    ops.Sinks.textLines(Seq("abc", "de").toDF("value").coalesce(1), tmp)
+    // a decoy file the glob must skip
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "skip.bin"),
+      Array[Byte](1, 2, 3))
+    val rows = ops.Sources.binaryFiles(spark, tmp, "*.txt").collect()
+    assert(rows.length === 1)
+    val content = rows(0).getAs[Array[Byte]]("content")
+    // both lines with terminators, order preserved within the file
+    assert(new String(content, "UTF-8") === "abc\nde\n")
+    assert(rows(0).getAs[Long]("length") === content.length.toLong)
+  }
 }
