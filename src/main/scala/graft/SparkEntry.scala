@@ -697,6 +697,8 @@ object SparkEntry {
     "q_gini" -> ((s, dir) => Aggregates.revenueGini(rd(s, dir, "orders"))),
     // OLS trend from exact integer moments; CUSUM level-shift scan
     "q_trend_ols" -> ((s, dir) => Aggregates.revenueTrendOls(rd(s, dir, "orders"))),
+    "q_theil_sen" -> ((s, dir) => Aggregates.revenueTheilSen(rd(s, dir, "orders"))),
+    "q_mann_kendall" -> ((s, dir) => Aggregates.revenueMannKendall(rd(s, dir, "orders"))),
     "q_changepoints" -> ((s, dir) => Aggregates.revenueChangepoints(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
@@ -2887,6 +2889,37 @@ SELECT n AS n_days,
   floor((syd / nd - (nd * sxy - sxd * syd) / (nd * sxxd - sxd * sxd) * (sxd / nd)) / 100.0 * 10000) / 10000.0 AS intercept4,
   floor(((nd * sxy - sxd * syd) * (nd * sxy - sxd * syd)) /
         ((nd * sxxd - sxd * sxd) * (nd * syy - syd * syd)) * 10000) / 10000.0 AS r2_4
+FROM f""",
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+xy AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS x, cents AS y FROM daily),
+p AS (SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM xy a JOIN xy b ON b.x > a.x)
+SELECT COUNT(*) AS n_pairs,
+  floor(quantile_cont(slope, 0.5) / 100.0 * 10000) / 10000.0 AS sen_slope4,
+  floor(quantile_cont(slope, 0.1) / 100.0 * 10000) / 10000.0 AS slope_p10_4,
+  floor(quantile_cont(slope, 0.9) / 100.0 * 10000) / 10000.0 AS slope_p90_4
+FROM p""",
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+xy AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS x, cents AS y FROM daily),
+s AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM xy a JOIN xy b ON b.x > a.x),
+nt AS (SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_term
+       FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents)),
+f AS (SELECT s_stat, n, CAST(n AS DOUBLE) AS nd, CAST(s_stat AS DOUBLE) AS sd,
+  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (2 * CAST(n AS DOUBLE) + 5)
+    - CAST(tie_term AS DOUBLE)) / CAST(18.0 AS DOUBLE) AS vars
+  FROM s CROSS JOIN nt)
+SELECT n AS n_days, s_stat,
+  floor(sd / (nd * (nd - 1) / CAST(2.0 AS DOUBLE)) * 10000) / 10000.0 AS tau4,
+  floor(CASE WHEN s_stat > 0 THEN (sd - 1) / sqrt(vars)
+             WHEN s_stat < 0 THEN (sd + 1) / sqrt(vars)
+             ELSE CAST(0.0 AS DOUBLE) END * 10000) / 10000.0 AS z4
 FROM f""",
     "q_changepoints" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,

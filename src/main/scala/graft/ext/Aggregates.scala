@@ -486,6 +486,73 @@ object Aggregates {
       trunc4((cov * cov) / (varX * varY)).as("r2_4"))
   }
 
+  /** Theil–Sen robust trend over daily revenue: the median of all
+    * pairwise slopes (y_j - y_i)/(x_j - x_i), insensitive to up to 29%
+    * outlier days where OLS breaks. The quadratic pair set is over the
+    * DAILY frame — |days|^2/2 rows after the facts are already reduced
+    * to one exact-cents row per day — so at 100 TB the pair join's
+    * input is still only thousands of rows (a broadcast nested-loop on
+    * the inequality, never a fact-table self-join). Every slope is one
+    * IEEE divide of exact longs (bit-equal across engines); the median
+    * is the exact sort-based `percentile`, mirrored by DuckDB's
+    * quantile_cont. Emits the p10/p90 slope band as the robust trend
+    * uncertainty.
+    */
+  def revenueTheilSen(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+        col("cents").as("y"))
+    val d2 = daily.select(col("x").as("x2"), col("y").as("y2"))
+    daily.join(broadcast(d2), col("x2") > col("x"))
+      .select(((col("y2") - col("y")).cast("double") /
+        (col("x2") - col("x")).cast("double")).as("slope"))
+      .agg(count(lit(1)).as("n_pairs"),
+        trunc4(expr("percentile(slope, 0.5)") / 100.0).as("sen_slope4"),
+        trunc4(expr("percentile(slope, 0.1)") / 100.0).as("slope_p10_4"),
+        trunc4(expr("percentile(slope, 0.9)") / 100.0).as("slope_p90_4"))
+  }
+
+  /** Mann–Kendall monotonic-trend test over daily revenue: S = sum of
+    * sign(y_j - y_i) over ordered day pairs, with the tie-corrected
+    * normal approximation z = (S -/+ 1)/sqrt(Var S),
+    * Var S = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5))/18. S, n and the tie
+    * term stay exact integers end-to-end (the pair sum is a LONG of
+    * +/-1s); only the final z and tau-a = S/(n(n-1)/2) touch doubles,
+    * trunc4'd. Same daily-frame quadratic shape as [[revenueTheilSen]]:
+    * the pair join is over the aggregated |days| rows, broadcast, never
+    * the fact table.
+    */
+  def revenueMannKendall(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+        col("cents").as("y"))
+    val d2 = daily.select(col("x").as("x2"), col("y").as("y2"))
+    val s = daily.join(broadcast(d2), col("x2") > col("x"))
+      .agg(sum(when(col("y2") > col("y"), 1L)
+        .when(col("y2") < col("y"), -1L).otherwise(0L)).cast("long").as("s_stat"))
+    val nAndTies = daily
+      .groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t")).cast("long").as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).cast("long").as("tie_term"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1) * (nD * 2 + 5) - col("tie_term").cast("double")) / 18.0
+    val sD = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0, (sD - 1) / sqrt(varS))
+      .when(col("s_stat") < 0, (sD + 1) / sqrt(varS)).otherwise(lit(0.0))
+    s.crossJoin(broadcast(nAndTies))
+      .select(col("n").as("n_days"), col("s_stat"),
+        trunc4(sD / (nD * (nD - 1) / 2.0)).as("tau4"),
+        trunc4(z).as("z4"))
+  }
+
   /** CUSUM changepoint scan over daily revenue: cumulative sum of
     * deviations from the global mean, whose extremes mark the most
     * likely level-shift points. The mean comes from the exact cents

@@ -2009,4 +2009,36 @@ class ExtSpec extends SparkSpec {
       x.getAs[Double]("loading1_4") * x.getAs[Double]("loading2_4")).sum
     assert(math.abs(dot) < 0.01, s"PC1.PC2 = $dot should be ~0")
   }
+
+  test("revenueTheilSen: median slope ignores a single outlier day OLS cannot") {
+    import spark.implicits._
+    // perfectly linear +1/day except one wild spike
+    val days = (1 to 20).map(d => (f"1995-03-$d%02d", d.toDouble)) :+
+      ("1995-03-21", 1000.0)
+    val orders = days.toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.revenueTheilSen(orders).head()
+    assert(r.getAs[Long]("n_pairs") === 21L * 20 / 2)
+    // the robust slope stays 1.0/day despite the 1000x outlier
+    assert(r.getAs[Double]("sen_slope4") === 1.0)
+  }
+
+  test("revenueMannKendall: S matches brute force; strictly increasing gives tau=1") {
+    import spark.implicits._
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val orders = vals.zipWithIndex.map { case (v, i) => (f"1995-03-${i + 1}%02d", v) }
+      .toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.revenueMannKendall(orders).head()
+    val brute = (for {
+      i <- vals.indices; j <- vals.indices if j > i
+    } yield math.signum(vals(j) - vals(i)).toLong).sum
+    assert(r.getAs[Long]("s_stat") === brute)
+    assert(r.getAs[Long]("n_days") === vals.length.toLong)
+    // monotone series: tau = 1 exactly
+    val mono = (1 to 10).map(d => (f"1995-04-$d%02d", d * 10.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    assert(Aggregates.revenueMannKendall(mono).head().getAs[Double]("tau4") === 1.0)
+  }
 }
