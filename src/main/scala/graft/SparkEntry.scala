@@ -726,6 +726,28 @@ object SparkEntry {
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
       Graph.triangleStats(pairs, "pa", "pb")
     }),
+    // HITS on the bipartite customer->part purchase graph: authorities
+    // are parts bought by well-connected buyers (exact integer scores,
+    // one end normalization)
+    "q_hits" -> ((s, dir) => {
+      val e = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      Graph.hitsBipartite(e, "src", "dst", iters = 3, k = 20)
+    }),
+    // degree assortativity of the bulk co-purchase graph (same pair
+    // set as q_triangles): do hub parts co-occur with other hubs?
+    "q_assortativity" -> ((s, dir) => {
+      val items = rd(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 43)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      Graph.degreeAssortativity(pairs, "pa", "pb")
+    }),
     // keyed diff vs a deterministically perturbed second version:
     // drop keys %97=0, change priority on %101=0, add shifted %499=0
     "k14_table_diff" -> ((s, dir) => {
@@ -2274,6 +2296,39 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
                        CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE) * 10000) / 10000.0
             ELSE 0.0 END AS global_cc
 FROM t""",
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+a1 AS (SELECT dst, CAST(COUNT(*) AS HUGEINT) AS a FROM e GROUP BY dst),
+h1 AS (SELECT src, SUM(a) AS h FROM e JOIN a1 USING (dst) GROUP BY src),
+a2 AS (SELECT dst, SUM(h) AS a FROM e JOIN h1 USING (src) GROUP BY dst),
+h2 AS (SELECT src, SUM(a) AS h FROM e JOIN a2 USING (dst) GROUP BY src),
+a3 AS (SELECT dst, SUM(h) AS a FROM e JOIN h2 USING (src) GROUP BY dst),
+mx AS (SELECT MAX(a) AS m FROM a3)
+SELECT dst AS node,
+  floor(CAST(a AS DOUBLE) / CAST(m AS DOUBLE) * 10000) / 10000.0 AS authority4
+FROM a3 CROSS JOIN mx
+ORDER BY authority4 DESC, node LIMIT 20""",
+    "q_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 43),
+up AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+e AS (SELECT u, v FROM up UNION ALL SELECT v, u FROM up),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+j AS (SELECT da.d AS a, db.d AS b
+      FROM e JOIN deg da ON e.u = da.u JOIN deg db ON e.v = db.u),
+m AS (SELECT COUNT(*) AS n, CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+  CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab,
+  CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+  CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sbb FROM j),
+f AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sa AS DOUBLE) AS sad,
+  CAST(sb AS DOUBLE) AS sbd, sab, saa, sbb FROM m)
+SELECT n AS n_dir_edges,
+  CASE WHEN n > 0 AND sqrt(nd * saa - sad * sad) * sqrt(nd * sbb - sbd * sbd) <> 0
+    THEN floor((nd * sab - sad * sbd) /
+      (sqrt(nd * saa - sad * sad) * sqrt(nd * sbb - sbd * sbd)) * 10000) / 10000.0
+    ELSE CAST(0.0 AS DOUBLE) END AS assortativity4
+FROM f""",
     "d_stopwords" ->
       """WITH dt AS (SELECT DISTINCT doc_id, w AS term
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),

@@ -138,4 +138,85 @@ object Graph {
           trunc4(lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double")))
           .otherwise(lit(0.0)).as("global_cc"))
   }
+
+  /** K-round HITS on a DIRECTED (here bipartite src->dst) edge set,
+    * kept exact: scores stay UNNORMALIZED integers through the rounds —
+    * a_{t+1}(v) = sum_{u->v} h_t(u), h_{t+1}(u) = sum_{u->v} a_{t+1}(v),
+    * h_0 = 1 — so every intermediate is an order-independent DECIMAL(38,0)
+    * sum (the classic per-round L2 normalization would make each round
+    * a partition-order-dependent double fold). One normalization at the
+    * END divides by the max authority: same ranking, one IEEE divide,
+    * engine-neutral. With in-degrees ~d the scores grow like d^(2t), so
+    * 38 digits bound the usable depth at ~4-5 rounds on a 1e4-degree
+    * graph — documented, and far past the 2-3 rounds HITS needs to
+    * stabilize its ordering.
+    *
+    * Scale shape: each round is two co-partitioned join+aggregates on
+    * the edge key columns; edges are lazily checkpointed once (they are
+    * referenced 2k times), and the final top-k is TakeOrdered, never a
+    * full sort.
+    */
+  def hitsBipartite(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, k: Int = 20): DataFrame = {
+    import graft.ext.Num.trunc4
+    require(iters >= 1, s"iters=$iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint(false)
+    var hubs = e.select(col("src")).distinct()
+      .select(col("src"), lit(1).cast("decimal(38,0)").as("h"))
+    var auths: DataFrame = null
+    (1 to iters).foreach { _ =>
+      auths = e.join(hubs, "src")
+        .groupBy(col("dst")).agg(sum(col("h")).cast("decimal(38,0)").as("a"))
+      hubs = e.join(auths, "dst")
+        .groupBy(col("src")).agg(sum(col("a")).cast("decimal(38,0)").as("h"))
+    }
+    val mx = auths.agg(max(col("a")).as("mx"))
+    auths.crossJoin(broadcast(mx))
+      .select(col("dst").as("node"),
+        trunc4(col("a").cast("double") / col("mx").cast("double")).as("authority4"))
+      .orderBy(col("authority4").desc, col("node"))
+      .limit(k)
+  }
+
+  /** Degree assortativity of an undirected pair graph: the Pearson
+    * correlation of endpoint degrees over the directed edge expansion.
+    * Positive = hubs link hubs (social-network shape), negative = hubs
+    * link leaves (star / broadcast shape) — a one-row manifold-health
+    * read on any pair graph the dedup pipelines emit. All five moments
+    * are exact (degree products in DECIMAL(38,0), mirrored by DuckDB's
+    * HUGEINT); only the final correlation touches doubles, trunc4'd.
+    * The edge list is checkpointed once and joined to the degree table
+    * on each endpoint — two broadcast-or-shuffle hash joins, no
+    * quadratic anything.
+    */
+  def degreeAssortativity(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import graft.ext.Num.trunc4
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val e = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val m = e
+      .join(deg.select(col("u"), col("d").as("da")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("db")), "v")
+      .agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("da")).cast("long").as("sa"),
+        sum(col("db")).cast("long").as("sb"),
+        sum(col("da").cast("decimal(38,0)") * col("db")).cast("double").as("sab"),
+        sum(col("da").cast("decimal(38,0)") * col("da")).cast("double").as("saa"),
+        sum(col("db").cast("decimal(38,0)") * col("db")).cast("double").as("sbb"))
+    val nD = col("n_dir_edges").cast("double")
+    val saD = col("sa").cast("double")
+    val sbD = col("sb").cast("double")
+    val num = nD * col("sab") - saD * sbD
+    val den = sqrt(nD * col("saa") - saD * saD) * sqrt(nD * col("sbb") - sbD * sbD)
+    m.select(col("n_dir_edges"),
+      when(col("n_dir_edges") > 0 && den =!= 0.0, trunc4(num / den))
+        .otherwise(lit(0.0)).as("assortativity4"))
+  }
 }

@@ -2010,6 +2010,28 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(dot) < 0.01, s"PC1.PC2 = $dot should be ~0")
   }
 
+  test("hitsBipartite: exact integer rounds match hand-computed fixpoint prefix") {
+    import spark.implicits._
+    // u1->{p1,p2}, u2->{p1}: a1=(2,1), h1=(3,2), a2=(5,3), h2=(8,5), a3=(13,8)
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("src", "dst")
+    val r = Graph.hitsBipartite(e, "src", "dst", iters = 3, k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(101L) === 1.0)
+    assert(r(102L) === math.floor(8.0 / 13.0 * 10000) / 10000)
+  }
+
+  test("degreeAssortativity: star graph is exactly -1, equal-degree ring is 0 by convention") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val rs = Graph.degreeAssortativity(star, "a", "b").head()
+    assert(rs.getAs[Long]("n_dir_edges") === 6L)
+    assert(rs.getAs[Double]("assortativity4") === -1.0)
+    // ring: every degree 2 -> zero variance -> convention 0.0
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(Graph.degreeAssortativity(ring, "a", "b").head()
+      .getAs[Double]("assortativity4") === 0.0)
+  }
+
   test("revenueTheilSen: median slope ignores a single outlier day OLS cannot") {
     import spark.implicits._
     // perfectly linear +1/day except one wild spike
