@@ -383,6 +383,9 @@ object SparkEntry {
     "q_events_hourly" -> ((s, dir) => Events.hourlyByType(rd(s, dir, "events"))),
     "q_events_sliding" -> ((s, dir) => Events.slidingHourlyByType(rd(s, dir, "events"))),
     "q_events_json" -> ((s, dir) => Events.propsKStats(rd(s, dir, "events"))),
+    "q_attribution" -> ((s, dir) => Events.lastTouchAttribution(rd(s, dir, "events"))),
+    "q_elasticity" -> ((s, dir) =>
+      Aggregates.priceElasticity(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
     "q_events_sessions" -> ((s, dir) => Events.sessionCounts(rd(s, dir, "events"))),
     // sparse per-entity series -> dense day grid, forward-filled
     "q_gap_fill" -> ((s, dir) => Events.gapFillDailyPurchases(rd(s, dir, "events"))),
@@ -1588,6 +1591,44 @@ FROM (
   MAX(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)) AS max_k,
   COUNT(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)) AS n_k
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value,
+  TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+  FROM events),
+a AS (SELECT event_type, value,
+  last_value(CASE WHEN event_type = 'click' THEN k END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ak
+  FROM e)
+SELECT COALESCE(((ak % 10) + 10) % 10, -1) AS channel,
+  COUNT(*) AS n_purchases,
+  CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM a WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1""",
+    "q_elasticity" ->
+      """WITH b AS (SELECT p_brand,
+  CAST(floor(ln(l_extendedprice / CAST(l_quantity AS DOUBLE)) * 1e8) AS BIGINT) AS x8,
+  CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 1e8) AS BIGINT) AS y8
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0),
+m AS (SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(x8) AS BIGINT) AS sx8, CAST(SUM(y8) AS BIGINT) AS sy8,
+  CAST(SUM(CAST(x8 AS HUGEINT) * y8) AS DOUBLE) AS sxy16,
+  CAST(SUM(CAST(x8 AS HUGEINT) * x8) AS DOUBLE) AS sxx16,
+  CAST(SUM(CAST(y8 AS HUGEINT) * y8) AS DOUBLE) AS syy16
+  FROM b GROUP BY 1),
+f AS (SELECT p_brand, n, CAST(n AS DOUBLE) AS nd,
+  CAST(sx8 AS DOUBLE) / 1e8 AS sx, CAST(sy8 AS DOUBLE) / 1e8 AS sy,
+  sxy16 / 1e16 AS sxy, sxx16 / 1e16 AS sxx, syy16 / 1e16 AS syy FROM m)
+SELECT p_brand, n AS n_lines,
+  CASE WHEN nd * sxx - sx * sx > 0
+    THEN floor((nd * sxy - sx * sy) / (nd * sxx - sx * sx) * 10000) / 10000.0
+    ELSE CAST(0.0 AS DOUBLE) END AS elasticity4,
+  CASE WHEN (nd * sxx - sx * sx) * (nd * syy - sy * sy) > 0
+    THEN floor((nd * sxy - sx * sy) * (nd * sxy - sx * sy) /
+      ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) * 10000) / 10000.0
+    ELSE CAST(0.0 AS DOUBLE) END AS r2_4
+FROM f ORDER BY p_brand""",
     "q_events_sessions" ->
       """WITH g AS (
   SELECT user_id, epoch_us(ts) AS us,

@@ -486,6 +486,49 @@ object Aggregates {
       trunc4((cov * cov) / (varX * varY)).as("r2_4"))
   }
 
+  /** Per-brand price elasticity: log-log OLS slope of quantity on unit
+    * price over lineitems. The ln inputs are snapped to the 1e-8 grid
+    * AND kept as scaled LONGs, so every OLS moment is an exact integer
+    * sum (snapping alone, then summing doubles, would still be a
+    * partition-order-dependent fold); cross products widen to
+    * DECIMAL(38,0) before summation. The ln itself is the one libm
+    * call — a ≤1-ulp engine difference only survives if the value
+    * lands within a ulp of a grid boundary (the documented trunc8
+    * policy risk). The part dimension broadcasts; the aggregate is
+    * partial-first per brand.
+    */
+  def priceElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    import Num.trunc4
+    val x8 = floor(log(col("l_extendedprice").cast("double") /
+      col("l_quantity").cast("double")) * lit(1e8)).cast("long")
+    val y8 = floor(log(col("l_quantity").cast("double")) * lit(1e8)).cast("long")
+    val m = lineitem.filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), x8.as("x8"), y8.as("y8"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x8")).cast("long").as("sx8"),
+        sum(col("y8")).cast("long").as("sy8"),
+        sum(col("x8").cast("decimal(38,0)") * col("y8")).cast("double").as("sxy16"),
+        sum(col("x8").cast("decimal(38,0)") * col("x8")).cast("double").as("sxx16"),
+        sum(col("y8").cast("decimal(38,0)") * col("y8")).cast("double").as("syy16"))
+    val nD = col("n").cast("double")
+    val sx = col("sx8").cast("double") / lit(1e8)
+    val sy = col("sy8").cast("double") / lit(1e8)
+    val sxy = col("sxy16") / lit(1e16)
+    val sxx = col("sxx16") / lit(1e16)
+    val syy = col("syy16") / lit(1e16)
+    val cov = nD * sxy - sx * sy
+    val varX = nD * sxx - sx * sx
+    val varY = nD * syy - sy * sy
+    m.select(col("p_brand"), col("n").as("n_lines"),
+      when(varX > 0, trunc4(cov / varX)).otherwise(lit(0.0)).as("elasticity4"),
+      when(varX * varY > 0, trunc4(cov * cov / (varX * varY)))
+        .otherwise(lit(0.0)).as("r2_4"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Theil–Sen robust trend over daily revenue: the median of all
     * pairwise slopes (y_j - y_i)/(x_j - x_i), insensitive to up to 29%
     * outlier days where OLS breaks. The quadratic pair set is over the

@@ -558,4 +558,35 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Last-touch revenue attribution: each purchase's value is credited
+    * to the campaign channel (props.k mod 10) of the user's most recent
+    * click at or before the purchase; purchases with no prior click go
+    * to channel -1 ("organic"). One shuffle on user_id; the ignore-
+    * nulls `last()` window propagates the latest click's k down the
+    * user's ordered stream — the standard distributed forward-fill, no
+    * self-join, no per-user collect. Ordering ties break on event_id at
+    * microsecond resolution (both engines compare the same truncated
+    * epoch). Money sums stay exact cent longs.
+    */
+  def lastTouchAttribution(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", IntegerType))))
+      .getField("k").cast(LongType)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("click_k", when(col("event_type") === "click", k))
+      .withColumn("attr_k", last(col("click_k"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(pmod(col("attr_k"), lit(10L)), lit(-1L)).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
+      .select(col("channel"), col("n_purchases"),
+        (col("cents").cast("double") / 100.0).as("revenue"))
+      .orderBy(col("channel"))
+  }
 }

@@ -2010,6 +2010,45 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(dot) < 0.01, s"PC1.PC2 = $dot should be ~0")
   }
 
+  test("lastTouchAttribution: credits the latest prior click, organic when none") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: purchase BEFORE any click -> organic(-1), then click k=7, purchase
+      (1L, "2024-01-01 09:00:00", 1L, "purchase", 10.0, """{"k": 3}"""),
+      (2L, "2024-01-01 10:00:00", 1L, "click", 0.0, """{"k": 7}"""),
+      (3L, "2024-01-01 11:00:00", 1L, "purchase", 20.0, """{"k": 99}"""),
+      // user 2: two clicks, last one (k=12 -> channel 2) wins
+      (4L, "2024-01-02 09:00:00", 2L, "click", 0.0, """{"k": 5}"""),
+      (5L, "2024-01-02 10:00:00", 2L, "click", 0.0, """{"k": 12}"""),
+      (6L, "2024-01-02 11:00:00", 2L, "purchase", 5.5, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val r = Events.lastTouchAttribution(ev).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(-1L) === ((1L, 10.0)))
+    assert(r(7L) === ((1L, 20.0)))
+    assert(r(2L) === ((1L, 5.5)))
+  }
+
+  test("priceElasticity: exact power law q = c * p^-2 recovers slope -2") {
+    import spark.implicits._
+    // unit price p, quantity q = 1e6 / p^2 (exact doubles not needed:
+    // OLS on ln-ln of an exact power law is exact up to the grid snap)
+    val rows = Seq(10.0, 20.0, 40.0, 80.0).zipWithIndex.map { case (p, i) =>
+      val q = 1e6 / (p * p)
+      (i.toLong, 1L, q, p * q) // partkey 1 -> single brand
+    }
+    val li = rows.toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "BrandX")).toDF("p_partkey", "p_brand")
+    val r = Aggregates.priceElasticity(li, part).head()
+    assert(r.getAs[String]("p_brand") === "BrandX")
+    assert(r.getAs[Long]("n_lines") === 4L)
+    assert(math.abs(r.getAs[Double]("elasticity4") + 2.0) < 0.001,
+      s"slope ${r.getAs[Double]("elasticity4")}")
+    assert(r.getAs[Double]("r2_4") > 0.9999)
+  }
+
   test("hitsBipartite: exact integer rounds match hand-computed fixpoint prefix") {
     import spark.implicits._
     // u1->{p1,p2}, u2->{p1}: a1=(2,1), h1=(3,2), a2=(5,3), h2=(8,5), a3=(13,8)
