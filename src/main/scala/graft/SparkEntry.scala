@@ -702,6 +702,8 @@ object SparkEntry {
     "q_trend_ols" -> ((s, dir) => Aggregates.revenueTrendOls(rd(s, dir, "orders"))),
     "q_theil_sen" -> ((s, dir) => Aggregates.revenueTheilSen(rd(s, dir, "orders"))),
     "q_mann_kendall" -> ((s, dir) => Aggregates.revenueMannKendall(rd(s, dir, "orders"))),
+    "q_bootstrap_ci" -> ((s, dir) => Aggregates.bootstrapMeanCI(rd(s, dir, "orders"))),
+    "q_rolling_median" -> ((s, dir) => Aggregates.rollingMedianRevenue(rd(s, dir, "orders"))),
     "q_changepoints" -> ((s, dir) => Aggregates.revenueChangepoints(rd(s, dir, "orders"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
@@ -2986,6 +2988,39 @@ SELECT n AS n_days,
   floor(((nd * sxy - sxd * syd) * (nd * sxy - sxd * syd)) /
         ((nd * sxxd - sxd * sxd) * (nd * syy - syd * syd)) * 10000) / 10000.0 AS r2_4
 FROM f""",
+    "q_bootstrap_ci" ->
+      """WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+g AS (SELECT day_num, cents, b,
+  (((day_num * 131 + b) % 2147483648) * 2654435761) % 4294967296 AS u
+  FROM daily CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+wts AS (SELECT b, cents,
+  CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+       WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+       WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5 ELSE 6 END AS w
+  FROM g),
+mb AS (SELECT b, CAST(SUM(w * cents) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+  FROM wts GROUP BY b),
+means AS (SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS m
+  FROM mb WHERE den > 0),
+pt AS (SELECT CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+  / CAST(COUNT(*) AS DOUBLE) / 100.0 AS pm FROM daily)
+SELECT (SELECT COUNT(*) FROM means) AS n_resamples,
+  floor(pm * 10000) / 10000.0 AS point_mean4,
+  (SELECT floor(quantile_cont(m, 0.025) * 10000) / 10000.0 FROM means) AS ci_lo4,
+  (SELECT floor(quantile_cont(m, 0.975) * 10000) / 10000.0 FROM means) AS ci_hi4
+FROM pt""",
+    "q_rolling_median" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1)
+SELECT day,
+  COUNT(*) OVER w AS n_window,
+  floor(quantile_cont(cents, 0.5) OVER w / 100.0 * 10000) / 10000.0 AS med4
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day""",
     "q_theil_sen" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -486,6 +486,75 @@ object Aggregates {
       trunc4((cov * cov) / (varX * varY)).as("r2_4"))
   }
 
+  /** Deterministic Poisson bootstrap CI for the mean daily revenue.
+    * Classic multinomial resampling needs shared random state; the
+    * Poisson(1) bootstrap (each unit's weight in resample b drawn
+    * Poisson(1), standard at-scale approximation, public literature)
+    * needs only an independent uniform per (unit, resample) — which we
+    * make DETERMINISTIC with the repo's Knuth multiplicative hash:
+    * u = ((day*131 + b) mod 2^31) * 2654435761 mod 2^32, mapped through
+    * the Poisson(1) inverse CDF as fixed integer thresholds
+    * (floor(cdf * 2^32) — exact integer compares, engine-neutral).
+    * Resample means are exact cent-long ratios; the CI is the exact
+    * percentile over the B resample means.
+    *
+    * Scale shape: resampling happens on the AGGREGATED daily frame
+    * (B x |days| rows), never the fact table; weights are map-side
+    * arithmetic, the per-resample reduction is partial-first on b.
+    */
+  def bootstrapMeanCI(
+      orders: DataFrame, resamples: Int = 32,
+      pLo: Double = 0.025, pHi: Double = 0.975): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    // Poisson(1) CDF at k=0..5, scaled by 2^32 (k=6 tail gets the rest)
+    val t = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L)
+    val daily = orders
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("day_num"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+      .localCheckpoint(false) // resample grid + point estimate
+    val u = pmod((pmod(col("day_num") * 131 + col("b"), lit(2147483648L))) *
+      lit(2654435761L), lit(4294967296L))
+    val w = when(u < t(0), 0L).when(u < t(1), 1L).when(u < t(2), 2L)
+      .when(u < t(3), 3L).when(u < t(4), 4L).when(u < t(5), 5L).otherwise(6L)
+    val means = daily
+      .crossJoin(broadcast(orders.sparkSession.range(0, resamples).toDF("b")))
+      .select(col("b"), (w * col("cents")).as("wc"), w.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("wc")).cast("long").as("num"), sum(col("w")).cast("long").as("den"))
+      .filter(col("den") > 0)
+      .select((col("num").cast("double") / col("den").cast("double") / 100.0).as("m"))
+    val point = daily.agg((sum(col("cents")).cast("long").cast("double") /
+      count(lit(1)).cast("double") / 100.0).as("pm"))
+    means.agg(count(lit(1)).as("n_resamples"),
+        trunc4(expr(s"percentile(m, $pLo)")).as("ci_lo4"),
+        trunc4(expr(s"percentile(m, $pHi)")).as("ci_hi4"))
+      .crossJoin(broadcast(point))
+      .select(col("n_resamples"), trunc4(col("pm")).as("point_mean4"),
+        col("ci_lo4"), col("ci_hi4"))
+  }
+
+  /** Rolling 7-day exact median of daily revenue — the robust smoother
+    * (a median filter tracks level shifts a trailing mean blurs). The
+    * exact `percentile` runs as a window aggregate over the tiny
+    * ROWS frame; like every daily-series query the window is over the
+    * aggregated |days| frame, not the fact table.
+    */
+  def rollingMedianRevenue(orders: DataFrame, windowDays: Int = 7): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-(windowDays - 1), 0)
+    daily.select(col("day"),
+        count(lit(1)).over(w).as("n_window"),
+        trunc4(expr("percentile(cents, 0.5)").over(w) / 100.0).as("med4"))
+      .orderBy(col("day"))
+  }
+
   /** Per-brand price elasticity: log-log OLS slope of quantity on unit
     * price over lineitems. The ln inputs are snapped to the 1e-8 grid
     * AND kept as scaled LONGs, so every OLS moment is an exact integer

@@ -802,9 +802,13 @@ object Dedup {
       docs: DataFrame,
       titleTokens: Int = 6,
       maxDist: Int = 5): DataFrame = {
-    val title = concat_ws(" ", slice(TextOps.tokens(col("text")), 1, titleTokens))
+    // substring_index stops at the Nth delimiter: O(title bytes) per
+    // row, vs split() materializing the full ~1000-element token array
+    // of every document just to keep 6 (was the dominant cost of this
+    // query — two full-text splits per doc, one per join leg)
+    val title = substring_index(col("text"), " ", titleTokens)
     val t = docs.select(col("doc_id").cast("long").as("doc_id"), title.as("title"))
-      .withColumn("blk", element_at(split(col("title"), " "), 1))
+      .withColumn("blk", substring_index(col("title"), " ", 1))
     val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("title_a"))
     val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("title").as("title_b"))
     a.join(b, "blk")

@@ -2010,6 +2010,37 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(dot) < 0.01, s"PC1.PC2 = $dot should be ~0")
   }
 
+  test("bootstrapMeanCI: constant series has degenerate CI equal to the point mean") {
+    import spark.implicits._
+    val orders = (1 to 30).map(d => (f"1995-03-$d%02d", 500.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.bootstrapMeanCI(orders).head()
+    // weighted mean of a constant is the constant for every resample
+    assert(r.getAs[Double]("point_mean4") === 500.0)
+    assert(r.getAs[Double]("ci_lo4") === 500.0)
+    assert(r.getAs[Double]("ci_hi4") === 500.0)
+    assert(r.getAs[Long]("n_resamples") >= 30L) // den>0 for essentially all b
+  }
+
+  test("rollingMedianRevenue: window medians match brute force on a known series") {
+    import spark.implicits._
+    val vals = Seq(10.0, 20.0, 90.0, 40.0, 50.0, 60.0, 70.0, 80.0, 30.0)
+    val orders = vals.zipWithIndex.map { case (v, i) => (f"1995-03-${i + 1}%02d", v) }
+      .toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.rollingMedianRevenue(orders, windowDays = 3).collect()
+    val got = r.map(_.getAs[Double]("med4")).toSeq
+    val exp = vals.indices.map { i =>
+      val w = vals.slice(math.max(0, i - 2), i + 1).sorted
+      val m = if (w.length % 2 == 1) w(w.length / 2)
+              else (w(w.length / 2 - 1) + w(w.length / 2)) / 2
+      math.floor(m * 10000) / 10000
+    }
+    assert(got === exp)
+    assert(r.map(_.getAs[Long]("n_window")).toSeq === Seq(1L, 2L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
+  }
+
   test("lastTouchAttribution: credits the latest prior click, organic when none") {
     import spark.implicits._
     val ev = Seq(
