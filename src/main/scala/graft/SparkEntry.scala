@@ -637,6 +637,10 @@ object SparkEntry {
         .orderBy(col("n_name"))),
     // mutual-5NN graph degree histogram over the embeddings
     "e_knn_graph" -> ((s, dir) => Similarity.mutualKnnDegrees(rd(s, dir, "embeddings"), 5)),
+    // per-label kNN purity: the label-noise screen over the same sweep
+    "e_knn_purity" -> ((s, dir) => Similarity.knnLabelPurity(rd(s, dir, "embeddings"), 5)),
+    // per-language char-trigram top-10 (the langid feature table)
+    "d_char_ngrams" -> ((s, dir) => TextOps.charTrigramProfile(rd(s, dir, "documents"))),
     // exact all-pairs cosine distribution profile (n^2 compute rectangle)
     "e_cos_stats" -> ((s, dir) => Similarity.cosinePairStats(rd(s, dir, "embeddings"))),
     // per-label train/test centroid drift under the hash split rule
@@ -2648,6 +2652,32 @@ m AS (SELECT x.src, x.dst FROM knn x JOIN knn y ON y.src = x.dst AND y.dst = x.s
 deg AS (SELECT src AS vec_id, COUNT(*) AS deg FROM m GROUP BY 1)
 SELECT COALESCE(deg, 0) AS deg, COUNT(*) AS n_vecs
 FROM n LEFT JOIN deg USING (vec_id) GROUP BY 1 ORDER BY 1""",
+    "e_knn_purity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+  FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      WHERE sqrt(list_dot_product(v, v)) > 0),
+p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) / 10000.0 AS c4
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY c4 DESC, dst) AS rk
+      FROM p),
+knn AS (SELECT src, dst FROM r WHERE rk <= 5),
+j AS (SELECT s.label AS src_label, d.label AS dst_label, knn.src
+      FROM knn JOIN n s ON knn.src = s.vec_id JOIN n d ON knn.dst = d.vec_id)
+SELECT src_label AS label, COUNT(DISTINCT src) AS n_vecs,
+  floor(CAST(SUM(CASE WHEN src_label = dst_label THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000.0 AS purity4
+FROM j GROUP BY 1 ORDER BY 1""",
+    "d_char_ngrams" ->
+      """WITH tri AS (SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS trigram
+  FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3),
+c AS (SELECT lang, trigram, COUNT(*) AS n FROM tri GROUP BY 1, 2),
+r AS (SELECT lang, trigram, n,
+  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS BIGINT) AS rk
+  FROM c)
+SELECT lang, trigram, n, rk FROM r WHERE rk <= 10 ORDER BY lang, rk""",
     "d_lang_divergence" ->
       """WITH tf AS (SELECT lang, w AS term, COUNT(*) AS c
   FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2),

@@ -774,6 +774,46 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     grouped.toDF("src", "dst", "c4")
   }
 
+  /** kNN label purity — the label-noise / class-coherence read run
+    * before trusting labels for training: for each vector, the fraction
+    * of its k nearest cosine neighbors sharing its label, reported per
+    * label. Low purity for one label = mislabeled or heterogeneous
+    * class; low everywhere = embeddings don't separate the taxonomy.
+    * Same exact blocked sweep as [[mutualKnnDegrees]] (per-source heaps,
+    * n*B*k shuffle, trunc4-snapped ties) plus two hash joins against the
+    * (vec_id, label) side table; the purity ratio is exact integer
+    * match-counts divided once at the end.
+    */
+  def knnLabelPurity(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import graft.ext.Num.trunc4
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
+    val v = embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .localCheckpoint(false) // sweep input + two label joins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("c4").desc, col("dst"))
+    val knn = knnCandidatesBlocked(v.select(col("vec_id"), col("v")), k)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"))
+    knn
+      .join(v.select(col("vec_id").as("src"), col("label").as("src_label")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("label").as("dst_label")), "dst")
+      .groupBy(col("src_label").as("label"))
+      .agg(countDistinct(col("src")).as("n_vecs"),
+        count(lit(1)).cast("long").as("n_edges"),
+        sum(when(col("src_label") === col("dst_label"), 1L).otherwise(0L))
+          .cast("long").as("n_same"))
+      .select(col("label"), col("n_vecs"),
+        trunc4(col("n_same").cast("double") / col("n_edges").cast("double"))
+          .as("purity4"))
+      .orderBy(col("label"))
+  }
+
   /** Per-dimension embedding-column health check (whitening prep /
     * drift detection): mean, population stddev, min, max for every
     * dimension. posexplode then ONE partial-first hash aggregate keyed

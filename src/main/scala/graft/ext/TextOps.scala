@@ -417,6 +417,33 @@ object TextOps {
     * inputs, and the residual summation-order noise (~1e-13 over N
     * terms) is absorbed by the output trunc4.
     */
+  /** Per-language character-trigram profile: the top-k most frequent
+    * 3-char substrings (spaces included) per language — the actual
+    * feature table an n-gram language identifier trains on, and the
+    * drift read for "is this shard really the language it claims".
+    *
+    * Shape: position explode + substring are codegen'd scalar ops
+    * (code-point-based in BOTH engines, so multi-byte text agrees);
+    * the groupBy count is partial-first, so the shuffle carries the
+    * per-partition (lang, trigram) VOCABULARY, not the corpus's char
+    * stream; the rank window runs per language over that vocabulary
+    * frame only.
+    */
+  def charTrigramProfile(docs: DataFrame, k: Int = 10): DataFrame = {
+    val counts = graft.Tables.spread(docs)
+      .filter(char_length(col("text")) >= 3)
+      .select(col("lang"),
+        expr("explode(sequence(1, char_length(text) - 2))").as("i"), col("text"))
+      .select(col("lang"), expr("substring(text, i, 3)").as("trigram"))
+      .groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("trigram"), col("n"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   def zipfSlope(docs: DataFrame, topN: Int = 100): DataFrame = {
     import graft.ext.Num.{trunc4, trunc8}
     val tc = graft.Tables.spread(docs)

@@ -2010,6 +2010,29 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(dot) < 0.01, s"PC1.PC2 = $dot should be ~0")
   }
 
+  test("knnLabelPurity: two tight clusters give purity 1.0 per label") {
+    import spark.implicits._
+    // two well-separated clusters of 4, orthogonal-ish axes
+    val vecs = (0 until 4).map(i => (i.toLong, Array(10.0 + i, 0.1 * i), 1)) ++
+      (4 until 8).map(i => (i.toLong, Array(0.1 * i, 10.0 + i), 2))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelPurity(df, k = 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) === ((4L, 1.0)))
+    assert(r(2L) === ((4L, 1.0)))
+  }
+
+  test("charTrigramProfile: counts and ranks match brute force on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcabc", "en"), (2L, "bca", "en"), (3L, "xy", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.charTrigramProfile(docs, k = 10).collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(3)))
+    // trigrams: doc1: abc, bca, cab, abc; doc2: bca; doc3 skipped (<3 chars)
+    // counts: abc 2, bca 2, cab 1 -> ranks abc(1), bca(2), cab(3)
+    assert(r.toSeq === Seq(("abc", 2L, 1L), ("bca", 2L, 2L), ("cab", 1L, 3L)))
+  }
+
   test("bootstrapMeanCI: constant series has degenerate CI equal to the point mean") {
     import spark.implicits._
     val orders = (1 to 30).map(d => (f"1995-03-$d%02d", 500.0))
