@@ -709,6 +709,13 @@ object SparkEntry {
     "q_bootstrap_ci" -> ((s, dir) => Aggregates.bootstrapMeanCI(rd(s, dir, "orders"))),
     "q_rolling_median" -> ((s, dir) => Aggregates.rollingMedianRevenue(rd(s, dir, "orders"))),
     "q_changepoints" -> ((s, dir) => Aggregates.revenueChangepoints(rd(s, dir, "orders"))),
+    // rank (Spearman) vs linear (Pearson) correlation of orders vs spend
+    "q_spearman" -> ((s, dir) => Aggregates.spearmanSpend(rd(s, dir, "orders"))),
+    // naive vs seasonal-naive forecast MAE + MASE ratio on daily revenue
+    "q_forecast_eval" -> ((s, dir) => Aggregates.forecastEval(rd(s, dir, "orders"))),
+    // segment x priority independence screen, per-cell chi2 decomposition
+    "q_contingency" -> ((s, dir) =>
+      Aggregates.contingencyChi2(rd(s, dir, "orders"), rd(s, dir, "customer"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
     "d_containment" -> ((s, dir) =>
@@ -3095,6 +3102,66 @@ c AS (SELECT day,
     / 10000.0 AS cusum4
   FROM d)
 SELECT day, cusum4 FROM c ORDER BY abs(cusum4) DESC, day LIMIT 5""",
+    "q_spearman" ->
+      """WITH per AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+per2 AS (SELECT x, CAST(floor(cents / CAST(100 AS BIGINT)) AS BIGINT) AS y FROM per),
+rxt AS (SELECT v, 2 * COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r
+  FROM (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS t FROM per2 GROUP BY 1)),
+ryt AS (SELECT v, 2 * COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r
+  FROM (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS t FROM per2 GROUP BY 1)),
+j AS (SELECT p.x, p.y, rx.r AS rx, ry.r AS ry
+  FROM per2 p JOIN rxt rx ON p.x = rx.v JOIN ryt ry ON p.y = ry.v),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+  CAST(SUM(rx * rx) AS BIGINT) AS sxx, CAST(SUM(ry * ry) AS BIGINT) AS syy,
+  CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+  CAST(SUM(x) AS BIGINT) AS px, CAST(SUM(y) AS BIGINT) AS py,
+  CAST(SUM(x * x) AS BIGINT) AS pxx, CAST(SUM(y * y) AS BIGINT) AS pyy,
+  CAST(SUM(x * y) AS BIGINT) AS pxy FROM j)
+SELECT n AS n_customers,
+  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    * 10000) / 10000.0 AS spearman4,
+  floor((CAST(n AS DOUBLE) * CAST(pxy AS DOUBLE) - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(pxx AS DOUBLE) - CAST(px AS DOUBLE) * CAST(px AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(pyy AS DOUBLE) - CAST(py AS DOUBLE) * CAST(py AS DOUBLE)))
+    * 10000) / 10000.0 AS pearson4
+FROM s""",
+    "q_forecast_eval" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+sc AS (SELECT day, cents, ROW_NUMBER() OVER w AS rn,
+  abs(cents - lag(cents, 1) OVER w) AS e1,
+  abs(cents - lag(cents, 7) OVER w) AS e7
+  FROM daily WINDOW w AS (ORDER BY day)),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+  CAST(SUM(e1) AS BIGINT) AS s1, CAST(SUM(e7) AS BIGINT) AS s7
+  FROM sc WHERE rn > 7)
+SELECT n_eval,
+  floor(CAST(s1 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0 * 10000) / 10000.0 AS mae_naive4,
+  floor(CAST(s7 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0 * 10000) / 10000.0 AS mae_snaive4,
+  floor(CAST(s7 AS DOUBLE) / CAST(s1 AS DOUBLE) * 10000) / 10000.0 AS mase4
+FROM s""",
+    "q_contingency" ->
+      """WITH cells AS (SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+  CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+m AS (SELECT segment, priority, obs,
+  CAST(SUM(obs) OVER (PARTITION BY segment) AS BIGINT) AS row_total,
+  CAST(SUM(obs) OVER (PARTITION BY priority) AS BIGINT) AS col_total,
+  CAST(SUM(obs) OVER () AS BIGINT) AS n_total FROM cells)
+SELECT segment, priority, obs,
+  floor(CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+    * 10000) / 10000.0 AS expected4,
+  floor((CAST(obs AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+    * (CAST(obs AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+    / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+    * 10000) / 10000.0 AS contrib4
+FROM m ORDER BY segment, priority""",
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv
   FROM events WHERE event_type = 'view' GROUP BY 1),

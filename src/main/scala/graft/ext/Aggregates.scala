@@ -1232,4 +1232,132 @@ object Aggregates {
         trunc4(col("sd_price")).as("sd_price"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Spearman rank correlation between per-customer order count and
+    * total spend — the robust (monotonic, outlier-insensitive)
+    * counterpart of [[corrProfile]]'s Pearson. Tied values take average
+    * ranks; to keep every rank an exact integer, doubled ranks are
+    * used throughout (2*avgRank = 2*cntBelow + t + 1, all integers —
+    * the constant factor cancels in the correlation).
+    *
+    * Scale shape: ranks do NOT come from a global sort of the
+    * per-customer frame. Each variable's doubled rank is integer
+    * arithmetic over its DISTINCT-value frame (cumulative counts over
+    * |distinct| rows, the same trick as Curation.eqfreqBins) joined
+    * back — the fact-table-sized frame is never single-partition
+    * sorted. All sums are exact longs; the final correlation is one
+    * fixed IEEE expression tree, trunc4'd. A doubled Pearson-on-dollars
+    * correlation is emitted beside it for the classic rank-vs-linear
+    * comparison read.
+    */
+  def spearmanSpend(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("x"),
+        Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+      .withColumn("y", floor(col("cents") / 100L).cast("long"))
+    // doubled average rank per distinct value: 2*(#strictly below) + t + 1
+    def rank2(valCol: String, outCol: String) = {
+      val cnts = per.groupBy(col(valCol).as("v")).agg(count(lit(1)).cast("long").as("t"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      cnts.withColumn("below", coalesce(sum(col("t")).over(w), lit(0L)))
+        .select(col("v"), (col("below") * 2 + col("t") + 1).as(outCol))
+    }
+    val rx = rank2("x", "rx")
+    val ry = rank2("y", "ry")
+    val ranked = per
+      .join(broadcast(rx), per("x") === rx("v")).drop("v")
+      .join(broadcast(ry), per("y") === ry("v")).drop("v")
+    val sums = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("rx")).cast("long").as("sx"),
+      sum(col("ry")).cast("long").as("sy"),
+      sum(col("rx") * col("rx")).cast("long").as("sxx"),
+      sum(col("ry") * col("ry")).cast("long").as("syy"),
+      sum(col("rx") * col("ry")).cast("long").as("sxy"),
+      sum(col("x")).cast("long").as("px"),
+      sum(col("y")).cast("long").as("py"),
+      sum(col("x") * col("x")).cast("long").as("pxx"),
+      sum(col("y") * col("y")).cast("long").as("pyy"),
+      sum(col("x") * col("y")).cast("long").as("pxy"))
+    def pearson(n: org.apache.spark.sql.Column, sx: String, sy: String,
+        sxx: String, syy: String, sxy: String) = {
+      val num = n * col(sxy).cast("double") - col(sx).cast("double") * col(sy).cast("double")
+      val dx = n * col(sxx).cast("double") - col(sx).cast("double") * col(sx).cast("double")
+      val dy = n * col(syy).cast("double") - col(sy).cast("double") * col(sy).cast("double")
+      num / (sqrt(dx) * sqrt(dy))
+    }
+    val nD = col("n").cast("double")
+    sums.select(col("n").as("n_customers"),
+      trunc4(pearson(nD, "sx", "sy", "sxx", "syy", "sxy")).as("spearman4"),
+      trunc4(pearson(nD, "px", "py", "pxx", "pyy", "pxy")).as("pearson4"))
+  }
+
+  /** Forecast-accuracy evaluation on daily revenue: naive (previous
+    * observation) and seasonal-naive (7 observations back) one-step
+    * forecasts scored by MAE over the common eval window, plus the
+    * MASE-style ratio mae_snaive/mae_naive (<1 = weekly seasonality
+    * carries real signal). The series is the exact-cents daily frame;
+    * every error is an exact long |difference|, so both MAEs are exact
+    * rationals evaluated in one final IEEE division, trunc4'd to
+    * dollars. The lag window runs over |days| rows (ordered window on
+    * the aggregated frame, never the fact table).
+    */
+  def forecastEval(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val w = Window.orderBy(col("day"))
+    val scored = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("e1", abs(col("cents") - lag(col("cents"), 1).over(w)))
+      .withColumn("e7", abs(col("cents") - lag(col("cents"), 7).over(w)))
+      .filter(col("rn") > 7)
+    scored.agg(
+      count(lit(1)).cast("long").as("n_eval"),
+      sum(col("e1")).cast("long").as("s1"),
+      sum(col("e7")).cast("long").as("s7"))
+      .select(col("n_eval"),
+        trunc4(col("s1").cast("double") / col("n_eval").cast("double") / 100.0)
+          .as("mae_naive4"),
+        trunc4(col("s7").cast("double") / col("n_eval").cast("double") / 100.0)
+          .as("mae_snaive4"),
+        trunc4(col("s7").cast("double") / col("s1").cast("double")).as("mase4"))
+  }
+
+  /** Market-segment x order-priority contingency table with chi-square
+    * decomposition: observed count, expected count under independence
+    * (rowTotal*colTotal/N), and the per-cell chi-square contribution.
+    * Emitting PER-CELL rows (not the summed statistic) keeps every
+    * value a fixed IEEE expression tree over exact integers — no
+    * cross-engine summation-order concern at all; the reader sums the
+    * contribution column for the statistic, dof = (R-1)(C-1).
+    * Shape: one partial-first fact aggregate to the |R x C| cell frame,
+    * then windows over that tiny frame for the marginals.
+    */
+  def contingencyChi2(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import Num.trunc4
+    val cells = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).cast("long").as("obs"))
+    val rowT = sum(col("obs")).over(Window.partitionBy(col("segment")))
+    val colT = sum(col("obs")).over(Window.partitionBy(col("priority")))
+    val totT = sum(col("obs")).over(Window.partitionBy())
+    val withM = cells
+      .withColumn("row_total", rowT.cast("long"))
+      .withColumn("col_total", colT.cast("long"))
+      .withColumn("n_total", totT.cast("long"))
+    val expC = col("row_total").cast("double") * col("col_total").cast("double") /
+      col("n_total").cast("double")
+    val dev = col("obs").cast("double") - expC
+    withM.select(col("segment"), col("priority"), col("obs"),
+      trunc4(expC).as("expected4"),
+      trunc4(dev * dev / expC).as("contrib4"))
+      .orderBy(col("segment"), col("priority"))
+  }
 }

@@ -2156,4 +2156,51 @@ class ExtSpec extends SparkSpec {
       .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
     assert(Aggregates.revenueMannKendall(mono).head().getAs[Double]("tau4") === 1.0)
   }
+
+  test("spearmanSpend: perfectly monotonic spend gives rho=1; reversal gives -1") {
+    import spark.implicits._
+    // customer k places k orders of 100*k each: x and y strictly co-monotonic
+    val mono = (1 to 5).flatMap(k => Seq.fill(k)((k.toLong, 100.0 * k)))
+      .toDF("o_custkey", "o_totalprice")
+    // trunc4 floors, so an exact rho of 1 may land at 0.9999
+    val rho = Aggregates.spearmanSpend(mono).head().getAs[Double]("spearman4")
+    assert(rho >= 0.9999 && rho <= 1.0)
+    // customer k places k orders totalling 100*(6-k): totals strictly
+    // decrease while order counts increase — ranks exactly reversed
+    val anti = (1 to 5).flatMap(k => Seq.fill(k)((k.toLong, 100.0 * (6 - k) / k)))
+      .toDF("o_custkey", "o_totalprice")
+    val r = Aggregates.spearmanSpend(anti).head()
+    assert(r.getAs[Long]("n_customers") === 5L)
+    val rhoA = r.getAs[Double]("spearman4")
+    assert(rhoA >= -1.0001 && rhoA <= -0.9999)
+  }
+
+  test("forecastEval: exact weekly periodicity gives snaive MAE 0 and mase 0") {
+    import spark.implicits._
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0)
+    val orders = (0 until 21).map { i =>
+      (f"1995-03-${i + 1}%02d", pattern(i % 7))
+    }.toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val r = Aggregates.forecastEval(orders).head()
+    assert(r.getAs[Long]("n_eval") === 14L)
+    assert(r.getAs[Double]("mae_snaive4") === 0.0)
+    assert(r.getAs[Double]("mase4") === 0.0)
+    assert(r.getAs[Double]("mae_naive4") > 0.0)
+  }
+
+  test("contingencyChi2: exactly independent table has zero contribution everywhere") {
+    import spark.implicits._
+    val customer = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    // counts 2:4 / 1:2 — rows and columns exactly proportional
+    val orders = (Seq.fill(2)((1L, "P")) ++ Seq.fill(4)((1L, "Q")) ++
+      Seq.fill(1)((2L, "P")) ++ Seq.fill(2)((2L, "Q")))
+      .toDF("o_custkey", "o_orderpriority")
+    val rows = Aggregates.contingencyChi2(orders, customer).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("contrib4") === 0.0)
+      assert(r.getAs[Double]("expected4") === r.getAs[Long]("obs").toDouble)
+    }
+  }
 }
