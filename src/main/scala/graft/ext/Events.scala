@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType}
 
 /** Temporal / event-stream ops over the `events` fixture
   * (FIXTURES.md: event_id, ts, user_id, event_type, value, props-JSON).
@@ -18,15 +18,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object Events {
 
-  /** Fixture `ts` is parquet TIMESTAMP(NANOS), which Spark only reads
-    * via `spark.sql.legacy.parquet.nanosAsLong=true` (as an ns-epoch
-    * long). Convert ns -> us with integer division (floor — the same
-    * truncation DuckDB's epoch_us applies), then to a proper timestamp.
+  /** Normalize the fixture's `ts` to a session-TZ TIMESTAMP whatever
+    * physical form the parquet carries:
+    *  - TIMESTAMP(NANOS) read via `spark.sql.legacy.parquet.nanosAsLong
+    *    =true` arrives as an ns-epoch long: convert ns -> us with
+    *    integer division (floor — the same truncation DuckDB's
+    *    epoch_us applies), then to a proper timestamp;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TIMESTAMP_NTZ (Spark 4 infers NTZ by default): cast to
+    *    TIMESTAMP. Sessions here always run UTC, so the NTZ wall-clock
+    *    re-interprets to the identical epoch-micros DuckDB reads —
+    *    and downstream `unix_micros`/watermarks (TIMESTAMP-only) work.
     */
   def normalizeTs(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
-      case LongType => events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => events
+      case LongType         => events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => events.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => events
     }
 
   /** Tumbling-window aggregate (1 hour) per event type. Uses Spark's
