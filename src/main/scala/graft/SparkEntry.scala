@@ -261,6 +261,24 @@ object SparkEntry {
       Sources.binaryFiles(s, tmp, "*.txt")
         .agg(sum(col("length")).cast("bigint").as("total_bytes"))
     }),
+    // Avro container-file roundtrip (hand-rolled on avro-core — the
+    // spark-avro module doesn't ship here): long/string/double survive
+    // bit-exact, timestamp via timestamp-micros, date via the `date`
+    // logical type; min/max aggregates keep the check order-free.
+    "k18_avro_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro").toString + "/orders"
+      AvroIO.write(rd(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), to_date(col("o_orderdate")).as("o_day")), tmp)
+      AvroIO.read(s, tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+          min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"),
+          min(col("o_day")).as("min_day"), max(col("o_day")).as("max_day"),
+          min(col("o_orderdate")).as("min_ts"), max(col("o_orderdate")).as("max_ts"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // JSON re-infers types on read (ints widen to long) -> explicit casts
     "k8_json_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/nation"
@@ -1324,6 +1342,13 @@ FROM documents GROUP BY lang ORDER BY lang""",
     "k17_binary_scan" ->
       """SELECT CAST(SUM(strlen(lang) + strlen(CAST(doc_id AS VARCHAR)) + 2) AS BIGINT) AS total_bytes
 FROM documents""",
+    "k18_avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+  MIN(CAST(o_orderdate AS DATE)) AS min_day, MAX(CAST(o_orderdate AS DATE)) AS max_day,
+  MIN(o_orderdate) AS min_ts, MAX(o_orderdate) AS max_ts
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "k6_compact" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     // session_window merges on a half-open interval, so a gap of

@@ -607,6 +607,38 @@ class OpsSpec extends SparkSpec {
     assert(back.toSeq === Seq((1L, "a<b&c", "x"), (2L, "plain", "y")))
   }
 
+  test("avro roundtrip: every supported type and nulls survive bit-exact") {
+    val tmp = Scratch.dir() + "/avro_rt"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id bigint, n int, s string, f float, d double, b boolean, " +
+        "raw binary, day date, at timestamp, ntz timestamp_ntz")
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 7, "héllo", 1.5f, 2.25, true,
+        Array[Byte](0, 1, -1), java.sql.Date.valueOf("2026-02-28"),
+        java.sql.Timestamp.valueOf("2026-02-28 12:34:56.123456"),
+        java.time.LocalDateTime.parse("2026-02-28T12:34:56.123456")),
+      org.apache.spark.sql.Row(2L, null, null, null, null, null,
+        null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    ops.AvroIO.write(df, tmp)
+    val back = ops.AvroIO.read(spark, tmp)
+    assert(back.schema === schema.copy(fields = schema.fields.map(_.copy(nullable = true))))
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got(0).getInt(1) === 7 && got(0).getString(2) === "héllo")
+    assert(got(0).getFloat(3) === 1.5f && got(0).getDouble(4) === 2.25)
+    assert(got(0).getBoolean(5) === true)
+    assert(got(0).getAs[Array[Byte]](6).toSeq === Seq[Byte](0, 1, -1))
+    assert(got(0).getDate(7) === java.sql.Date.valueOf("2026-02-28"))
+    assert(got(0).getTimestamp(8) ===
+      java.sql.Timestamp.valueOf("2026-02-28 12:34:56.123456"))
+    assert(got(0).getAs[java.time.LocalDateTime](9) ===
+      java.time.LocalDateTime.parse("2026-02-28T12:34:56.123456"))
+    assert((1 to 9).forall(got(1).isNullAt))
+    // per-partition file layout: 2 upstream partitions -> 2 containers
+    assert(new java.io.File(tmp).listFiles().count(_.getName.endsWith(".avro")) === 2)
+  }
+
   test("binaryFiles: per-file content is complete and glob prunes extensions") {
     import spark.implicits._
     val tmp = Scratch.dir() + "/bin_rt"
