@@ -606,26 +606,66 @@ object Aggregates {
     * input is still only thousands of rows (a broadcast nested-loop on
     * the inequality, never a fact-table self-join). Every slope is one
     * IEEE divide of exact longs (bit-equal across engines); the median
-    * is the exact sort-based `percentile`, mirrored by DuckDB's
-    * quantile_cont. Emits the p10/p90 slope band as the robust trend
-    * uncertainty.
+    * is the exact sort-based [[exactPercentiles]] with `percentile` /
+    * quantile_cont interpolation. Emits the p10/p90 slope band as the
+    * robust trend uncertainty.
     */
   def revenueTheilSen(orders: DataFrame): DataFrame = {
     import Num.trunc4
-    Int128Sum.ensureRegistered(orders.sparkSession)
+    val spark = orders.sparkSession
+    Int128Sum.ensureRegistered(spark)
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
       .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
         col("cents").as("y"))
     val d2 = daily.select(col("x").as("x2"), col("y").as("y2"))
-    daily.join(broadcast(d2), col("x2") > col("x"))
+    val slopes = daily.join(broadcast(d2), col("x2") > col("x"))
       .select(((col("y2") - col("y")).cast("double") /
         (col("x2") - col("x")).cast("double")).as("slope"))
-      .agg(count(lit(1)).as("n_pairs"),
-        trunc4(expr("percentile(slope, 0.5)") / 100.0).as("sen_slope4"),
-        trunc4(expr("percentile(slope, 0.1)") / 100.0).as("slope_p10_4"),
-        trunc4(expr("percentile(slope, 0.9)") / 100.0).as("slope_p90_4"))
+    val (nPairs, qs) = exactPercentiles(slopes, "slope", Seq(0.5, 0.1, 0.9))
+    spark.range(1).select(lit(nPairs).as("n_pairs"),
+      trunc4(lit(qs(0)) / 100.0).as("sen_slope4"),
+      trunc4(lit(qs(1)) / 100.0).as("slope_p10_4"),
+      trunc4(lit(qs(2)) / 100.0).as("slope_p90_4"))
+  }
+
+  /** Exact interpolated percentiles (SQL `percentile` / DuckDB
+    * quantile_cont semantics: `lo + (pos - floor(pos)) * (hi - lo)` at
+    * `pos = p * (n-1)`) computed by DISTRIBUTED SORT instead of the
+    * built-in percentile aggregate. The built-in buffers every value in
+    * per-partition hash maps and serializes those maps through the
+    * partial/final merge — tens of seconds at a few million rows, and
+    * memory-unbounded at scale. This shape is a range-partitioned sort
+    * (scales like any orderBy), one O(partitions) size collect, and a
+    * boundary-index filter that ships exactly 2 rows per requested
+    * percentile to the driver. Eager (runs jobs); returns
+    * `(rowCount, values)` in the order of `ps`.
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String, ps: Seq[Double]): (Long, Seq[Double]) = {
+    import org.apache.spark.storage.StorageLevel
+    val sorted = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull).sort("v")
+      .rdd.map(_.getDouble(0))
+    sorted.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val indexed = sorted.zipWithIndex()
+      val n = sorted.count()
+      if (n == 0L) (0L, ps.map(_ => Double.NaN))
+      else {
+        val targets = ps.map { p =>
+          val pos = p * (n - 1)
+          (math.floor(pos).toLong, math.ceil(pos).toLong, pos)
+        }
+        val need = targets.flatMap(t => Seq(t._1, t._2)).toSet
+        val at = indexed.filter { case (_, i) => need.contains(i) }
+          .collect().map { case (v, i) => i -> v }.toMap
+        (n, targets.map { case (lo, hi, pos) =>
+          val lv = at(lo)
+          lv + (pos - lo) * (at(hi) - lv)
+        })
+      }
+    } finally { sorted.unpersist(blocking = false); () }
   }
 
   /** Mann–Kendall monotonic-trend test over daily revenue: S = sum of
