@@ -760,6 +760,30 @@ object SparkEntry {
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
       Graph.triangleStats(pairs, "pa", "pb")
     }),
+    // per-node neighborhood density over the same co-purchase graph:
+    // community members (cc near 1) vs bridging hubs (cc near 0)
+    "q_clustering_coeff" -> ((s, dir) => {
+      val items = rd(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 43)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      Graph.localClustering(pairs, "pa", "pb", 20)
+    }),
+    // which parts SHOULD co-occur but don't yet: Adamic-Adar + Jaccard
+    // over 2-hop closures, existing edges anti-joined away
+    "q_link_predict" -> ((s, dir) => {
+      val items = rd(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 43)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      Graph.linkPrediction(pairs, "pa", "pb", 20)
+    }),
     // HITS on the bipartite customer->part purchase graph: authorities
     // are parts bought by well-connected buyers (exact integer scores,
     // one end normalization)
@@ -2375,6 +2399,41 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
                        CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE) * 10000) / 10000.0
             ELSE 0.0 END AS global_cc
 FROM t""",
+    "q_clustering_coeff" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 43),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+tri AS (SELECT a.x AS node, CAST(COUNT(*) AS BIGINT) AS t
+        FROM adj a JOIN adj b ON a.x = b.x AND a.y < b.y
+        JOIN e ON e.u = a.y AND e.v = b.y
+        GROUP BY a.x)
+SELECT deg.x AS node, deg.d AS degree,
+  CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_tri,
+  floor(2.0 * COALESCE(tri.t, 0) / CAST(deg.d * (deg.d - 1) AS DOUBLE) * 10000) / 10000.0 AS cc4
+FROM deg LEFT JOIN tri ON tri.node = deg.x
+WHERE deg.d >= 2
+ORDER BY cc4 DESC, node LIMIT 20""",
+    "q_link_predict" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 43),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+cw AS (SELECT a.y AS z, a.x AS n,
+         CAST(floor(1000000.0 / (floor(ln(CAST(d.d AS DOUBLE)) * 100000000) / 100000000.0)) AS BIGINT) AS w
+       FROM adj a JOIN deg d ON d.x = a.y),
+cand AS (SELECT a1.n AS a, a2.n AS b, CAST(COUNT(*) AS BIGINT) AS cn,
+           CAST(SUM(a1.w) AS BIGINT) AS aa_scaled
+         FROM cw a1 JOIN cw a2 ON a1.z = a2.z AND a1.n < a2.n
+         GROUP BY 1, 2),
+ne AS (SELECT cand.* FROM cand LEFT JOIN e ON e.u = cand.a AND e.v = cand.b
+       WHERE e.u IS NULL)
+SELECT ne.a, ne.b, ne.cn, ne.aa_scaled,
+  floor(CAST(ne.cn AS DOUBLE) / CAST(da.d + db.d - ne.cn AS DOUBLE) * 10000) / 10000.0 AS jaccard4
+FROM ne JOIN deg da ON da.x = ne.a JOIN deg db ON db.x = ne.b
+ORDER BY aa_scaled DESC, a, b LIMIT 20""",
     "q_hits" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -139,6 +139,102 @@ object Graph {
           .otherwise(lit(0.0)).as("global_cc"))
   }
 
+  /** Per-node local clustering coefficient c(v) = 2*tri(v) /
+    * (d(v)*(d(v)-1)): how close each node's neighborhood is to a
+    * clique — the standard "tightly-knit community member vs hub
+    * bridging strangers" discriminator. Triangles are enumerated ONCE
+    * each via the same degree-ordered wedge orientation as
+    * [[triangleStats]] (each wedge is generated at its lowest-degree
+    * apex, so heavy hubs never fan out quadratically), then exploded to
+    * their three corners for the per-node counts. All counts stay exact
+    * integers; the single IEEE divide per node is engine-neutral.
+    * Returns the top-`k` nodes by coefficient (ties broken by node id;
+    * only nodes with d >= 2 have a defined coefficient).
+    */
+  def localClustering(pairs: DataFrame, aCol: String, bCol: String, k: Int = 20): DataFrame = {
+    import graft.ext.Num.trunc4
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .localCheckpoint(false) // referenced by degrees, wedges and the closing join
+    val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val ew = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val fwd = col("du") < col("dv") || col("du") === col("dv")
+    val dir = ew.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint(false)
+    val wedges = dir.select(col("src"), col("dst").as("x"), col("ddeg").as("xd"))
+      .join(dir.select(col("src"), col("dst").as("y"), col("ddeg").as("yd")), Seq("src"))
+      .filter(col("xd") < col("yd") || (col("xd") === col("yd") && col("x") < col("y")))
+    // inner (not semi) join: keep the closing edge so each triangle row
+    // carries all three corners exactly once
+    val tris = wedges
+      .join(dir.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("d") >= 2)
+      .join(tris, col("x") === col("node"), "left")
+      .select(col("x").as("node"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).cast("long").as("n_tri"),
+        trunc4(lit(2.0) * coalesce(col("tri"), lit(0L)).cast("double") /
+          (col("d") * (col("d") - 1)).cast("double")).as("cc4"))
+      .orderBy(col("cc4").desc, col("node"))
+      .limit(k)
+  }
+
+  /** Link prediction over an undirected co-occurrence graph: for every
+    * NON-adjacent pair with >= 1 common neighbor, common-neighbor
+    * count, Jaccard overlap of neighborhoods, and the Adamic–Adar
+    * index sum_z 1/ln(d(z)) — rarer shared neighbors weigh more. The
+    * candidate pairs are exactly the 2-hop wedge closures (generated
+    * per shared neighbor, grouped once); existing edges are removed by
+    * an anti join. AA weights are snapped to exact integers
+    * (floor(1e6/trunc8(ln d)) — the ln output grid-snapped first, per
+    * the [[Num.trunc8]] cross-engine convention) BEFORE the per-pair
+    * sum, so the aggregation is order-independent and engine-neutral;
+    * wedge centers always have d >= 2, so ln(d) > 0. Top-`k` by AA
+    * score, ties by pair id.
+    */
+  def linkPrediction(pairs: DataFrame, aCol: String, bCol: String, k: Int = 20): DataFrame = {
+    import graft.ext.Num.trunc4
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .localCheckpoint(false) // adjacency, degrees and the anti join reuse it
+    val adj = e.select(col("u").as("x"), col("v").as("y"))
+      .union(e.select(col("v").as("x"), col("u").as("y")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // wedge closures around each center z: neighbor pairs (a < b)
+    val centered = adj.select(col("y").as("z"), col("x").as("n"))
+      .join(deg.select(col("x").as("z"), col("d").as("dz")), Seq("z"))
+      .withColumn("w", floor(lit(1.0e6) /
+        graft.ext.Num.trunc8(log(col("dz").cast("double")))).cast("long"))
+    val cand = centered.select(col("z"), col("n").as("a"), col("w"))
+      .join(centered.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("cn"), sum(col("w")).cast("long").as("aa_scaled"))
+    val nonEdges = cand.join(
+      e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+    nonEdges
+      .join(deg.select(col("x").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("aa_scaled"),
+        trunc4(col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double")).as("jaccard4"))
+      .orderBy(col("aa_scaled").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** K-round HITS on a DIRECTED (here bipartite src->dst) edge set,
     * kept exact: scores stay UNNORMALIZED integers through the rounds —
     * a_{t+1}(v) = sum_{u->v} h_t(u), h_{t+1}(u) = sum_{u->v} a_{t+1}(v),

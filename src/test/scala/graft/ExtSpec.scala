@@ -1233,6 +1233,37 @@ class ExtSpec extends SparkSpec {
     assert(rc.getAs[Double]("global_cc") === 0.0)
   }
 
+  test("localClustering: kite graph coefficients are exact") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant path 3-4: cc(1)=cc(2)=1, cc(3)=1/3
+    val kite = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.localClustering(kite, "a", "b", 10).collect()
+      .map(x => x.getAs[Long]("node") -> x).toMap
+    assert(r.keySet === Set(1L, 2L, 3L)) // node 4 has d=1: undefined, excluded
+    assert(r(1L).getAs[Double]("cc4") === 1.0 && r(2L).getAs[Double]("cc4") === 1.0)
+    assert(r(3L).getAs[Long]("degree") === 3L && r(3L).getAs[Long]("n_tri") === 1L)
+    assert(r(3L).getAs[Double]("cc4") === 0.3333)
+  }
+
+  test("linkPrediction: wedge endpoints scored, existing edges excluded") {
+    import spark.implicits._
+    // path 1-2-3 plus 2-4: candidates are all pairs through center 2
+    val path = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val r = Graph.linkPrediction(path, "a", "b", 10).collect()
+    val pairs = r.map(x => (x.getAs[Long]("a"), x.getAs[Long]("b"))).toSet
+    assert(pairs === Set((1L, 3L), (1L, 4L), (3L, 4L)))
+    // every candidate: 1 common neighbor (node 2, d=3), same AA weight
+    assert(r.forall(_.getAs[Long]("cn") === 1L))
+    assert(r.map(_.getAs[Long]("aa_scaled")).distinct.length === 1)
+    // both endpoints are leaves (d=1): jaccard = 1 / (1 + 1 - 1)
+    assert(r.forall(_.getAs[Double]("jaccard4") === 1.0))
+    // closing the triangle 1-2-3 removes (1,3) from the candidates
+    val closed = Seq((1L, 2L), (2L, 3L), (2L, 4L), (1L, 3L)).toDF("a", "b")
+    val r2 = Graph.linkPrediction(closed, "a", "b", 10).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b"))).toSet
+    assert(!r2.contains((1L, 3L)))
+  }
+
   test("bigramModel: known corpus conditional probabilities") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
