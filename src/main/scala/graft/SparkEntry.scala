@@ -724,6 +724,13 @@ object SparkEntry {
     "q_trend_ols" -> ((s, dir) => Aggregates.revenueTrendOls(rd(s, dir, "orders"))),
     "q_theil_sen" -> ((s, dir) => Aggregates.revenueTheilSen(rd(s, dir, "orders"))),
     "q_mann_kendall" -> ((s, dir) => Aggregates.revenueMannKendall(rd(s, dir, "orders"))),
+    // serial dependence without trend: do up/down days clump?
+    "q_runs_test" -> ((s, dir) => Aggregates.revenueRunsTest(rd(s, dir, "orders"))),
+    // local spikes the global z-score misses: strictly-above-neighbors
+    // days ranked by prominence ratio
+    "q_peaks" -> ((s, dir) => Aggregates.revenuePeaks(rd(s, dir, "orders"))),
+    // right-censored user-lifetime survival curve (Kaplan-Meier)
+    "q_survival" -> ((s, dir) => Events.kaplanMeier(rd(s, dir, "events"))),
     "q_bootstrap_ci" -> ((s, dir) => Aggregates.bootstrapMeanCI(rd(s, dir, "orders"))),
     "q_rolling_median" -> ((s, dir) => Aggregates.rollingMedianRevenue(rd(s, dir, "orders"))),
     "q_changepoints" -> ((s, dir) => Aggregates.revenueChangepoints(rd(s, dir, "orders"))),
@@ -3173,6 +3180,56 @@ SELECT n AS n_days, s_stat,
              WHEN s_stat < 0 THEN (sd + 1) / sqrt(vars)
              ELSE CAST(0.0 AS DOUBLE) END * 10000) / 10000.0 AS z4
 FROM f""",
+    "q_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+d AS (SELECT day, cents - LAG(cents) OVER (ORDER BY day) AS diff FROM daily),
+s AS (SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+      FROM d WHERE diff IS NOT NULL AND diff <> 0),
+p AS (SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM s),
+agg AS (SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM p)
+SELECT a AS n_up, b AS n_down, r AS n_runs,
+  floor((2.0 * a * b / CAST(a + b AS DOUBLE) + 1.0) * 10000) / 10000.0 AS mu4,
+  floor((CAST(r AS DOUBLE) - (2.0 * a * b / CAST(a + b AS DOUBLE) + 1.0)) /
+        sqrt(CAST((2 * a * b) * (2 * a * b - a - b) AS DOUBLE) /
+             CAST((a + b) * (a + b) * (a + b - 1) AS DOUBLE)) * 10000) / 10000.0 AS z4
+FROM agg""",
+    "q_peaks" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+n AS (SELECT day, cents,
+        LAG(cents) OVER (ORDER BY day) AS prev,
+        LEAD(cents) OVER (ORDER BY day) AS nxt FROM daily),
+pk AS (SELECT day, cents,
+        floor(CAST(cents AS DOUBLE) / CAST(GREATEST(prev, nxt) AS DOUBLE) * 10000) / 10000.0 AS ratio4
+       FROM n WHERE prev IS NOT NULL AND nxt IS NOT NULL
+         AND cents > prev AND cents > nxt)
+SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue, ratio4
+FROM pk WHERE ratio4 >= 1.2 ORDER BY day""",
+    "q_survival" ->
+      """WITH days AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+mx AS (SELECT MAX(day) AS max_day FROM days),
+u AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld FROM days GROUP BY 1),
+obs AS (SELECT ld - fd AS t,
+          CASE WHEN ld <= (SELECT max_day FROM mx) - 14 THEN 1 ELSE 0 END AS ev FROM u),
+bt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS obs_n, CAST(SUM(ev) AS BIGINT) AS d
+       FROM obs GROUP BY 1),
+r AS (SELECT t, obs_n, d,
+        CAST(SUM(obs_n) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      FROM bt),
+l AS (SELECT *, CASE WHEN d < n_risk
+        THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 100000000) AS BIGINT)
+        ELSE 0 END AS lf8 FROM r),
+c AS (SELECT *, CAST(SUM(lf8) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum8 FROM l)
+SELECT t, n_risk, d AS d_churn, CAST(obs_n - d AS BIGINT) AS n_censored,
+  CASE WHEN d = n_risk THEN 0.0
+       ELSE floor(exp(CAST(cum8 AS DOUBLE) / 100000000.0) * 10000) / 10000.0 END AS surv4
+FROM c ORDER BY t""",
     "q_changepoints" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

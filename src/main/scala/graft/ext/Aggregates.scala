@@ -630,6 +630,78 @@ object Aggregates {
       trunc4(lit(qs(2)) / 100.0).as("slope_p90_4"))
   }
 
+  /** Wald–Wolfowitz runs test on the direction of daily revenue: are
+    * up/down days randomly interleaved, or do they clump (momentum) or
+    * alternate (mean reversion)? The sign sequence +/- (zero-change
+    * days dropped) is reduced to R = number of maximal runs; under
+    * independence R is approximately normal with mu = 2ab/(a+b) + 1
+    * and Var = 2ab(2ab-a-b) / ((a+b)^2 (a+b-1)) for a up-days and b
+    * down-days. R, a, b and both Var products stay exact integers
+    * (bounded by |days|^2 * |days| — far inside long range); only the
+    * final mu/z touch doubles, via single engine-neutral IEEE ops
+    * (sqrt is correctly-rounded by IEEE 754, unlike libm ln/exp).
+    * Complements [[revenueMannKendall]]: MK detects monotone TREND,
+    * the runs test detects serial DEPENDENCE without any trend.
+    */
+  def revenueRunsTest(orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val w = Window.orderBy(col("day"))
+    val sgn = daily
+      .withColumn("diff", col("cents") - lag(col("cents"), 1).over(w))
+      .filter(col("diff").isNotNull && col("diff") =!= 0L)
+      .select(col("day"), when(col("diff") > 0, 1).otherwise(-1).as("s"))
+    // run boundaries: sign differs from predecessor (first row counts as one)
+    val runs = sgn
+      .withColumn("prev", lag(col("s"), 1).over(Window.orderBy(col("day"))))
+      .agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).cast("long").as("a"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).cast("long").as("b"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L))).cast("long").as("r"))
+    val aD = col("a").cast("double"); val bD = col("b").cast("double")
+    val n = col("a") + col("b")
+    val mu = lit(2.0) * aD * bD / n.cast("double") + lit(1.0)
+    val varNum = (lit(2L) * col("a") * col("b")) *
+      (lit(2L) * col("a") * col("b") - col("a") - col("b"))
+    val varDen = n * n * (n - 1)
+    val v = varNum.cast("double") / varDen.cast("double")
+    runs.select(col("a").as("n_up"), col("b").as("n_down"), col("r").as("n_runs"),
+      trunc4(mu).as("mu4"),
+      trunc4((col("r").cast("double") - mu) / sqrt(v)).as("z4"))
+  }
+
+  /** Local-maximum peak detection over daily revenue: days strictly
+    * above BOTH neighbors, ranked by prominence = cents / max(neighbor
+    * cents) — the cheap seasonal-spike finder (payday, launch day)
+    * that q_anomaly_days' global z-score misses when the spike is
+    * local, not global. All comparisons and the ratio numerator/
+    * denominator are exact integer cents; one IEEE divide per peak.
+    * The neighbor window is per-row state over the daily frame.
+    */
+  def revenuePeaks(orders: DataFrame, minRatio: Double = 1.2): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("nxt", lead(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+        col("cents") > col("prev") && col("cents") > col("nxt"))
+      .withColumn("ratio4", trunc4(col("cents").cast("double") /
+        greatest(col("prev"), col("nxt")).cast("double")))
+      .filter(col("ratio4") >= minRatio)
+      .select(col("day"), (col("cents").cast("double") / 100.0).as("revenue"),
+        col("ratio4"))
+      .orderBy(col("day"))
+  }
+
   /** Exact interpolated percentiles (SQL `percentile` / DuckDB
     * quantile_cont semantics: `lo + (pos - floor(pos)) * (hi - lo)` at
     * `pos = p * (n-1)`) computed by DISTRIBUTED SORT instead of the

@@ -597,4 +597,51 @@ object Events {
         (col("cents").cast("double") / 100.0).as("revenue"))
       .orderBy(col("channel"))
   }
+
+  /** Kaplan–Meier survival curve over user lifetimes: S(t) = prod over
+    * observed churn times t_i <= t of (1 - d_i / n_i), the standard
+    * right-censored estimator. Lifetime = days between a user's first
+    * and last event; users still active in the final `censorDays` of
+    * the observation window are CENSORED (they leave the risk set at
+    * their lifetime without counting as churn) — dropping them instead
+    * would bias churn high exactly for the newest cohorts.
+    *
+    * Determinism: the product is carried as a cumulative INTEGER sum of
+    * 1e-8-scaled log factors (floor(ln((n-d)/n) * 1e8) as BIGINT — the
+    * same exact-integer-sum convention as the OLS/Zipf fits), so both
+    * engines exponentiate bit-identical inputs; d = n only at the
+    * largest lifetime, where survival is pinned to exactly 0 instead
+    * of ln(0). Scale shape: the per-user reduce is partial-first over
+    * the fact stream; the two windows run over the DISTINCT-LIFETIME
+    * frame (bounded by the observation span in days), not over users.
+    */
+  def kaplanMeier(eventsRaw: DataFrame, censorDays: Int = 14): DataFrame = {
+    import graft.ext.Num.trunc4
+    val e = normalizeTs(eventsRaw)
+    val days = e.select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    val users = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .crossJoin(broadcast(maxDay))
+      .select((col("last_day") - col("first_day")).as("t"),
+        when(col("last_day") <= col("max_day") - censorDays, 1L).otherwise(0L).as("ev"))
+    val byT = users.groupBy(col("t"))
+      .agg(count(lit(1)).as("obs"), sum(col("ev")).cast("long").as("d"))
+    val wSuffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrefix = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("obs")).over(wSuffix).cast("long"))
+      .withColumn("lf8", when(col("d") < col("n_risk"),
+          floor(log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")) * lit(1.0e8)).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("cum8", sum(col("lf8")).over(wPrefix).cast("long"))
+      .select(col("t"), col("n_risk"), col("d").as("d_churn"),
+        (col("obs") - col("d")).cast("long").as("n_censored"),
+        when(col("d") === col("n_risk"), lit(0.0))
+          .otherwise(trunc4(exp(col("cum8").cast("double") / lit(1.0e8)))).as("surv4"))
+      .orderBy(col("t"))
+  }
 }

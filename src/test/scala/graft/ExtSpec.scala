@@ -1233,6 +1233,59 @@ class ExtSpec extends SparkSpec {
     assert(rc.getAs[Double]("global_cc") === 0.0)
   }
 
+  test("kaplanMeier: hand-computed survival on a 4-user cohort") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2025, 1, 1).plusDays(day.toLong).atTime(12, 0))
+    // u1 t=0 churn, u2 t=2 churn, u3 t=2 censored, u4 t=20 censored
+    val ev = Seq(
+      (1L, ts(0)), (2L, ts(1)), (2L, ts(3)),
+      (3L, ts(18)), (3L, ts(20)), (4L, ts(0)), (4L, ts(20)))
+      .toDF("user_id", "ts")
+    val r = Events.kaplanMeier(ev, censorDays = 14).collect()
+      .map(x => x.getAs[Long]("t") -> x).toMap
+    assert(r.keySet === Set(0L, 2L, 20L))
+    assert(r(0L).getAs[Long]("n_risk") === 4L && r(0L).getAs[Long]("d_churn") === 1L)
+    assert(r(2L).getAs[Long]("n_risk") === 3L && r(2L).getAs[Long]("d_churn") === 1L)
+    assert(r(2L).getAs[Long]("n_censored") === 1L)
+    // S(0)=3/4, S(2)=3/4 * 2/3 = 1/2 (integer-scaled ln truncates a hair low)
+    assert(r(0L).getAs[Double]("surv4") === 0.7499)
+    assert(r(2L).getAs[Double]("surv4") === 0.4999)
+    // censor-only time: survival flat, nobody churns
+    assert(r(20L).getAs[Long]("d_churn") === 0L)
+    assert(r(20L).getAs[Double]("surv4") === 0.4999)
+  }
+
+  test("revenueRunsTest: known sign sequence ++-+-") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2025, 3, 1).plusDays(i.toLong).atTime(0, 0))
+    // daily cents 1,2,3,2,3,2 -> diffs + + - + - : a=3 b=2 runs=4
+    val orders = Seq(1, 2, 3, 2, 3, 2).zipWithIndex
+      .map { case (c, i) => (d(i), c / 100.0) }
+      .toDF("o_orderdate", "o_totalprice")
+    val r = Aggregates.revenueRunsTest(orders).head()
+    assert(r.getAs[Long]("n_up") === 3L && r.getAs[Long]("n_down") === 2L)
+    assert(r.getAs[Long]("n_runs") === 4L)
+    assert(r.getAs[Double]("mu4") === 3.4)
+    // z = (4 - 3.4)/sqrt(0.84) = 0.6546...
+    assert(r.getAs[Double]("z4") === 0.6546)
+  }
+
+  test("revenuePeaks: strict local maxima above the prominence bar") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2025, 3, 1).plusDays(i.toLong).atTime(0, 0))
+    // 1.00 3.00 1.00 1.10 1.00: day1 is a 3x peak, day3 misses the 1.2 bar
+    val orders = Seq(100, 300, 100, 110, 100).zipWithIndex
+      .map { case (c, i) => (d(i), c / 100.0) }
+      .toDF("o_orderdate", "o_totalprice")
+    val r = Aggregates.revenuePeaks(orders).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Double]("revenue") === 3.0)
+    assert(r(0).getAs[Double]("ratio4") === 3.0)
+  }
+
   test("localClustering: kite graph coefficients are exact") {
     import spark.implicits._
     // triangle {1,2,3} plus pendant path 3-4: cc(1)=cc(2)=1, cc(3)=1/3
