@@ -261,6 +261,17 @@ object SparkEntry {
       Sources.binaryFiles(s, tmp, "*.txt")
         .agg(sum(col("length")).cast("bigint").as("total_bytes"))
     }),
+    // fixed-width (mainframe-feed) roundtrip: right-padded fields at
+    // fixed offsets, rtrim+cast on read
+    "k19_fixed_width" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fw").toString + "/nation"
+      Sinks.fixedWidth(rd(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+        tmp, Seq(6, 20, 6))
+      Sources.fixedWidth(s, tmp,
+        "n_nationkey bigint, n_name string, n_regionkey bigint", Seq(6, 20, 6))
+        .orderBy(col("n_nationkey"))
+    }),
     // Avro container-file roundtrip (hand-rolled on avro-core — the
     // spark-avro module doesn't ship here): long/string/double survive
     // bit-exact, timestamp via timestamp-micros, date via the `date`
@@ -605,6 +616,10 @@ object SparkEntry {
     // n-token generalization: 3-word adjacent run
     "d_phrase3" -> ((s, dir) =>
       TextOps.searchPhraseN(rd(s, dir, "documents"), Seq("slow", "hash", "batch"), 20)),
+    // ranking eval: does the cheap bag-of-words ranking front-load the
+    // strict phrase-relevance mass? (nDCG@20, integer-scaled discounts)
+    "d_ndcg" -> ((s, dir) =>
+      TextOps.searchNdcg(rd(s, dir, "documents"), "merge", "scan", 20)),
     // per-language lexical richness: TTR + hapax share
     "d_lexical" -> ((s, dir) => TextOps.lexicalProfile(rd(s, dir, "documents"))),
     // Zipf's-law fit over the top-100 terms (grid-snapped ln inputs)
@@ -1373,6 +1388,8 @@ FROM documents GROUP BY lang ORDER BY lang""",
     "k17_binary_scan" ->
       """SELECT CAST(SUM(strlen(lang) + strlen(CAST(doc_id AS VARCHAR)) + 2) AS BIGINT) AS total_bytes
 FROM documents""",
+    "k19_fixed_width" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k18_avro_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
@@ -2594,6 +2611,37 @@ SELECT doc_id, COUNT(*) AS n_occurrences
 FROM h WHERE term = 'merge' AND nxt_term = 'scan' AND nxt_pos = pos + 1
 GROUP BY doc_id
 ORDER BY n_occurrences DESC, doc_id LIMIT 20""",
+    "d_ndcg" ->
+      """WITH hits AS (SELECT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN ('merge', 'scan')),
+ranked AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_tf
+  FROM hits GROUP BY doc_id
+  HAVING COUNT(DISTINCT term) = 2
+  ORDER BY total_tf DESC, doc_id LIMIT 20),
+toks AS (SELECT d.doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+  WHERE d.doc_id IN (SELECT doc_id FROM ranked)),
+h AS (SELECT doc_id, term, pos,
+  LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt_term,
+  LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt_pos
+  FROM toks WHERE term IN ('merge', 'scan')),
+ph AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+  FROM h WHERE term = 'merge' AND nxt_term = 'scan' AND nxt_pos = pos + 1
+  GROUP BY doc_id),
+graded AS (SELECT r.doc_id, r.total_tf, CAST(COALESCE(ph.rel, 0) AS BIGINT) AS rel
+  FROM ranked r LEFT JOIN ph ON ph.doc_id = r.doc_id),
+sc AS (SELECT rel,
+  CAST(floor(1.0e8 / (floor(log2(CAST(ROW_NUMBER() OVER (ORDER BY total_tf DESC, doc_id) AS DOUBLE) + 1.0) * 1.0e8) / 1.0e8)) AS BIGINT) AS w8,
+  CAST(floor(1.0e8 / (floor(log2(CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS DOUBLE) + 1.0) * 1.0e8) / 1.0e8)) AS BIGINT) AS iw8
+  FROM graded)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_results,
+  CAST(SUM(rel * w8) AS BIGINT) AS dcg8,
+  CAST(SUM(rel * iw8) AS BIGINT) AS idcg8,
+  CASE WHEN SUM(rel * iw8) > 0
+    THEN floor(CAST(SUM(rel * w8) AS DOUBLE) / CAST(SUM(rel * iw8) AS DOUBLE) * 10000) / 10000.0
+    ELSE 0.0 END AS ndcg4
+FROM sc""",
     "d_phrase3" ->
       """WITH toks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),

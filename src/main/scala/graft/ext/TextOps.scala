@@ -160,6 +160,55 @@ object TextOps {
       .limit(k)
   }
 
+  /** nDCG@k of the [[searchConjunctive]] bag-of-words ranking scored
+    * against a STRICTER relevance signal — exact adjacent-phrase
+    * occurrences ([[searchPhrase]] semantics) — the standard ranking-
+    * quality eval a search pipeline reports before its ordering is
+    * trusted: how much of the phrase-relevance mass does the cheap tf
+    * ranking put up front? DCG discounts are integer-scaled
+    * (floor(1e8 / trunc8(log2(rank+1))) — the log snapped to the 1e-8
+    * grid first, the [[Num.trunc8]] cross-engine convention), so DCG
+    * and ideal-DCG are EXACT integer sums and the single final divide
+    * is engine-neutral. The rank windows run over the top-k frame
+    * only; the phrase recount touches just those k docs' postings.
+    */
+  def searchNdcg(docs: DataFrame, w1: String, w2: String, k: Int = 20): DataFrame = {
+    import graft.ext.Num.{trunc4, trunc8}
+    val hits = searchConjunctive(docs, Seq(w1, w2), k)
+    // phrase-occurrence relevance for exactly the ranked docs (left
+    // join: a doc whose terms never sit adjacent grades 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrase = graft.Tables.spread(docs)
+      .join(hits.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(w1, w2))
+      .withColumn("nxt_term", lead(col("term"), 1).over(w))
+      .withColumn("nxt_pos", lead(col("pos"), 1).over(w))
+      .filter(col("term") === w1 && col("nxt_term") === w2 &&
+        col("nxt_pos") === col("pos") + 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("rel"))
+    val graded = hits.join(phrase, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tf"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_tf").desc, col("doc_id"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rel").desc, col("doc_id"))
+    def disc8(rk: org.apache.spark.sql.Column) =
+      floor(lit(1.0e8) / trunc8(log2(rk.cast("double") + lit(1.0)))).cast("long")
+    val scored = graded
+      .withColumn("w8", disc8(row_number().over(wRank)))
+      .withColumn("iw8", disc8(row_number().over(wIdeal)))
+    scored.agg(
+      count(lit(1)).as("n_results"),
+      sum(col("rel") * col("w8")).cast("long").as("dcg8"),
+      sum(col("rel") * col("iw8")).cast("long").as("idcg8"))
+      .select(col("n_results"), col("dcg8"), col("idcg8"),
+        when(col("idcg8") > 0,
+          trunc4(col("dcg8").cast("double") / col("idcg8").cast("double")))
+          .otherwise(lit(0.0)).as("ndcg4"))
+  }
+
   /** Term-pair association by LIFT: P(a,b) / (P(a) P(b)) over per-
     * document distinct terms = (c_ab * N) / (c_a * c_b) — deliberately
     * the RATIO, not PMI's log of it: one exact-integer multiply per

@@ -116,6 +116,30 @@ object Sinks {
     df
   }
 
+  /** Fixed-width text write: every column cast to string and right-
+    * padded to its width, lines concatenated with no delimiter — the
+    * export format fixed-record consumers (mainframe loaders, COBOL
+    * copybooks) ingest. A value WIDER than its field would silently
+    * corrupt every later offset, so overflow raises at write time
+    * instead of truncating; values must not carry trailing spaces
+    * (they are indistinguishable from padding — [[Sources.fixedWidth]]
+    * rtrims on read). Nulls write as all-padding and read back as
+    * null. One file per partition, like every text sink here.
+    */
+  def fixedWidth(df: DataFrame, path: String, widths: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(widths.length == df.columns.length,
+      s"df has ${df.columns.length} columns but ${widths.length} widths given")
+    val line = concat(df.columns.zip(widths).map { case (c, wd) =>
+      val s = coalesce(col(c).cast("string"), lit(""))
+      when(length(s) > wd, raise_error(concat(
+          lit(s"fixed-width overflow: column $c exceeds $wd chars: "), s)))
+        .otherwise(rpad(s, wd, " "))
+    }: _*)
+    df.select(line.as("value")).write.mode(SaveMode.Overwrite).text(path)
+    df
+  }
+
   /** Bucketed parquet table write: hash-partition rows into `numBuckets`
     * files per partition by `bucketCols`, sorted within each bucket, and
     * register in the session catalog (bucket metadata lives there, which

@@ -90,6 +90,29 @@ object Sources {
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Fixed-width text scan — the mainframe/COBOL-feed ingestion format
+    * every long-lived ETL estate still has: each line is a
+    * concatenation of right-padded fields at fixed byte offsets, no
+    * delimiter. `widths` gives each column's width in order;
+    * `schemaDdl` names and types the columns (values are rtrim'd then
+    * cast, empty → null — the inverse of [[Sinks.fixedWidth]]).
+    * Splittable and parallel like any text scan; the substring slicing
+    * is codegen'd per row, no UDF.
+    */
+  def fixedWidth(spark: SparkSession, path: String, schemaDdl: String,
+      widths: Seq[Int]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    require(schema.length == widths.length,
+      s"schema has ${schema.length} columns but ${widths.length} widths given")
+    val offsets = widths.scanLeft(1)(_ + _)
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.functions
+        .expr(s"nullif(rtrim(substring(value, ${offsets(i)}, ${widths(i)})), '')")
+        .cast(f.dataType).as(f.name)
+    }
+    spark.read.text(path).select(cols.toSeq: _*)
+  }
+
   /** Binary-file scan: one row per FILE — (path, modificationTime,
     * length, content) — the ingestion point for opaque payloads (images,
     * audio, model shards) that downstream multimodal ops treat as

@@ -607,6 +607,23 @@ class OpsSpec extends SparkSpec {
     assert(back.toSeq === Seq((1L, "a<b&c", "x"), (2L, "plain", "y")))
   }
 
+  test("fixedWidth: roundtrip, null-as-padding, and overflow raises") {
+    import spark.implicits._
+    val tmp = Scratch.dir() + "/fw_rt"
+    val df = Seq((1L, Some("abc"), 10), (2L, None, 20)).toDF("id", "s", "n")
+    ops.Sinks.fixedWidth(df, tmp, Seq(4, 6, 4))
+    val back = ops.Sources.fixedWidth(spark, tmp, "id bigint, s string, n int", Seq(4, 6, 4))
+      .collect().sortBy(_.getLong(0))
+    assert(back(0).getLong(0) === 1L && back(0).getString(1) === "abc" && back(0).getInt(2) === 10)
+    assert(back(1).isNullAt(1)) // null wrote as padding, read back null
+    val wide = Seq((1L, "longer than six", 1)).toDF("id", "s", "n")
+    val e = intercept[Exception] {
+      ops.Sinks.fixedWidth(wide, Scratch.dir() + "/fw_bad", Seq(4, 6, 4))
+    }
+    assert(e.getMessage.contains("fixed-width overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("fixed-width overflow")))
+  }
+
   test("avro roundtrip: every supported type and nulls survive bit-exact") {
     val tmp = Scratch.dir() + "/avro_rt"
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
