@@ -794,6 +794,18 @@ object SparkEntry {
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
       Graph.localClustering(pairs, "pa", "pb", 20)
     }),
+    // dense-subgraph extraction: 3-core of the co-purchase graph by
+    // bounded-round iterated degree pruning (bit-stable at any SF)
+    "q_kcore" -> ((s, dir) => {
+      val items = rd(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 43)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      Graph.kCore(pairs, "pa", "pb", 3, 32)
+    }),
     // which parts SHOULD co-occur but don't yet: Adamic-Adar + Jaccard
     // over 2-hop closures, existing edges anti-joined away
     "q_link_predict" -> ((s, dir) => {
@@ -1121,6 +1133,34 @@ reach(a, b) AS (SELECT u, v FROM edges
     * expression structure per operation; summation-order noise sits 8+
     * orders under the trunc4 grid).
     */
+  /** Unrolled peel rounds mirroring Graph.kCore's bounded-round
+    * contract: both engines run EXACTLY the same 32 iterations (a
+    * converged peel is a no-op), so the outputs agree at any SF.
+    */
+  private val kCoreSql: String = {
+    val k = 3
+    val rounds = 32
+    val sb = new StringBuilder
+    // MATERIALIZED: each round references its predecessor 3x — without
+    // materialization DuckDB inlines the CTE tree, 3^rounds blow-up
+    sb.append("""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 43),
+p0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+k$i AS MATERIALIZED (SELECT x FROM (SELECT u AS x FROM p${i - 1} UNION ALL SELECT v FROM p${i - 1})
+        GROUP BY x HAVING COUNT(*) >= $k),
+p$i AS MATERIALIZED (SELECT u, v FROM p${i - 1}
+        WHERE u IN (SELECT x FROM k$i) AND v IN (SELECT x FROM k$i))""")
+    }
+    sb.append(s"""
+SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS x FROM p$rounds UNION ALL SELECT v FROM p$rounds)
+GROUP BY x ORDER BY node""")
+    sb.toString
+  }
+
   private val pageRankSql = {
     val dmp = "CAST(0.85 AS DOUBLE)"
     val base = "CAST(0.15 AS DOUBLE)"
@@ -2400,6 +2440,7 @@ GROUP BY 1 ORDER BY 1""",
 FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_pagerank" -> pageRankSql,
+    "q_kcore" -> kCoreSql,
     "q_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
   FROM lineitem WHERE l_quantity >= 43),

@@ -1298,6 +1298,23 @@ class ExtSpec extends SparkSpec {
     assert(r(3L).getAs[Double]("cc4") === 0.3333)
   }
 
+  test("kCore: pendant chain peels iteratively, triangle survives") {
+    import spark.implicits._
+    // triangle {1,2,3} with a chain 3-4-5-6: 2-core peels the chain
+    // one pendant per round (needs 3 rounds — exercises the loop)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val core2 = Graph.kCore(g, "a", "b", k = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_degree")).toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // 3-core of the same graph is empty (triangle degrees are all 2)
+    assert(Graph.kCore(g, "a", "b", k = 3).collect().isEmpty)
+    // K4: every node survives a 3-core with degree 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val core3 = Graph.kCore(k4, "a", "b", k = 3).collect()
+    assert(core3.length === 4 && core3.forall(_.getAs[Long]("core_degree") === 3L))
+  }
+
   test("linkPrediction: wedge endpoints scored, existing edges excluded") {
     import spark.implicits._
     // path 1-2-3 plus 2-4: candidates are all pairs through center 2
