@@ -416,6 +416,9 @@ object SparkEntry {
     "q_elasticity" -> ((s, dir) =>
       Aggregates.priceElasticity(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
     "q_events_sessions" -> ((s, dir) => Events.sessionCounts(rd(s, dir, "events"))),
+    // capacity planning: how many sessions were EVER simultaneously
+    // open per day (interval +1/-1 sweep, per-day partitioned)
+    "q_peak_concurrency" -> ((s, dir) => Events.peakConcurrency(rd(s, dir, "events"))),
     // sparse per-entity series -> dense day grid, forward-filled
     "q_gap_fill" -> ((s, dir) => Events.gapFillDailyPurchases(rd(s, dir, "events"))),
     // exact-moment z-scores: hash-gateable anomaly detection
@@ -1764,6 +1767,29 @@ SELECT user_id,
   CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
   COUNT(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id""",
+    "q_peak_concurrency" ->
+      """WITH g AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+m AS (SELECT user_id, us,
+        SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g),
+sess AS (SELECT user_id, session_id, MIN(us) AS start_us, MAX(us) AS end_us
+         FROM m GROUP BY 1, 2),
+pts AS (SELECT start_us // 86400000000 AS day_num, start_us AS us, 1 AS delta FROM sess
+        UNION ALL
+        SELECT start_us // 86400000000, end_us, -1 FROM sess),
+sw AS (SELECT day_num,
+         SUM(delta) OVER (PARTITION BY day_num ORDER BY us, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+       FROM pts)
+SELECT CAST(to_timestamp(day_num * 86400) AS DATE) AS day,
+  CAST(COUNT(*) // 2 AS BIGINT) AS n_sessions,
+  CAST(MAX(open) AS BIGINT) AS peak_concurrent
+FROM sw GROUP BY day_num ORDER BY day""",
     "q_tpch_q3" ->
       """SELECT l_orderkey AS orderkey,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,

@@ -598,6 +598,56 @@ object Events {
       .orderBy(col("channel"))
   }
 
+  /** Peak session concurrency per day — the capacity-planning number
+    * (how many sessions were EVER simultaneously open?) that daily
+    * session COUNTS can't give: 1000 sequential sessions and 1000
+    * overlapping ones count the same but load very differently.
+    * Sessions are the same gap-based islands as [[sessionCounts]]
+    * (gap > `gapMinutes` starts a new one); each becomes a +1 at its
+    * start and a -1 after its end, and the peak is the max of the
+    * running sum. A session is attributed to its START day (the
+    * overnight spill-over is negligible at a 30-min gap and keeps the
+    * sweep per-day partitioned). Tie rule: at equal timestamps starts
+    * sort before ends, so back-to-back touching sessions count as
+    * concurrent — deterministic in both engines.
+    *
+    * Scale shape: the session build is per-user window state; the
+    * sweep window is PARTITIONED BY day — per-partition state only,
+    * no global sort anywhere. All counts exact integers.
+    */
+  def peakConcurrency(eventsRaw: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val sessions = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val points = sessions
+      .select(expr("start_us div 86400000000").as("day_num"),
+        col("start_us").as("us"), lit(1L).as("delta"))
+      .union(sessions.select(expr("start_us div 86400000000").as("day_num"),
+        col("end_us").as("us"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("day_num"))
+      .orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .withColumn("open", sum(col("delta")).over(sweep))
+      .groupBy(col("day_num"))
+      .agg(max(col("open")).cast("long").as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+      .select(to_date(from_unixtime(col("day_num") * 86400L)).as("day"),
+        col("n_sessions"), col("peak_concurrent"))
+      .orderBy(col("day"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes: S(t) = prod over
     * observed churn times t_i <= t of (1 - d_i / n_i), the standard
     * right-censored estimator. Lifetime = days between a user's first

@@ -1233,6 +1233,23 @@ class ExtSpec extends SparkSpec {
     assert(rc.getAs[Double]("global_cc") === 0.0)
   }
 
+  test("peakConcurrency: overlap counts, sequential does not") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2025, 5, 1).atTime(h, m))
+    // u1 session 10:00-10:10 overlaps u2 10:05-10:15; u3 12:00 alone.
+    // touching rule: u4 starts exactly when u1 ends -> concurrent.
+    val ev = Seq(
+      (1L, 10L, ts(10, 0)), (2L, 11L, ts(10, 5)), (1L, 12L, ts(10, 10)),
+      (2L, 13L, ts(10, 15)), (3L, 14L, ts(12, 0)), (4L, 15L, ts(10, 10)))
+      .toDF("user_id", "event_id", "ts")
+    val r = Events.peakConcurrency(ev).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_sessions") === 4L)
+    // at 10:10: u1 still open (end point sorts after starts), u2 open, u4 starting
+    assert(r(0).getAs[Long]("peak_concurrent") === 3L)
+  }
+
   test("kaplanMeier: hand-computed survival on a 4-user cohort") {
     import spark.implicits._
     def ts(day: Int) = java.sql.Timestamp.valueOf(
