@@ -975,6 +975,9 @@ object SparkEntry {
     "d_simhash64" -> ((s, dir) => Dedup.simhash64(rd(s, dir, "documents"))),
     // ---- Extensions: similarity search ----
     "e_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), 0L, 10)),
+    // redundancy-suppressing diverse top-k (RAG context packing):
+    // greedy MMR over a 50-candidate exact-cosine pool
+    "e_mmr" -> ((s, dir) => Similarity.mmrSelect(rd(s, dir, "embeddings"))),
     // class prototypes: mean embedding per language (vec_id == doc_id
     // in the fixtures); shuffle carries |langs| x 64 partials only
     "e_group_centroid" -> ((s, dir) =>
@@ -1210,6 +1213,45 @@ ORDER BY d.doc_id"""
   private val cosSql =
     "list_dot_product(%A%, %B%) / (sqrt(list_dot_product(%A%, %A%)) * sqrt(list_dot_product(%B%, %B%)))"
   private def cos(a: String, b: String) = cosSql.replace("%A%", a).replace("%B%", b)
+
+  /** Unrolled greedy MMR mirroring Similarity.mmrSelect: one
+    * MATERIALIZED single-row CTE per selection round (each round
+    * cross-joins every previous pick for the max-similarity penalty),
+    * same 0.7 / 0.3 literals, same vec_id tie-break. Unit-normalized
+    * once, so every similarity is one index-order list_dot_product —
+    * the operation Spark's graft_dot matches bit-for-bit.
+    */
+  private val mmrSql: String = {
+    val k = 8
+    val pool = 50
+    val nrm = "list_transform(%V%, x -> x / sqrt(list_dot_product(%V%, %V%)))"
+    def unit(v: String) = nrm.replace("%V%", v)
+    val sb = new StringBuilder
+    sb.append(s"""WITH qn AS MATERIALIZED (
+  SELECT ${unit("embedding::DOUBLE[]")} AS nv FROM embeddings WHERE vec_id = 0),
+pool AS MATERIALIZED (
+  SELECT e.vec_id, ${unit("e.embedding::DOUBLE[]")} AS nv,
+         list_dot_product(${unit("e.embedding::DOUBLE[]")}, qn.nv) AS simq
+  FROM embeddings e, qn WHERE e.vec_id <> 0
+  ORDER BY simq DESC, vec_id LIMIT $pool),
+s1 AS MATERIALIZED (SELECT vec_id, nv, simq, 0.7 * simq AS score
+  FROM pool ORDER BY score DESC, vec_id LIMIT 1)""")
+    for (i <- 2 to k) {
+      val prevs = (1 until i).map(j => s"s$j")
+      val sims = prevs.map(p => s"list_dot_product(p.nv, $p.nv)")
+      val maxSel = if (sims.size == 1) sims.head else s"GREATEST(${sims.mkString(", ")})"
+      sb.append(s""",
+s$i AS MATERIALIZED (SELECT p.vec_id, p.nv, p.simq, 0.7 * p.simq - 0.3 * $maxSel AS score
+  FROM pool p, ${prevs.mkString(", ")}
+  WHERE ${prevs.map(p => s"p.vec_id <> $p.vec_id").mkString(" AND ")}
+  ORDER BY score DESC, p.vec_id LIMIT 1)""")
+    }
+    sb.append((1 to k).map(i =>
+      s"\nSELECT $i AS sel_rank, vec_id, floor(simq * 10000) / 10000.0 AS simq4, " +
+        s"floor(score * 10000) / 10000.0 AS mmr4 FROM s$i")
+      .mkString("", "\nUNION ALL", "\nORDER BY sel_rank"))
+    sb.toString
+  }
 
   /** GROUPING SETS aggregate — one ANSI text, two engines (count-only:
     * no decimal-sum divergence to manage).
@@ -2467,6 +2509,7 @@ FROM documents GROUP BY fp ORDER BY keep_id""",
     "d_ngram_jaccard" -> jaccardSql(0.3),
     "d_pagerank" -> pageRankSql,
     "q_kcore" -> kCoreSql,
+    "e_mmr" -> mmrSql,
     "q_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
   FROM lineitem WHERE l_quantity >= 43),

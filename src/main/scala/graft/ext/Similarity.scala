@@ -31,6 +31,67 @@ object Similarity {
     * nulls so this returns NULL, while the native expression iterates
     * min(length) and returns a number.
     */
+  /** Maximal-Marginal-Relevance diverse top-k: greedily select items
+    * maximizing `lam * sim(query, x) - lamC * max_{s in selected}
+    * sim(x, s)` — the standard redundancy-suppressing selection for
+    * RAG context packing and diverse few-shot sampling, where plain
+    * cosine top-k returns k near-copies of the same best hit.
+    *
+    * `lamC` is passed EXPLICITLY (not computed as 1 - lam): 1.0 - 0.7
+    * is 0.30000000000000004 in IEEE doubles, and the oracle states
+    * literal 0.3 — both engines must run the same constant.
+    *
+    * Scale shape: one distributed exact-cosine pass prunes the corpus
+    * to a `poolSize` candidate pool (TakeOrdered — the same shape as
+    * [[cosineTopK]]); the greedy loop then runs k tiny argmax jobs
+    * over the eagerly-checkpointed pool, shipping exactly ONE row
+    * (id + unit vector) to the driver per round — driver state is
+    * O(k * dim) by contract, never corpus-sized. Vectors are
+    * L2-normalized once so every similarity is a single index-order
+    * dot product — bit-identical across engines; ties break on vec_id.
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long = 0L, poolSize: Int = 50,
+      k: Int = 8, lam: Double = 0.7, lamC: Double = 0.3): DataFrame = {
+    val spark = emb.sparkSession
+    val unit = (v: Column, nrm: Column) => transform(v, x => x / nrm)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(unit(col("v"), sqrt(dot(col("v"), col("v")))).as("qnv"))
+    val pool = emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), unit(col("v"), sqrt(dot(col("v"), col("v")))).as("nv"))
+      .crossJoin(broadcast(q))
+      .withColumn("simq", dot(col("nv"), col("qnv")))
+      .select(col("vec_id"), col("nv"), col("simq"))
+      .orderBy(col("simq").desc, col("vec_id")).limit(poolSize)
+      .localCheckpoint(true)
+    final case class Sel(rank: Int, id: Long, simq: Double, score: Double, nv: Seq[Double])
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Sel]
+    for (i <- 1 to k) {
+      val remaining =
+        if (selected.isEmpty) pool
+        else pool.filter(!col("vec_id").isInCollection(selected.map(_.id)))
+      val score =
+        if (selected.isEmpty) lit(lam) * col("simq")
+        else {
+          val sims = selected.map(s => dot(col("nv"), typedLit(s.nv.toArray))).toSeq
+          val maxSel = if (sims.size == 1) sims.head else greatest(sims: _*)
+          lit(lam) * col("simq") - lit(lamC) * maxSel
+        }
+      val row = remaining.withColumn("score", score)
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("simq"), col("score"), col("nv")).head()
+      selected += Sel(i, row.getLong(0), row.getDouble(1), row.getDouble(2),
+        row.getSeq[Double](3))
+    }
+    // same floor(x*1e4)/1e4 arithmetic as Num.trunc4, applied driver-side
+    def t4(x: Double): Double = math.floor(x * 10000.0) / 10000.0
+    val out = selected.map(s => (s.rank, s.id, t4(s.simq), t4(s.score)))
+    import spark.implicits._
+    out.toSeq.toDF("sel_rank", "vec_id", "simq4", "mmr4").orderBy(col("sel_rank"))
+  }
+
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 

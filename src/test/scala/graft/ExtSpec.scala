@@ -390,6 +390,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect: duplicate of the best hit is deferred for diversity") {
+    import spark.implicits._
+    // query along e1; vec 1 and 2 are identical near-e1 hits; vec 3 is
+    // orthogonal to them. Plain top-2 = {1,2}; at lam=lamC=0.5 the
+    // duplicate's full 1.0 penalty defers it behind both novel vectors.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, -0.9f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mmrSelect(emb, 0L, poolSize = 4, k = 3,
+      lam = 0.5, lamC = 0.5).collect()
+    assert(r.map(_.getAs[Int]("sel_rank")).toSeq === Seq(1, 2, 3))
+    val ids = r.map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids.head === 1L)   // best cosine, tie broken by id
+    assert(ids(1) === 3L)     // NOT the duplicate vec 2
+    assert(ids(2) === 4L)     // then the remaining novel direction
+  }
+
   test("brute-force cosine top-k is ordered and self-excluded") {
     val r = Similarity.bruteForceTopK(t("embeddings"), 0L, 10).collect()
     assert(r.length === 10)
