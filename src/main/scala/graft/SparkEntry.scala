@@ -1062,6 +1062,9 @@ object SparkEntry {
     // ---- Extensions: structured streaming ----
     "st_events_hourly" -> ((s, dir) => StreamingOps.hourlyByTypeStream(s, dir)),
     "st_events_hourly_wm" -> ((s, dir) => StreamingOps.hourlyByTypeStreamAppend(s, dir)),
+    // scale-free streaming alert: purchase share > 25% of the hour's
+    // events, fired once per finalized (watermark-closed) window
+    "st_mix_alert" -> ((s, dir) => StreamingOps.mixAlertStream(s, dir)),
     "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir)),
     // streaming transition mining: O(1)-per-user state, shares the
     // batch transitionMatrix oracle (counts only)
@@ -3626,6 +3629,16 @@ FROM f GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY frame_md5""",
     "st_events_hourly" -> eventsHourlyOracle,
     // Append-mode watermarked stream: emitted windows are exactly those
     // whose end the final watermark (max ts - 2h) has passed.
+    "st_mix_alert" ->
+      """WITH m AS (SELECT epoch_us(max(ts)) AS mx_us FROM events)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+  COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+FROM events, m
+GROUP BY 1, m.mx_us
+HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 4 > COUNT(*)
+  AND (CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) + 3600) * 1000000 <= m.mx_us - 7200000000
+ORDER BY 1""",
     "st_events_hourly_wm" ->
       """WITH m AS (SELECT epoch_us(max(ts)) AS mx_us FROM events)
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

@@ -144,6 +144,45 @@ object StreamingOps {
       .orderBy(col("hour_epoch"), col("event_type"))
   }
 
+  /** Streaming mix-shift alert: append-mode watermarked hourly windows
+    * that fire only when purchases exceed 25% of the hour's events —
+    * the scale-free alerting shape (a RATIO of two exact counts, so
+    * the trigger is invariant to traffic volume, unlike an absolute
+    * rate threshold that trips everywhere at 10x scale and nowhere at
+    * 0.1x). The predicate sits AFTER the windowed aggregate, on
+    * finalized rows only: each window is evaluated exactly once when
+    * the watermark closes it, so an alert can never flap as counts
+    * accumulate. The comparison is integer arithmetic (p * 4 > n) —
+    * no doubles anywhere.
+    */
+  def mixAlertStream(spark: SparkSession, dir: String, delay: String = "2 hours"): DataFrame = {
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .filter(col("n_purchases") * 4 > col("n_events"))
+    val name = s"graft_stream_mix_alert_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, streamParts) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("n_events").cast("long").as("n_events"),
+        col("n_purchases").cast("long").as("n_purchases"))
+      .orderBy(col("hour_epoch"))
+  }
+
   /** Streaming deduplication via dropDuplicatesWithinWatermark: first
     * occurrence per (user_id, event_type) survives, dedup state is
     * bounded by the watermark (evicted once the watermark passes the
