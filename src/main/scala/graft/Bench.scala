@@ -82,6 +82,15 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val good = times.filter(_ >= 0)
+      // Untimed hygiene: queries that localCheckpoint/persist leave
+      // blocks pinned in the block manager; across ~250 queries those
+      // accumulate into GC pressure that shows up as phantom
+      // regressions on later queries (observed: d_containment 1.2s
+      // isolated vs 6.1s mid-run). Dropping them between queries keeps
+      // each measurement independent.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, if (good.length == times.length) median(good) else -1.0, times)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -744,11 +744,15 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, dir) => Aggregates.revenueMannKendall(rd(s, dir, "orders"))),
     // serial dependence without trend: do up/down days clump?
     "q_runs_test" -> ((s, dir) => Aggregates.revenueRunsTest(rd(s, dir, "orders"))),
+    // inflation vs mix shift: base-basket monthly price index
+    "q_price_index" -> ((s, dir) => Aggregates.priceIndexLaspeyres(rd(s, dir, "lineitem"))),
     // local spikes the global z-score misses: strictly-above-neighbors
     // days ranked by prominence ratio
     "q_peaks" -> ((s, dir) => Aggregates.revenuePeaks(rd(s, dir, "orders"))),
     // right-censored user-lifetime survival curve (Kaplan-Meier)
     "q_survival" -> ((s, dir) => Events.kaplanMeier(rd(s, dir, "events"))),
+    // cumulative LTV curve per signup cohort (exact cents; payback read)
+    "q_ltv_cohort" -> ((s, dir) => Events.cohortLtv(rd(s, dir, "events"))),
     "q_bootstrap_ci" -> ((s, dir) => Aggregates.bootstrapMeanCI(rd(s, dir, "orders"))),
     "q_rolling_median" -> ((s, dir) => Aggregates.rollingMedianRevenue(rd(s, dir, "orders"))),
     "q_changepoints" -> ((s, dir) => Aggregates.revenueChangepoints(rd(s, dir, "orders"))),
@@ -3391,6 +3395,39 @@ SELECT t, n_risk, d AS d_churn, CAST(obs_n - d AS BIGINT) AS n_censored,
   CASE WHEN d = n_risk THEN 0.0
        ELSE floor(exp(CAST(cum8 AS DOUBLE) / 100000000.0) * 10000) / 10000.0 END AS surv4
 FROM c ORDER BY t""",
+    "q_price_index" ->
+      """WITH pm AS (SELECT l_partkey AS part, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2),
+pmu AS (SELECT part, month, (cents * 1000000) // qty AS up6 , qty FROM pm),
+bm AS (SELECT MIN(month) AS bm FROM pmu),
+bq AS (SELECT p.part, p.qty AS qb, p.up6 AS ub6 FROM pmu p, bm WHERE p.month = bm.bm)
+SELECT p.month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  floor(CAST(SUM(CAST(b.qb AS HUGEINT) * p.up6) AS DOUBLE) /
+        CAST(SUM(CAST(b.qb AS HUGEINT) * b.ub6) AS DOUBLE) * 10000) / 10000.0 AS index4
+FROM pmu p JOIN bq b ON b.part = p.part
+GROUP BY p.month
+ORDER BY p.month""",
+    "q_ltv_cohort" ->
+      """WITH fm AS (SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY 1),
+cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM fm GROUP BY 1),
+p AS (SELECT e.user_id, CAST(date_trunc('month', e.ts) AS DATE) AS month,
+        CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e WHERE e.event_type = 'purchase'),
+ba AS (SELECT f.cohort, CAST(datediff('month', f.cohort, p.month) AS BIGINT) AS age_months,
+         CAST(SUM(p.cents) AS BIGINT) AS rev_cents
+       FROM p JOIN fm f ON f.user_id = p.user_id GROUP BY 1, 2),
+c AS (SELECT cohort, age_months,
+        CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      FROM ba)
+SELECT c.cohort, c.age_months, cs.n_users,
+  CAST(c.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+  floor(CAST(c.cum_cents AS DOUBLE) / cs.n_users / 100.0 * 10000) / 10000.0 AS ltv_per_user4
+FROM c JOIN cs ON cs.cohort = c.cohort
+ORDER BY c.cohort, c.age_months""",
     "q_changepoints" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

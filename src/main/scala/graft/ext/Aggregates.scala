@@ -630,6 +630,42 @@ object Aggregates {
       trunc4(lit(qs(2)) / 100.0).as("slope_p90_4"))
   }
 
+  /** Laspeyres monthly price index over lineitem: how much does the
+    * BASE month's basket cost in month m, relative to what it cost in
+    * the base month — the inflation read that separates price movement
+    * from mix shift (a plain avg-price series confounds the two when
+    * cheap parts gain share). Matched-sample: each month prices only
+    * the parts it shares with the base basket.
+    *
+    * Exactness: unit prices are integer-scaled with LONG floor-division
+    * ((cents * 1e6) div qty — no doubles), basket terms are summed as
+    * decimal(38) so a 100 TB month cannot overflow, and the single
+    * final divide of two exact integers is engine-neutral.
+    * Scale shape: one (part, month) partial-first aggregate, a
+    * broadcast of the one-row base month, a join on part, and a
+    * months-sized output frame.
+    */
+  def priceIndexLaspeyres(lineitem: DataFrame): DataFrame = {
+    import Num.trunc4
+    val pm = lineitem
+      .groupBy(col("l_partkey").as("part"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(sum(round(col("l_extendedprice") * 100d).cast("long")).cast("long").as("cents"),
+        sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+      .withColumn("up6", expr("(cents * 1000000L) div qty"))
+    val base = pm.agg(min(col("month")).as("bm"))
+    val baseQ = pm.join(broadcast(base), col("month") === col("bm"))
+      .select(col("part"), col("qty").as("qb"), col("up6").as("ub6"))
+    pm.join(baseQ, "part")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("qb").cast("decimal(19,0)") * col("up6").cast("decimal(19,0)")).as("num"),
+        sum(col("qb").cast("decimal(19,0)") * col("ub6").cast("decimal(19,0)")).as("den"))
+      .select(col("month"), col("n_parts"),
+        trunc4(col("num").cast("double") / col("den").cast("double")).as("index4"))
+      .orderBy(col("month"))
+  }
+
   /** Wald–Wolfowitz runs test on the direction of daily revenue: are
     * up/down days randomly interleaved, or do they clump (momentum) or
     * alternate (mean reversion)? The sign sequence +/- (zero-change

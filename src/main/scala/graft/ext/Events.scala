@@ -598,6 +598,46 @@ object Events {
       .orderBy(col("channel"))
   }
 
+  /** Cumulative lifetime value per signup cohort: users are cohorted by
+    * the month of their FIRST event; purchase revenue is accumulated by
+    * months-since-signup and divided by cohort size — the LTV curve
+    * marketing reads payback periods off, and the cohort-quality
+    * comparison (are newer cohorts monetizing faster?) that a plain
+    * revenue timeseries can't answer. Revenue stays exact integer cents
+    * through the cumulative window; the single per-row divide by cohort
+    * size is engine-neutral. Scale shape: one per-user reduce for
+    * cohorts, one (cohort, age) partial-first aggregate, and a window
+    * over the tiny cohort x age frame, partitioned per cohort.
+    */
+  def cohortLtv(eventsRaw: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val e = normalizeTs(eventsRaw)
+    val firstMonth = e.groupBy(col("user_id"))
+      .agg(min(date_trunc("month", col("ts"))).as("cohort_ts"))
+      .select(col("user_id"), to_date(col("cohort_ts")).as("cohort"))
+    val cohortSizes = firstMonth.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(date_trunc("month", col("ts"))).as("month"),
+        round(col("value") * 100d).cast("long").as("cents"))
+    val byAge = purchases.join(firstMonth, "user_id")
+      .select(col("cohort"),
+        (months_between(col("month"), col("cohort"))).cast("long").as("age_months"),
+        col("cents"))
+      .groupBy(col("cohort"), col("age_months"))
+      .agg(sum(col("cents")).cast("long").as("rev_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w).cast("long"))
+      .join(cohortSizes, "cohort")
+      .select(col("cohort"), col("age_months"), col("n_users"),
+        (col("cum_cents").cast("double") / 100.0).as("cum_revenue"),
+        trunc4(col("cum_cents").cast("double") / col("n_users").cast("double") / 100.0)
+          .as("ltv_per_user4"))
+      .orderBy(col("cohort"), col("age_months"))
+  }
+
   /** Peak session concurrency per day — the capacity-planning number
     * (how many sessions were EVER simultaneously open?) that daily
     * session COUNTS can't give: 1000 sequential sessions and 1000
