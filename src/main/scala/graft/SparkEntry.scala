@@ -643,6 +643,10 @@ object SparkEntry {
     "q_cohorts" -> ((s, dir) => Aggregates.cohortRetention(rd(s, dir, "orders"))),
     // per-source exact-duplicate mass report
     "d_dup_profile" -> ((s, dir) => Dedup.dupProfileBySource(rd(s, dir, "documents"))),
+    // provenance: WHICH feeds mirror each other (head-fingerprint pair
+    // matrix — re-scrapes differ in tail boilerplate; diagonal =
+    // same-source re-posts)
+    "d_source_overlap" -> ((s, dir) => Dedup.sourceOverlapMatrix(rd(s, dir, "documents"))),
     // step-relative int8 quantization error per label
     "e_quantize_error" -> ((s, dir) => Similarity.quantizeError(rd(s, dir, "embeddings"))),
     // pairwise Jensen-Shannon divergence between language unigram LMs
@@ -2791,6 +2795,20 @@ f AS (SELECT o_custkey, MIN(m) AS cm FROM om GROUP BY 1)
 SELECT CAST(cm AS BIGINT) AS cohort_month, CAST(om.m - cm AS BIGINT) AS month_offset,
   COUNT(DISTINCT om.o_custkey) AS n_active
 FROM om JOIN f USING (o_custkey) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d_source_overlap" ->
+      """WITH fp AS (SELECT source,
+    md5(array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ')) AS fp
+  FROM documents),
+g AS (SELECT fp, source, CAST(COUNT(*) AS BIGINT) AS c FROM fp GROUP BY 1, 2),
+diag AS (SELECT source AS source_a, source AS source_b,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_dup_pairs
+         FROM g WHERE c > 1 GROUP BY 1, 2),
+crossp AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS n_dup_pairs
+           FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+           GROUP BY 1, 2)
+SELECT * FROM (SELECT * FROM diag UNION ALL SELECT * FROM crossp)
+ORDER BY source_a, source_b""",
     "d_dup_profile" ->
       """WITH fp AS (SELECT source, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
   FROM documents),

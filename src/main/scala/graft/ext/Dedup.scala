@@ -55,6 +55,46 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many identical-document pairs they share — the provenance read
+    * [[dupProfileBySource]]'s per-source totals can't give: it names
+    * WHICH feeds mirror each other (the same crawl bought twice, a
+    * dataset vendored inside another), which is what you need to
+    * decide which source to drop. Same-source pairs sit on the
+    * diagonal, so internal re-posts and cross-feed copies are
+    * separated. Matching is on a HEAD fingerprint (md5 of the first
+    * `headTokens` tokens): re-scrapes of the same article carry
+    * different boilerplate TAILS (footers, related-links blocks), so a
+    * whole-text hash misses exactly the cross-feed copies this report
+    * exists to find. Scale shape: one fingerprint aggregate to
+    * (fp, source) counts, then pair generation per fingerprint GROUP
+    * (bounded by per-fp source multiplicity, never a corpus
+    * self-join); exact integer pair counts n*(n-1)/2 and n_a*n_b from
+    * the group sizes.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, headTokens: Int = 40): DataFrame = {
+    val bySrc = graft.Tables.spread(docs)
+      .select(col("source"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, headTokens))).as("fp"))
+      .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("c"))
+    // diagonal: pairs within one source's copies of the same fp
+    val diag = bySrc.filter(col("c") > 1)
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        expr("(c * (c - 1)) div 2").cast("long").as("n_pairs"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("n_pairs")).cast("long").as("n_dup_pairs"))
+    // off-diagonal: cross products of per-source counts for the same fp
+    val cross = bySrc.as("a")
+      .join(bySrc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        (col("a.c") * col("b.c")).cast("long").as("n_pairs"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("n_pairs")).cast("long").as("n_dup_pairs"))
+    diag.unionByName(cross)
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Hottest n-gram shingles: the top-k shingles by document
     * frequency, with their share of the corpus — the diagnostic read
     * BEFORE tuning [[ngramJaccardPairs]]' df-cap: a shingle present in
