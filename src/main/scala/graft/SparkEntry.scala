@@ -750,6 +750,9 @@ object SparkEntry {
     "q_runs_test" -> ((s, dir) => Aggregates.revenueRunsTest(rd(s, dir, "orders"))),
     // inflation vs mix shift: base-basket monthly price index
     "q_price_index" -> ((s, dir) => Aggregates.priceIndexLaspeyres(rd(s, dir, "lineitem"))),
+    // order-3 basket structure with an explicit mega-basket cap
+    "q_brand_triples" -> ((s, dir) =>
+      Aggregates.brandTriples(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
     // local spikes the global z-score misses: strictly-above-neighbors
     // days ranked by prominence ratio
     "q_peaks" -> ((s, dir) => Aggregates.revenuePeaks(rd(s, dir, "orders"))),
@@ -3413,6 +3416,18 @@ SELECT t, n_risk, d AS d_churn, CAST(obs_n - d AS BIGINT) AS n_censored,
   CASE WHEN d = n_risk THEN 0.0
        ELSE floor(exp(CAST(cum8 AS DOUBLE) / 100000000.0) * 10000) / 10000.0 END AS surv4
 FROM c ORDER BY t""",
+    "q_brand_triples" ->
+      """WITH items AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+ok AS (SELECT o FROM items GROUP BY o HAVING COUNT(*) >= 3 AND COUNT(*) <= 15),
+it AS (SELECT items.* FROM items JOIN ok USING (o))
+SELECT a.b AS brand_a, b.b AS brand_b, c.b AS brand_c,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM it a JOIN it b ON a.o = b.o AND a.b < b.b
+JOIN it c ON a.o = c.o AND b.b < c.b
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 5
+ORDER BY n_orders DESC, brand_a, brand_b, brand_c LIMIT 25""",
     "q_price_index" ->
       """WITH pm AS (SELECT l_partkey AS part, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,

@@ -630,6 +630,37 @@ object Aggregates {
       trunc4(lit(qs(2)) / 100.0).as("slope_p90_4"))
   }
 
+  /** Frequent brand TRIPLES by basket support — the order-3 extension
+    * of pairwise affinity (pairs miss "A and B only sell together when
+    * C is present" bundle structure). The combinatorial hazard is
+    * managed explicitly: baskets are DISTINCT (order, brand) sets, and
+    * orders with more than `maxBasket` distinct brands are dropped
+    * BEFORE pair generation — a degenerate mega-basket otherwise
+    * contributes C(n,3) rows on one join key (the same d-squared skew
+    * bomb as a hot shingle; here it's d-cubed). Generation is two
+    * self-equi-joins on the order key (co-partitioned after one
+    * exchange), a partial-first support count, and TakeOrdered top-k.
+    */
+  def brandTriples(lineitem: DataFrame, part: DataFrame,
+      maxBasket: Int = 15, minSupport: Long = 5, k: Int = 25): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand").as("b")), "l_partkey")
+      .select(col("o"), col("b")).distinct()
+    val ok = items.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 3 && col("sz") <= maxBasket).select(col("o"))
+    val it = items.join(ok, Seq("o"), "left_semi")
+    val x = it.select(col("o"), col("b").as("brand_a"))
+    val y = it.select(col("o"), col("b").as("brand_b"))
+    val z = it.select(col("o"), col("b").as("brand_c"))
+    x.join(y, Seq("o")).filter(col("brand_a") < col("brand_b"))
+      .join(z, Seq("o")).filter(col("brand_b") < col("brand_c"))
+      .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+      .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"), col("brand_c"))
+      .limit(k)
+  }
+
   /** Laspeyres monthly price index over lineitem: how much does the
     * BASE month's basket cost in month m, relative to what it cost in
     * the base month — the inflation read that separates price movement
