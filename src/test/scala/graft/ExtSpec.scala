@@ -1254,6 +1254,44 @@ class ExtSpec extends SparkSpec {
     assert(rc.getAs[Double]("global_cc") === 0.0)
   }
 
+  test("cohortLtv: cumulative per-user revenue by cohort age") {
+    import spark.implicits._
+    def ts(m: Int, d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2025, m, d).atTime(9, 0))
+    // u1,u2 cohort Jan (u2 never buys); u3 cohort Feb.
+    val ev = Seq(
+      (1L, ts(1, 5), "purchase", 10.00), (2L, ts(1, 6), "view", 0.0),
+      (1L, ts(2, 5), "purchase", 5.00), (3L, ts(2, 1), "purchase", 7.00))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = Events.cohortLtv(ev).collect()
+      .map(x => (x.getAs[java.sql.Date]("cohort").toString, x.getAs[Long]("age_months")) -> x)
+      .toMap
+    // Jan cohort: 2 users; age 0 rev 10 -> 5.0/user; age 1 cum 15 -> 7.5/user
+    assert(r(("2025-01-01", 0L)).getAs[Double]("ltv_per_user4") === 5.0)
+    assert(r(("2025-01-01", 1L)).getAs[Double]("cum_revenue") === 15.0)
+    assert(r(("2025-01-01", 1L)).getAs[Double]("ltv_per_user4") === 7.5)
+    // Feb cohort: 1 user, 7.00 at age 0
+    assert(r(("2025-02-01", 0L)).getAs[Long]("n_users") === 1L)
+    assert(r(("2025-02-01", 0L)).getAs[Double]("ltv_per_user4") === 7.0)
+  }
+
+  test("priceIndexLaspeyres: pure price doubling doubles the index") {
+    import spark.implicits._
+    def d(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2025, m, 10).atTime(0, 0))
+    // two parts, same quantities both months; part 1 price doubles,
+    // part 2 stays -> index = (q1*2p1 + q2*p2)/(q1*p1 + q2*p2)
+    val li = Seq(
+      (1L, d(1), 10.0, 2L), (2L, d(1), 20.0, 1L),
+      (1L, d(2), 20.0, 2L), (2L, d(2), 20.0, 1L))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+    val r = Aggregates.priceIndexLaspeyres(li).collect()
+      .map(x => x.getAs[java.sql.Date]("month").toString -> x).toMap
+    assert(r("2025-01-01").getAs[Double]("index4") === 1.0)
+    // base basket cost 2*5+1*20=30 cents-scale; feb: 2*10+1*20=40 -> 1.3333
+    assert(r("2025-02-01").getAs[Double]("index4") === 1.3333)
+  }
+
   test("peakConcurrency: overlap counts, sequential does not") {
     import spark.implicits._
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(
