@@ -1087,7 +1087,75 @@ object SparkEntry {
     "st_dedup" -> ((s, dir) => StreamingOps.dedupUsersByTypeStream(s, dir)),
     "st_enrich_segment" -> ((s, dir) => StreamingOps.enrichedSegmentStream(s, dir)),
     "st_sessions" -> ((s, dir) => StreamingOps.sessionCountsStream(s, dir)),
-    "st_click_view_join" -> ((s, dir) => StreamingOps.clickViewJoinStream(s, dir))
+    "st_click_view_join" -> ((s, dir) => StreamingOps.clickViewJoinStream(s, dir)),
+    // BM25 ranked retrieval: rare terms (df=25 'dup') outweigh common
+    // ones, long docs length-normalized — the ranking upgrade over
+    // d_search's raw-tf ordering
+    "d_bm25" -> ((s, dir) =>
+      TextOps.searchBm25(rd(s, dir, "documents"), Seq("dup", "merge", "vector"), 20)),
+    // brand-revenue concentration (HHI) within each customer nation
+    "q_hhi" -> ((s, dir) => Aggregates.herfindahlByNation(
+      rd(s, dir, "lineitem"), rd(s, dir, "orders"), rd(s, dir, "customer"),
+      rd(s, dir, "nation"), rd(s, dir, "part"))),
+    // ABC/Pareto classification of parts by revenue (80/95 cuts on
+    // exact integer cumulative shares)
+    "q_abc" -> ((s, dir) => Aggregates.abcClassification(rd(s, dir, "lineitem"))),
+    // one-row association summary over segment x priority: chi2,
+    // Cramér's V, mutual information
+    "q_association" -> ((s, dir) => Aggregates.associationStats(
+      rd(s, dir, "orders"), rd(s, dir, "customer"))),
+    // does daily order VOLUME predict daily REVENUE k days ahead?
+    "q_cross_corr" -> ((s, dir) => Aggregates.crossCorrelation(rd(s, dir, "orders"))),
+    // monthly acquisition split: first-ever-order customers vs returning
+    "q_new_returning" -> ((s, dir) => Aggregates.newVsReturning(rd(s, dir, "orders"))),
+    // Matryoshka audit: does the top-10 survive ranking on only the
+    // first 32 of 64 dims? union of both top-k sets with flags
+    "e_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaOverlap(rd(s, dir, "embeddings"), 0L, 10, 32)),
+    // int8-quantization retrieval audit: float top-10 vs fully
+    // quantized-index top-10 (recall@10 readable off the flag columns)
+    "e_recall_int8" -> ((s, dir) =>
+      Similarity.int8RetrievalOverlap(rd(s, dir, "embeddings"), 0L, 10)),
+    // deterministic synchronous label-propagation communities on the
+    // high-quantity co-purchase graph (same edge set as q_kcore)
+    "q_lpa_communities" -> ((s, dir) => {
+      val items = rd(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 43)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      Graph.lpaCommunities(pairs, "pa", "pb", 3)
+    }),
+    // exact integer-grid Lloyd k-means (k=4, 2 rounds, seeded on
+    // vec_id 0..3) — the oracle-gated sibling of the no_oracle IVF
+    "e_kmeans" -> ((s, dir) =>
+      Similarity.kmeansExact(rd(s, dir, "embeddings"), 4, 2)),
+    // top cross-user session-overlap pairs via the binned interval join
+    "q_session_overlap" -> ((s, dir) =>
+      Events.sessionOverlapPairs(rd(s, dir, "events"), 30, 20)),
+    // deterministic-seed Laplace noisy counts (DP-style release)
+    "d_dp_counts" -> ((s, dir) => Curation.dpNoisyCounts(rd(s, dir, "documents"))),
+    // FK orphan sweep across the warehouse's declared relationships
+    "q_ref_integrity" -> ((s, dir) => Quality.referentialAudit(Seq(
+      ("customer.nationkey->nation", rd(s, dir, "customer"), "c_nationkey",
+        rd(s, dir, "nation"), "n_nationkey"),
+      ("lineitem.orderkey->orders", rd(s, dir, "lineitem"), "l_orderkey",
+        rd(s, dir, "orders"), "o_orderkey"),
+      ("lineitem.partkey->part", rd(s, dir, "lineitem"), "l_partkey",
+        rd(s, dir, "part"), "p_partkey"),
+      ("lineitem.suppkey->supplier", rd(s, dir, "lineitem"), "l_suppkey",
+        rd(s, dir, "supplier"), "s_suppkey"),
+      ("nation.regionkey->region", rd(s, dir, "nation"), "n_regionkey",
+        rd(s, dir, "region"), "r_regionkey"),
+      ("orders.custkey->customer", rd(s, dir, "orders"), "o_custkey",
+        rd(s, dir, "customer"), "c_custkey"),
+      ("supplier.nationkey->nation", rd(s, dir, "supplier"), "s_nationkey",
+        rd(s, dir, "nation"), "n_nationkey")))),
+    // per-frame byte/"pixel" stats over the stub-decoded payload
+    "m_pixel_stats" -> ((s, dir) =>
+      Multimodal.framePixelStats(rd(s, dir, "documents")))
   )
 
   private def joinQuery(s: SparkSession, dir: String, how: String): DataFrame =
@@ -1178,6 +1246,68 @@ p$i AS MATERIALIZED (SELECT u, v FROM p${i - 1}
 SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
 FROM (SELECT u AS x FROM p$rounds UNION ALL SELECT v FROM p$rounds)
 GROUP BY x ORDER BY node""")
+    sb.toString
+  }
+
+  /** Unrolled synchronous min-tie-break LPA mirroring
+    * Graph.lpaCommunities: same co-purchase edge set as kCoreSql, one
+    * MATERIALIZED CTE per round (adj is referenced every round; without
+    * materialization DuckDB re-inlines the whole prefix per round).
+    */
+  private val lpaSql: String = {
+    val rounds = 3
+    val sb = new StringBuilder
+    sb.append("""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 43),
+e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+adj AS MATERIALIZED (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT x AS node, x AS label FROM adj)""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+l$i AS MATERIALIZED (SELECT node, label FROM (
+  SELECT a.x AS node, p.label, COUNT(*) AS n,
+    ROW_NUMBER() OVER (PARTITION BY a.x ORDER BY COUNT(*) DESC, p.label) AS rn
+  FROM adj a JOIN l${i - 1} p ON p.node = a.y
+  GROUP BY a.x, p.label) WHERE rn = 1)""")
+    }
+    sb.append(s"""
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+FROM l$rounds ORDER BY node""")
+    sb.toString
+  }
+
+  /** Unrolled exact-integer Lloyd rounds mirroring
+    * Similarity.kmeansExact (k=4, rounds=2): grid-snapped points,
+    * integer squared distances, floor-divide centroid means.
+    */
+  private val kmeansSql: String = {
+    val k = 4
+    val rounds = 2
+    def assignCte(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, cluster, dist FROM (
+  SELECT p.vec_id, c.cluster,
+    CAST(SUM((p.x6 - c.c6) * (p.x6 - c.c6)) AS BIGINT) AS dist,
+    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+      ORDER BY SUM((p.x6 - c.c6) * (p.x6 - c.c6)), c.cluster) AS rn
+  FROM pts p JOIN $cents c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cluster) WHERE rn = 1)"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH pts AS MATERIALIZED (SELECT vec_id, pos - 1 AS dim,
+  CAST(floor(x * 1.0e6) AS BIGINT) AS x6
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding::DOUBLE[], 1) AS pos FROM embeddings)),
+c0 AS MATERIALIZED (SELECT vec_id AS cluster, dim, x6 AS c6 FROM pts WHERE vec_id < $k)""")
+    for (i <- 1 to rounds) {
+      sb.append(",\n" + assignCte(s"a$i", s"c${i - 1}"))
+      sb.append(s""",
+c$i AS MATERIALIZED (SELECT a.cluster, p.dim,
+  CAST(floor(CAST(SUM(p.x6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c6
+  FROM pts p JOIN a$i a ON a.vec_id = p.vec_id GROUP BY a.cluster, p.dim)""")
+    }
+    sb.append(",\n" + assignCte("afinal", s"c$rounds"))
+    sb.append("""
+SELECT vec_id, cluster, dist AS dist_sq6 FROM afinal ORDER BY vec_id""")
     sb.toString
   }
 
@@ -3716,6 +3846,224 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
 FROM events, m
 GROUP BY 1, 2, m.mx_us
 HAVING (CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) + 3600) * 1000000 <= m.mx_us - 7200000000
-ORDER BY 1, 2"""
+ORDER BY 1, 2""",
+    "d_bm25" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN ('dup', 'merge', 'vector') GROUP BY doc_id, w),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT t.doc_id,
+  CAST(floor(
+    (floor(ln((CAST(c.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0) * 1.0e8) / 1.0e8)
+    * (CAST(t.tf AS DOUBLE) * 2.2)
+    / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE)) / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))
+    * 1.0e8) AS BIGINT) AS s8
+  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id) CROSS JOIN corpus c)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+  floor(CAST(SUM(s8) AS DOUBLE) / 1.0e8 * 10000.0) / 10000.0 AS score
+FROM sc GROUP BY doc_id
+ORDER BY SUM(s8) DESC, doc_id LIMIT 20""",
+    "q_hhi" ->
+      """WITH cells AS (SELECT n.n_name, p.p_brand,
+  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+           CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS HUGEINT) AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+sh AS (SELECT n_name,
+  CAST(floor(CAST(rev AS DOUBLE) * 10000.0 / CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE)) AS BIGINT) AS share_bp
+  FROM cells)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_brands,
+  floor(CAST(SUM(share_bp * share_bp) AS DOUBLE) / 1.0e8 * 10000.0) / 10000.0 AS hhi
+FROM sh GROUP BY n_name ORDER BY n_name""",
+    "q_abc" ->
+      """WITH pp AS (SELECT l_partkey,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           CAST(round((1 - l_discount) * 100) AS BIGINT)) AS HUGEINT) AS rev
+  FROM lineitem GROUP BY 1),
+rk AS (SELECT l_partkey, rev,
+  SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+  SUM(rev) OVER () AS tot
+  FROM pp),
+cl AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                   WHEN cum * 100 <= tot * 95 THEN 'B'
+                   ELSE 'C' END AS abc_class, rev
+  FROM rk),
+ag AS (SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  SUM(rev) AS class_rev FROM cl GROUP BY 1)
+SELECT abc_class, n_parts,
+  CAST(class_rev AS DOUBLE) / 1.0e4 AS class_rev_cents,
+  floor(CAST(class_rev AS DOUBLE) / CAST(SUM(class_rev) OVER () AS DOUBLE) * 10000.0) / 10000.0 AS rev_share
+FROM ag ORDER BY abc_class""",
+    "q_association" ->
+      """WITH cells AS (SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+  CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+m AS (SELECT obs,
+  CAST(SUM(obs) OVER (PARTITION BY segment) AS BIGINT) AS rt,
+  CAST(SUM(obs) OVER (PARTITION BY priority) AS BIGINT) AS ct,
+  CAST(SUM(obs) OVER () AS BIGINT) AS nt,
+  CAST((SELECT COUNT(DISTINCT segment) FROM cells) AS BIGINT) AS nr,
+  CAST((SELECT COUNT(DISTINCT priority) FROM cells) AS BIGINT) AS nc
+  FROM cells),
+t AS (SELECT nt, nr, nc,
+  CAST(floor((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE))
+    * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE))
+    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e8) AS BIGINT) AS chi8,
+  CAST(floor(CAST(obs AS DOUBLE) / CAST(nt AS DOUBLE)
+    * (floor(ln(CAST(obs AS DOUBLE) * CAST(nt AS DOUBLE) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) * 1.0e8) / 1.0e8)
+    * 1.0e8) AS BIGINT) AS mi8
+  FROM m)
+SELECT nt AS n_total, (nr - 1) * (nc - 1) AS dof,
+  floor(CAST(SUM(chi8) AS DOUBLE) / 1.0e8 * 10000.0) / 10000.0 AS chi2,
+  floor(sqrt(CAST(SUM(chi8) AS DOUBLE) / 1.0e8 / (CAST(nt AS DOUBLE) * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))) * 10000.0) / 10000.0 AS cramers_v,
+  floor(CAST(SUM(mi8) AS DOUBLE) / 1.0e8 * 10000.0) / 10000.0 AS mutual_info_nats
+FROM t GROUP BY nt, nr, nc""",
+    "q_cross_corr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS sx, CAST(SUM(cents) AS HUGEINT) AS sy,
+  CAST(COUNT(*) AS HUGEINT) AS nn FROM daily),
+dev AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+  t.nn * CAST(cnt AS HUGEINT) - t.sx AS devx,
+  t.nn * CAST(cents AS HUGEINT) - t.sy AS devy
+  FROM daily, tot t),
+den AS (SELECT SUM(devx * devx) AS denx, SUM(devy * devy) AS deny FROM dev),
+num AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(a.devx * b.devy) AS num
+  FROM (SELECT unnest(range(8)) AS k) ks
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.rn = a.rn + ks.k
+  GROUP BY k)
+SELECT CAST(k AS BIGINT) AS k, n_pairs,
+  floor(CAST(num AS DOUBLE) / sqrt(CAST(den.denx AS DOUBLE) * CAST(den.deny AS DOUBLE)) * 10000.0) / 10000.0 AS cc4
+FROM num, den ORDER BY k""",
+    "q_new_returning" ->
+      """WITH om AS (SELECT o_custkey, CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS om
+  FROM orders),
+fm AS (SELECT o_custkey, MIN(om) AS first_month FROM om GROUP BY 1)
+SELECT o.om AS month,
+  CAST(COUNT(DISTINCT CASE WHEN o.om = f.first_month THEN o.o_custkey END) AS BIGINT) AS n_new,
+  CAST(COUNT(DISTINCT CASE WHEN o.om > f.first_month THEN o.o_custkey END) AS BIGINT) AS n_returning,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM om o JOIN fm f ON o.o_custkey = f.o_custkey
+GROUP BY 1 ORDER BY 1""",
+    "e_matryoshka" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv, (embedding::DOUBLE[])[1:32] AS qp
+  FROM embeddings WHERE vec_id = 0),
+fl AS (SELECT vec_id, floor((${cos("embedding::DOUBLE[]", "qv")}) * 10000) / 10000.0 AS cos_full
+  FROM embeddings, q WHERE vec_id <> 0
+  ORDER BY cos_full DESC, vec_id LIMIT 10),
+pr AS (SELECT vec_id, floor((${cos("(embedding::DOUBLE[])[1:32]", "qp")}) * 10000) / 10000.0 AS cos_prefix
+  FROM embeddings, q WHERE vec_id <> 0
+  ORDER BY cos_prefix DESC, vec_id LIMIT 10)
+SELECT COALESCE(fl.vec_id, pr.vec_id) AS vec_id,
+  CAST(CASE WHEN fl.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS in_full,
+  CAST(CASE WHEN pr.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS in_prefix,
+  fl.cos_full, pr.cos_prefix
+FROM fl FULL OUTER JOIN pr ON fl.vec_id = pr.vec_id
+ORDER BY 1""",
+    "e_recall_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dq AS (SELECT vec_id,
+  CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127.0 = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       ELSE list_transform(v, x -> CAST(CAST(floor(x / (list_max(list_transform(v, x2 -> abs(x2))) / 127.0) + 0.5) AS INTEGER) AS DOUBLE)
+                                   * (list_max(list_transform(v, x2 -> abs(x2))) / 127.0))
+  END AS v FROM e),
+qf AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qq AS (SELECT v AS qv FROM dq WHERE vec_id = 0),
+fl AS (SELECT e.vec_id, floor((${cos("e.v", "qf.qv")}) * 10000) / 10000.0 AS cos_float
+  FROM e, qf WHERE e.vec_id <> 0
+  ORDER BY cos_float DESC, e.vec_id LIMIT 10),
+qi AS (SELECT dq.vec_id, floor((${cos("dq.v", "qq.qv")}) * 10000) / 10000.0 AS cos_int8
+  FROM dq, qq WHERE dq.vec_id <> 0
+  ORDER BY cos_int8 DESC, dq.vec_id LIMIT 10)
+SELECT COALESCE(fl.vec_id, qi.vec_id) AS vec_id,
+  CAST(CASE WHEN fl.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS in_float,
+  CAST(CASE WHEN qi.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS in_int8,
+  fl.cos_float, qi.cos_int8
+FROM fl FULL OUTER JOIN qi ON fl.vec_id = qi.vec_id
+ORDER BY 1""",
+    "q_lpa_communities" -> lpaSql,
+    "e_kmeans" -> kmeansSql,
+    "q_session_overlap" ->
+      """WITH g AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+m AS (SELECT user_id, us,
+        SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g),
+s AS (SELECT user_id, session_id,
+        CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
+      FROM m GROUP BY user_id, session_id)
+SELECT a.user_id AS ua, CAST(a.session_id AS BIGINT) AS sa,
+  b.user_id AS ub, CAST(b.session_id AS BIGINT) AS sb,
+  LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us) AS overlap_us
+FROM s a JOIN s b
+  ON a.user_id < b.user_id AND a.end_us >= b.start_us AND b.end_us >= a.start_us
+ORDER BY overlap_us DESC, ua, sa, ub, sb LIMIT 20""",
+    "d_dp_counts" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+u AS (SELECT lang, source, n,
+  CAST(('0x' || substr(md5(lang || '|' || source || '|' || 'dp-v1'), 1, 8)) AS BIGINT)
+    / 4294967296.0 - 0.5 AS cd
+  FROM c)
+SELECT lang, source, n,
+  floor((CAST(n AS DOUBLE) + (-1.0) * sign(cd) *
+    (floor(ln(GREATEST(1.0e-12, 1.0 - 2.0 * abs(cd))) * 1.0e8) / 1.0e8)) * 10000.0) / 10000.0 AS noisy_n
+FROM u ORDER BY lang, source""",
+    "q_ref_integrity" ->
+      """SELECT * FROM (
+  SELECT 'customer.nationkey->nation' AS relationship,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_child,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS n_orphans
+  UNION ALL SELECT 'lineitem.orderkey->orders',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+  UNION ALL SELECT 'lineitem.partkey->part',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+  UNION ALL SELECT 'lineitem.suppkey->supplier',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+  UNION ALL SELECT 'nation.regionkey->region',
+    (SELECT COUNT(*) FROM nation),
+    (SELECT COUNT(*) FROM nation na LEFT JOIN region r ON na.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+  UNION ALL SELECT 'orders.custkey->customer',
+    (SELECT COUNT(*) FROM orders),
+    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+  UNION ALL SELECT 'supplier.nationkey->nation',
+    (SELECT COUNT(*) FROM supplier),
+    (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+) ORDER BY relationship""",
+    "m_pixel_stats" ->
+      """WITH f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+  substr(text, CAST(i * 32 + 1 AS INTEGER), 32) AS frame
+  FROM documents, (SELECT unnest(range(4)) AS i)
+  WHERE length(text) >= i * 32 + 1),
+px AS (SELECT doc_id, frame_idx,
+  CAST(ord(substr(frame, CAST(p AS INTEGER), 1)) AS BIGINT) AS b
+  FROM (SELECT doc_id, frame_idx, frame,
+          unnest(range(1, length(frame) + 1)) AS p FROM f))
+SELECT doc_id, frame_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_px,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(MIN(b) AS BIGINT) AS min_b,
+  CAST(MAX(b) AS BIGINT) AS max_b,
+  CAST(SUM(b) AS BIGINT) * 100 // COUNT(*) AS mean_b2
+FROM px GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx"""
   )
 }

@@ -1539,4 +1539,211 @@ object Aggregates {
       trunc4(dev * dev / expC).as("contrib4"))
       .orderBy(col("segment"), col("priority"))
   }
+
+  /** Market concentration: Herfindahl–Hirschman index of BRAND revenue
+    * share within each customer nation — the standard antitrust/catalog
+    * concentration read (HHI = sum of squared market shares, 1/n_brands
+    * for a perfectly even market, 1.0 for a monopoly).
+    *
+    * Scale shape: ONE fact shuffle (lineitem⋈orders on orderkey); part,
+    * customer and nation are broadcast dimensions; everything after the
+    * first aggregate is |nations × brands| rows. Shares are floored onto
+    * an integer basis-point grid and the HHI sums those squares as exact
+    * longs, so the cross-brand addition is order-free in any engine
+    * (the bp floor also documents the precision: ±1e-4 per share).
+    */
+  def herfindahlByNation(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, part: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(lineitem.sparkSession)
+    val priceC = round(col("l_extendedprice") * 100d).cast("long")
+    val disc1C = round((lit(1d) - col("l_discount")) * 100d).cast("long")
+    val cells = lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(Int128Sum.sumLong(priceC * disc1C, 0).cast("decimal(38,0)").as("rev"))
+    val tot = sum(col("rev")).over(Window.partitionBy(col("n_name")))
+    cells
+      .withColumn("share_bp",
+        floor(col("rev").cast("double") * lit(10000.0) / tot.cast("double")).cast("long"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("long").as("n_brands"),
+        sum(col("share_bp") * col("share_bp")).cast("long").as("hhi8"))
+      .select(col("n_name"), col("n_brands"),
+        trunc4(col("hhi8").cast("double") / lit(1.0e8)).as("hhi"))
+      .orderBy(col("n_name"))
+  }
+
+  /** ABC (Pareto) inventory classification: rank parts by revenue, cut
+    * the cumulative share at 80% (A) and 95% (B), report each class's
+    * size and revenue mass. The cut compares are pure integers
+    * (cum*100 ≤ tot*80 on exact cent-basis-point sums) — no float
+    * enters the classification at all.
+    *
+    * Scale shape: the fact table collapses to |parts| rows in one
+    * partial-first aggregate; the ranking window then runs over the
+    * part-level frame (a single-partition sort of the DIMENSION
+    * cardinality — the standard shape for a ranking report; at extreme
+    * part counts you'd range-partition the sort).
+    */
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    import Num.trunc4
+    Int128Sum.ensureRegistered(lineitem.sparkSession)
+    val priceC = round(col("l_extendedprice") * 100d).cast("long")
+    val disc1C = round((lit(1d) - col("l_discount")) * 100d).cast("long")
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(Int128Sum.sumLong(priceC * disc1C, 0).cast("decimal(38,0)").as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = sum(col("rev")).over(Window.partitionBy())
+    perPart
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("tot", tot)
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum(col("rev")).cast("decimal(38,0)").as("class_rev"))
+      .withColumn("rev_share",
+        trunc4(col("class_rev").cast("double") /
+          sum(col("class_rev")).over(Window.partitionBy()).cast("double")))
+      .select(col("abc_class"), col("n_parts"),
+        (col("class_rev").cast("double") / lit(1.0e4)).as("class_rev_cents"),
+        col("rev_share"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** One-row categorical-association summary over the
+    * segment × priority contingency (the decision layer on top of
+    * [[contingencyChi2]]'s per-cell decomposition): chi-square statistic,
+    * Cramér's V effect size, and mutual information (nats).
+    *
+    * Determinism: each cell's chi-square and MI contribution is floored
+    * onto an integer 1e-8 grid and summed as longs (order-free); the
+    * only libm calls are ln (snapped to the 1e-8 grid before the
+    * product) and one final correctly-rounded sqrt.
+    * Scale shape: one fact aggregate to |R×C| cells; everything after
+    * is window math over ~35 rows.
+    */
+  def associationStats(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import Num.{trunc4, trunc8}
+    val cells = orders
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).cast("long").as("obs"))
+    val rowT = sum(col("obs")).over(Window.partitionBy(col("segment"))).cast("long")
+    val colT = sum(col("obs")).over(Window.partitionBy(col("priority"))).cast("long")
+    val totT = sum(col("obs")).over(Window.partitionBy()).cast("long")
+    val nR = size(collect_set(col("segment")).over(Window.partitionBy())).cast("long")
+    val nC = size(collect_set(col("priority")).over(Window.partitionBy())).cast("long")
+    val m = cells
+      .withColumn("rt", rowT).withColumn("ct", colT).withColumn("nt", totT)
+      .withColumn("nr", nR).withColumn("nc", nC)
+    val obsD = col("obs").cast("double")
+    val ntD = col("nt").cast("double")
+    val expC = col("rt").cast("double") * col("ct").cast("double") / ntD
+    val dev = obsD - expC
+    val chiCell8 = floor(dev * dev / expC * lit(1.0e8)).cast("long")
+    val lnRatio = trunc8(log(obsD * ntD / (col("rt").cast("double") * col("ct").cast("double"))))
+    val miCell8 = floor(obsD / ntD * lnRatio * lit(1.0e8)).cast("long")
+    m.select(col("nt"), col("nr"), col("nc"),
+      chiCell8.as("chi8"), miCell8.as("mi8"))
+      .groupBy(col("nt"), col("nr"), col("nc"))
+      .agg(sum(col("chi8")).cast("long").as("chi2s8"),
+        sum(col("mi8")).cast("long").as("mis8"))
+      .select(
+        col("nt").as("n_total"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        trunc4(col("chi2s8").cast("double") / lit(1.0e8)).as("chi2"),
+        trunc4(sqrt(col("chi2s8").cast("double") / lit(1.0e8) /
+          (col("nt").cast("double") * least(col("nr") - 1, col("nc") - 1).cast("double"))))
+          .as("cramers_v"),
+        trunc4(col("mis8").cast("double") / lit(1.0e8)).as("mutual_info_nats"))
+  }
+
+  /** Lagged cross-correlation between the daily ORDER COUNT series and
+    * the daily REVENUE series (k = 0..maxLag, count leading): does
+    * order volume predict revenue k days ahead? Same exact-integer
+    * deviation trick as [[revenueAutocorr]] — dev = n·x − Σx held as
+    * decimal(38,0), so every product and sum is exact and order-free;
+    * the only floats are the final ratio and one correctly-rounded
+    * sqrt of an exact product.
+    */
+  def crossCorrelation(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    import Num.trunc4
+    require(maxLag >= 0, s"maxLag=$maxLag out of range")
+    Int128Sum.ensureRegistered(orders.sparkSession)
+    val wRn = Window.orderBy(col("day"))
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0)
+          .cast("long").as("cents"))
+    val tot = daily.agg(
+      sum(col("cnt")).cast("decimal(38,0)").as("sx"),
+      sum(col("cents")).cast("decimal(38,0)").as("sy"),
+      count(lit(1)).cast("decimal(38,0)").as("nn"))
+    val dev = daily
+      .withColumn("rn", row_number().over(wRn))
+      .crossJoin(broadcast(tot))
+      .select(col("rn"),
+        (col("nn") * col("cnt").cast("decimal(38,0)") - col("sx")).as("devx"),
+        (col("nn") * col("cents").cast("decimal(38,0)") - col("sy")).as("devy"))
+      .localCheckpoint(false) // referenced 3x below; one window pass only
+    val den = dev.agg(
+      sum(col("devx") * col("devx")).as("denx"),
+      sum(col("devy") * col("devy")).as("deny"))
+    val ks = orders.sparkSession.range(0, maxLag + 1).toDF("k")
+    val num = dev
+      .crossJoin(broadcast(ks))
+      .select(col("k"), (col("rn") + col("k")).as("rn2"), col("devx").as("dev_a"))
+      .join(dev.select(col("rn").as("rn2"), col("devy").as("dev_b")), "rn2")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dev_a") * col("dev_b")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        trunc4(col("num").cast("double") /
+          sqrt(col("denx").cast("double") * col("deny").cast("double"))).as("cc4"))
+      .orderBy(col("k"))
+  }
+
+  /** Monthly new-vs-returning customer split: for each order month, how
+    * many distinct customers placed their FIRST-ever order that month
+    * vs how many were returning, plus the order volume each group
+    * drove. The growth-accounting read behind every acquisition
+    * dashboard. Exact integer/date arithmetic end to end.
+    *
+    * Scale shape: one aggregate to |customers| first-order months, one
+    * broadcast-free co-shuffled join back on custkey (both sides hash
+    * on o_custkey), then a reaggregate to |months| rows.
+    */
+  def newVsReturning(orders: DataFrame): DataFrame = {
+    val monthExpr = date_trunc("month", to_date(col("o_orderdate"))).cast("date")
+    val first = orders
+      .groupBy(col("o_custkey"))
+      .agg(min(monthExpr).as("first_month"))
+    orders
+      .select(col("o_custkey"), monthExpr.as("om"))
+      .join(first, "o_custkey")
+      .groupBy(col("om").as("month"))
+      .agg(
+        countDistinct(when(col("om") === col("first_month"), col("o_custkey")))
+          .as("n_new"),
+        countDistinct(when(col("om") > col("first_month"), col("o_custkey")))
+          .as("n_returning"),
+        count(lit(1)).cast("long").as("n_orders"))
+      .orderBy(col("month"))
+  }
 }

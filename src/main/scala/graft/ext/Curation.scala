@@ -758,4 +758,39 @@ object Curation {
         min(col("v")).as("lo"), max(col("v")).as("hi"))
       .orderBy(col("g"), col("bin"))
   }
+
+  /** Differential-privacy-STYLE noisy count release over (lang, source)
+    * cells: sensitivity-1 counts plus Laplace(1/epsilon) noise drawn by
+    * inverse-CDF from an md5-SEEDED uniform — so the release is a
+    * deterministic, engine-neutral function of the cell labels and can
+    * be oracle-checked. (A production DP release draws from a
+    * non-reproducible CSPRNG; the MECHANISM — count + Laplace(Δ/ε),
+    * Dwork et al. 2006 — is exactly this, and the deterministic seed is
+    * what a pipeline uses to make reruns idempotent.)
+    *
+    * Determinism chain: u = first-8-hex(md5(lang|source|salt))/2^32 is
+    * exact in both engines; the single ln is snapped to the 1e-8 grid;
+    * sign/abs/multiply are fixed IEEE ops; the final value is trunc4'd.
+    * The ln argument is clamped at 1e-12 (u = 0.5 exactly would give
+    * ln 0), bounding |noise| at ~27.6/epsilon.
+    * Scale shape: one partial-first aggregate to |langs × sources|
+    * rows; the noise is a per-row projection.
+    */
+  def dpNoisyCounts(docs: DataFrame, epsilon: Double = 1.0): DataFrame = {
+    import graft.ext.Num.{trunc4, trunc8}
+    require(epsilon > 0, s"epsilon=$epsilon must be positive")
+    val counts = docs
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val h = conv(substring(
+      md5(concat_ws("|", col("lang"), col("source"), lit("dp-v1"))), 1, 8), 16, 10)
+      .cast("long")
+    val c = h.cast("double") / lit(4294967296.0) - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(c) *
+      trunc8(log(greatest(lit(1.0e-12), lit(1.0) - lit(2.0) * abs(c))))
+    counts
+      .select(col("lang"), col("source"), col("n"),
+        trunc4(col("n").cast("double") + noise).as("noisy_n"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

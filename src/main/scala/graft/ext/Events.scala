@@ -734,4 +734,46 @@ object Events {
           .otherwise(trunc4(exp(col("cum8").cast("double") / lit(1.0e8)))).as("surv4"))
       .orderBy(col("t"))
   }
+
+  /** Cross-user session-overlap pairs: the top-k pairs of sessions from
+    * DIFFERENT users with the longest wall-clock overlap — the
+    * "who is online together" read behind co-presence and
+    * shared-device/fraud analysis. Sessions come from the same
+    * 30-minute-gap construction as [[peakConcurrency]]; the pairing
+    * runs through [[graft.ops.Relational.intervalJoin]]'s bin
+    * decomposition (hour bins), NOT a quadratic theta-join — at scale
+    * the shuffle is (sessions × bins-covered), and only bin-cohabiting
+    * sessions ever meet. Overlap lengths are exact microsecond
+    * integers; ties break on the full pair id.
+    */
+  def sessionOverlapPairs(
+      eventsRaw: DataFrame,
+      gapMinutes: Int = 30,
+      k: Int = 20): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val sessions = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val a = sessions.select(col("user_id").as("ua"), col("session_id").as("sa"),
+      col("start_us").as("a_start"), col("end_us").as("a_end"))
+    val b = sessions.select(col("user_id").as("ub"), col("session_id").as("sb"),
+      col("start_us").as("b_start"), col("end_us").as("b_end"))
+    graft.ops.Relational.intervalJoin(
+        a, b, "a_start", "a_end", "b_start", "b_end", binUs = 3600L * 1000000L)
+      .filter(col("ua") < col("ub"))
+      .select(col("ua"), col("sa"), col("ub"), col("sb"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+      .orderBy(col("overlap_us").desc, col("ua"), col("sa"), col("ub"), col("sb"))
+      .limit(k)
+  }
 }

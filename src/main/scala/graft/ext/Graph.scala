@@ -363,4 +363,49 @@ object Graph {
       when(col("n_dir_edges") > 0 && den =!= 0.0, trunc4(num / den))
         .otherwise(lit(0.0)).as("assortativity4"))
   }
+
+  /** Synchronous, DETERMINISTIC label-propagation communities (Raghavan
+    * et al. 2007, made engine-neutral): labels start as the node id;
+    * each round every node simultaneously adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLEST label.
+    * Classic async LPA is order-dependent (visit order changes the
+    * result); the synchronous + min-tie-break formulation is a pure
+    * function of the graph, so the identical unrolled rounds run as
+    * chained CTEs in the oracle. A FIXED `rounds` count on both sides
+    * (no convergence polling) keeps the plan lazy and the comparison
+    * exact even if the labeling is still moving.
+    *
+    * Scale shape: each round is one co-partitioned join of the
+    * adjacency list (hash on the neighbor key) + a two-level aggregate
+    * (count per (node,label), then argmax via a per-node window over
+    * the count frame, which is at most |E| rows). Per-round
+    * `localCheckpoint(false)` bounds lineage like the other iterative
+    * ops here. Isolated nodes never appear in a pair table, so every
+    * node has >= 1 neighbor by construction.
+    */
+  def lpaCommunities(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of range")
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val adj = und.select(col("u").as("x"), col("v").as("y"))
+      .union(und.select(col("v").as("x"), col("u").as("y")))
+      .localCheckpoint(false) // joined once per round
+    var labels = adj.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x")).orderBy(col("n").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("y"), col("label")), Seq("y"))
+        .groupBy(col("x"), col("label")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("x").as("node"), col("label"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
 }

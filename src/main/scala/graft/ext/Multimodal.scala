@@ -104,4 +104,31 @@ object Multimodal {
       .agg(count(lit(1)).as("n_occurrences"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_occurrences") > 1)
       .orderBy(col("frame_md5"))
+
+  /** Per-frame "pixel" statistics (brightness-profile analogue): byte
+    * count, sum, min/max and an integer-scaled mean per sampled frame.
+    * The stub decode is byte-value-as-pixel; a real image codec would
+    * replace the `ascii(substring(...))` kernel with decoded luma and
+    * every aggregate below survives unchanged. Pure built-ins, all
+    * integer arithmetic (mean carried as floor(sum*100/n) — exact in
+    * any engine), fuses into the scan up to the (doc, frame) aggregate.
+    */
+  def framePixelStats(docs: DataFrame, frameChars: Int = 32, maxFrames: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(maxFrames - 1))).as("frame_idx"))
+      .filter(length(col("text")) >= col("frame_idx") * frameChars + 1)
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)").as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        explode(sequence(lit(1), length(col("frame")))).as("pos"), col("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        ascii(expr("substring(frame, pos, 1)")).cast("long").as("b"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(count(lit(1)).cast("long").as("n_px"),
+        sum(col("b")).cast("long").as("sum_b"),
+        min(col("b")).cast("long").as("min_b"),
+        max(col("b")).cast("long").as("max_b"))
+      .withColumn("mean_b2", expr("(sum_b * 100) div n_px"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 }

@@ -130,4 +130,31 @@ object Quality {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
       .orderBy(col("status"))
   }
+
+  /** Referential-integrity audit across a set of declared FK edges:
+    * one row per (child.fk -> parent.pk) relationship with the child
+    * row count and the orphan count (child rows whose FK value has no
+    * matching parent row; NULL FKs count as orphans — a row that can't
+    * prove its parent exists hasn't got one). The warehouse-wide
+    * constraint sweep run before trusting any join-based metric.
+    *
+    * Scale shape: each edge is one left_anti join — Spark broadcasts
+    * the parent's distinct-key projection when small (dimensions) and
+    * shuffle-antis otherwise; only (name, two counts) leave the
+    * executors. Edges are independent jobs unioned at the end, so the
+    * sweep parallelizes trivially across an orchestrator too.
+    */
+  def referentialAudit(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "no FK edges declared")
+    edges.map { case (name, child, fk, parent, pk) =>
+      val parents = parent.select(col(pk).as("__pk")).distinct()
+      val orphans = child.select(col(fk).as("__pk"))
+        .join(parents, Seq("__pk"), "left_anti")
+      child.agg(count(lit(1)).cast("long").as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).cast("long").as("n_orphans")))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("relationship"))
+  }
 }

@@ -1355,4 +1355,116 @@ FROM e ORDER BY vec_id"""
       .groupBy(col(labelCol), col("pred_label")).agg(count(lit(1)).as("n"))
       .orderBy(col(labelCol), col("pred_label"))
   }
+
+  /** Matryoshka-truncation retrieval audit: how much of the full-dim
+    * top-k survives when ranking on only the first `prefixDim`
+    * dimensions (the "can we store/serve a truncated index?" question
+    * behind MRL-style embeddings). Emits the UNION of both top-k sets
+    * with per-method membership flags and snapped cosines — the
+    * per-row form makes the overlap, the rank churn, and the score
+    * deltas all readable from one result.
+    *
+    * Scale shape: two broadcast-query brute-force sweeps (each one
+    * codegen'd graft_dot pass over the corpus + TakeOrderedAndProject)
+    * and a k-row outer join; the truncation itself is a zero-copy
+    * `slice` projected before the dot, so the prefix sweep reads
+    * prefixDim/dim of the vector bytes.
+    */
+  def matryoshkaOverlap(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 10,
+      prefixDim: Int = 32): DataFrame = {
+    val full = bruteForceTopK(embeddings, queryVecId, k)
+      .select(col("vec_id"), col("cos_sim").as("cos_full"))
+    val prefix = embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDim).as("embedding"))
+    val half = bruteForceTopK(prefix, queryVecId, k)
+      .select(col("vec_id"), col("cos_sim").as("cos_prefix"))
+    full.join(half, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"),
+        col("cos_full").isNotNull.cast("int").as("in_full"),
+        col("cos_prefix").isNotNull.cast("int").as("in_prefix"),
+        col("cos_full"), col("cos_prefix"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Quantization-impact-on-retrieval audit: the float top-k vs the
+    * top-k computed entirely on int8-DEQUANTIZED vectors (query
+    * included — the realistic serving path where the whole index is
+    * quantized). Union of both sets with membership flags; the flag
+    * columns ARE the recall@k statement (sum(in_float*in_int8)/k).
+    * Complements [[quantizeError]], which measures element residuals
+    * but says nothing about ranking survival.
+    */
+  def int8RetrievalOverlap(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val deq = dequantize(quantizeInt8(embeddings))
+    val fl = bruteForceTopK(embeddings, queryVecId, k)
+      .select(col("vec_id"), col("cos_sim").as("cos_float"))
+    val qi = bruteForceTopK(deq, queryVecId, k)
+      .select(col("vec_id"), col("cos_sim").as("cos_int8"))
+    fl.join(qi, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"),
+        col("cos_float").isNotNull.cast("int").as("in_float"),
+        col("cos_int8").isNotNull.cast("int").as("in_int8"),
+        col("cos_float"), col("cos_int8"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** EXACT, engine-neutral Lloyd k-means (fixed seeds, fixed rounds) —
+    * the oracle-checkable sibling of the approximate IVF trainer:
+    * centroids seed from vec_id 0..k-1, inputs snap onto an integer
+    * 1e-6 grid, and from there every distance, argmin and centroid
+    * update is pure integer / exact-double arithmetic, so the final
+    * assignment is a deterministic function of the input in ANY engine
+    * (the DuckDB oracle runs the identical unrolled rounds).
+    *
+    * Per round: assignment joins the exploded (vec_id, dim, x6) frame
+    * to the k·dim centroid table on `dim` (broadcast — the centroid
+    * table is k·dim rows), aggregates squared deltas per (vec, cluster)
+    * and argmins via a per-vec window; the update re-aggregates members
+    * per (cluster, dim) with an exact long sum and a floor-divide mean
+    * (exact: |sum| < 2^53 by the grid bound). The point frame is
+    * localCheckpoint'd once and reused every round.
+    *
+    * Scale: cost is rounds × |vecs|·dim·k join rows — the dense
+    * all-pairs work k-means fundamentally is; at larger k or corpus,
+    * mini-batching or the IVF trainer's sampled Lloyd is the path (this
+    * op is the exact small-k calibration/verification tool).
+    */
+  def kmeansExact(embeddings: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+    require(k >= 2 && rounds >= 1, s"k=$k rounds=$rounds out of range")
+    val pts = embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        floor(col("col") * lit(1.0e6)).cast("long").as("x6"))
+      .localCheckpoint(false) // reused by every round's join + update
+    def assign(cents: DataFrame): DataFrame = {
+      val d = col("x6") - col("c6")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))
+      pts.join(broadcast(cents), "dim")
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum(d * d).cast("long").as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("dist"))
+    }
+    var cents = pts.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("dim"), col("x6").as("c6"))
+    for (_ <- 1 to rounds) {
+      val a = assign(cents).select(col("vec_id"), col("cluster"))
+      cents = pts.join(a, "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(floor(sum(col("x6")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("c6"))
+        .localCheckpoint(false)
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cluster"), col("dist").as("dist_sq6"))
+      .orderBy(col("vec_id"))
+  }
 }

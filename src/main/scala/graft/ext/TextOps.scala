@@ -513,4 +513,62 @@ object TextOps {
       trunc4(slope).as("slope4"),
       trunc4((col("sy") - slope * col("sx")) / col("nt")).as("intercept4"))
   }
+
+  /** BM25 ranked retrieval (Robertson/Sparck-Jones, public literature):
+    * disjunctive query, score(D) = sum over matched terms of
+    * IDF(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), with
+    * IDF(t) = ln(1 + (N-df+0.5)/(df+0.5)). This is the ranking upgrade
+    * over [[searchConjunctive]]'s raw-tf ordering: rare terms weigh
+    * more, long documents are length-normalized.
+    *
+    * Scale shape: tf is one shuffle on (doc_id, term) restricted to the
+    * |terms| query terms (the isin filter reaches the scan, so the
+    * exploded stream is pruned before the exchange); df and the corpus
+    * stats (N, sum dl) are O(|terms|) / O(1) broadcasts; the final
+    * ordering is TakeOrderedAndProject. Nothing row-proportional leaves
+    * the executors except the matched docs' per-term rows.
+    *
+    * Cross-engine determinism: the only libm value (ln) is snapped to
+    * the 1e-8 grid (Num.trunc8) before use; each per-term score is then
+    * floored onto an integer 1e-8 grid and SUMMED AS LONGS, so the
+    * cross-term addition is exact and order-free in any engine. Ranking
+    * ties break on doc_id.
+    */
+  def searchBm25(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import graft.ext.Num.{trunc4, trunc8}
+    require(terms.nonEmpty, "need at least one query term")
+    val d = graft.Tables.spread(docs)
+    val dl = d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl"))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val joined = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val idf = trunc8(log(
+      (nD - col("df").cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+    val tfD = col("tf").cast("double")
+    val raw = idf * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    joined
+      .select(col("doc_id"), floor(raw * lit(1.0e8)).cast("long").as("s8"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s8")).as("score8"))
+      .orderBy(col("score8").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms"),
+        trunc4(col("score8").cast("double") / lit(1.0e8)).as("score"))
+  }
 }

@@ -182,6 +182,53 @@ object Relational {
     }
   }
 
+  /** Interval-OVERLAP join: pairs of rows whose CLOSED intervals
+    * [lStart,lEnd] and [rStart,rEnd] intersect (all four columns are
+    * non-negative long microseconds). The naive formulation is a
+    * quadratic theta-join; this uses the same bin-equi-join
+    * decomposition as [[rangeJoin]], generalized to two interval
+    * sides: each interval explodes to the `binUs`-wide bins it covers,
+    * the join is an EQUI-join on (keys, bin) with the exact overlap
+    * check as a post-filter, and each true pair is emitted EXACTLY
+    * once — only in the bin containing the overlap's start
+    * (max(lStart, rStart); floor-div is monotone, so that bin is
+    * max of the two start bins, computable per side before the join).
+    *
+    * Choose `binUs` on the order of the typical interval length:
+    * shorter bins explode long intervals into more rows, longer bins
+    * degrade back toward per-bin quadratic matching. Skew note: at
+    * 100 TB an interval spanning B bins costs B shuffle rows — cap
+    * pathological interval lengths upstream.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      binUs: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, expr, greatest, sequence}
+    require(binUs > 0, s"binUs=$binUs must be positive")
+    val l = left
+      .withColumn("__lsbin", expr(s"$lStart div ${binUs}L"))
+      .withColumn("__lbin", explode(sequence(
+        expr(s"$lStart div ${binUs}L"), expr(s"$lEnd div ${binUs}L"))))
+    val r0 = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"__rk_$k"))
+    val r = r0
+      .withColumn("__rsbin", expr(s"$rStart div ${binUs}L"))
+      .withColumn("__rbin", explode(sequence(
+        expr(s"$rStart div ${binUs}L"), expr(s"$rEnd div ${binUs}L"))))
+    val base = l("__lbin") === r("__rbin") &&
+      l(lEnd) >= r(rStart) && r(rEnd) >= l(lStart) &&
+      l("__lbin") === greatest(l("__lsbin"), r("__rsbin"))
+    val cond = keys.map(k => l(k) === r(s"__rk_$k")).foldLeft(base)(_ && _)
+    l.join(r, cond)
+      .drop(keys.map(k => s"__rk_$k") ++
+        Seq("__lbin", "__rbin", "__lsbin", "__rsbin"): _*)
+  }
+
   /** Salted equi-join for skewed keys: the big (left) side is split into
     * `salts` random sub-keys, the small-but-too-big-to-broadcast (right)
     * side is replicated once per salt, so one hot key fans out across

@@ -2380,4 +2380,223 @@ class ExtSpec extends SparkSpec {
       assert(r.getAs[Double]("expected4") === r.getAs[Long]("obs").toDouble)
     }
   }
+
+  test("searchBm25: rare term outranks common term; shorter doc wins at equal tf") {
+    import spark.implicits._
+    // 'rare' appears in 1 of 4 docs; 'common' in all 4
+    val docs = Seq(
+      (1L, "rare common pad pad"),
+      (2L, "common common pad pad"),
+      (3L, "common pad pad pad"),
+      (4L, "common pad")
+    ).toDF("doc_id", "text")
+    val r = TextOps.searchBm25(docs, Seq("rare", "common"), 10).collect()
+    // every doc matches 'common'; doc 1 additionally matches 'rare'
+    assert(r.length === 4)
+    assert(r.head.getAs[Long]("doc_id") === 1L) // IDF of the rare term dominates
+    assert(r.head.getAs[Long]("n_terms") === 2L)
+    // among equal-tf common-only docs (3 and 4), the SHORTER doc ranks higher
+    val ids = r.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.indexOf(4L) < ids.indexOf(3L))
+    assert(r.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("herfindahlByNation: monopoly brand gives HHI 1.0; even split halves it") {
+    import spark.implicits._
+    val nation = Seq((1L, "MONO"), (2L, "DUO")).toDF("n_nationkey", "n_name")
+    val customer = Seq((10L, 1L), (20L, 2L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 10L), (200L, 20L)).toDF("o_orderkey", "o_custkey")
+    val part = Seq((5L, "B1"), (6L, "B2")).toDF("p_partkey", "p_brand")
+    val lineitem = Seq(
+      (100L, 5L, 10.0, 0.0),             // MONO nation: all revenue on B1
+      (200L, 5L, 10.0, 0.0), (200L, 6L, 10.0, 0.0) // DUO: 50/50
+    ).toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val r = Aggregates.herfindahlByNation(lineitem, orders, customer, nation, part)
+      .collect().map(x => x.getAs[String]("n_name") -> x).toMap
+    assert(r("MONO").getAs[Long]("n_brands") === 1L)
+    assert(r("MONO").getAs[Double]("hhi") === 1.0)
+    assert(r("DUO").getAs[Long]("n_brands") === 2L)
+    assert(math.abs(r("DUO").getAs[Double]("hhi") - 0.5) < 1e-3)
+  }
+
+  test("abcClassification: one dominant part lands in A, tail in C, shares sum to ~1") {
+    import spark.implicits._
+    // part 1 carries 80% of revenue exactly; 4 tail parts carry 5% each
+    val rows = Seq((1L, 800.0)) ++ (2L to 5L).map(k => (k, 50.0))
+    val li = rows.toDF("l_partkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val r = Aggregates.abcClassification(li).collect()
+    val byClass = r.map(x => x.getAs[String]("abc_class") -> x).toMap
+    assert(byClass("A").getAs[Long]("n_parts") === 1L)
+    assert(r.map(_.getAs[Long]("n_parts")).sum === 5L)
+    val shares = r.map(_.getAs[Double]("rev_share")).sum
+    assert(shares > 0.999 && shares <= 1.0)
+    // cumulative ordering: A's revenue strictly largest
+    assert(byClass("A").getAs[Double]("class_rev_cents") === 800.0 * 100 * 100 / 1e4)
+  }
+
+  test("associationStats: exactly independent table gives zero chi2, V and MI") {
+    import spark.implicits._
+    val customer = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    val orders = (Seq.fill(2)((1L, "P")) ++ Seq.fill(4)((1L, "Q")) ++
+      Seq.fill(1)((2L, "P")) ++ Seq.fill(2)((2L, "Q")))
+      .toDF("o_custkey", "o_orderpriority")
+    val r = Aggregates.associationStats(orders, customer).head()
+    assert(r.getAs[Long]("n_total") === 9L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.0)
+    assert(r.getAs[Double]("cramers_v") === 0.0)
+    assert(math.abs(r.getAs[Double]("mutual_info_nats")) < 1e-6)
+  }
+
+  test("crossCorrelation: revenue proportional to volume gives cc=1 at lag 0") {
+    import spark.implicits._
+    val pattern = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3)
+    val orders = pattern.zipWithIndex.flatMap { case (p, i) =>
+      Seq.fill(p)((f"1995-03-${i + 1}%02d", 100.0)) // cents = cnt * 10000
+    }.toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val rows = Aggregates.crossCorrelation(orders, 3).collect()
+      .map(x => x.getAs[Long]("k") -> x.getAs[Double]("cc4")).toMap
+    assert(rows(0L) >= 0.9999 && rows(0L) <= 1.0)
+    assert(rows(1L) < 0.9) // the pattern is not shift-invariant
+  }
+
+  test("newVsReturning: first-month customers counted as new, later months returning") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "1995-01-10"), (1L, "1995-02-05"), (1L, "1995-02-20"),
+      (2L, "1995-02-11")
+    ).toDF("o_custkey", "o_orderdate")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
+    val r = Aggregates.newVsReturning(orders).collect()
+      .map(x => x.getAs[java.sql.Date]("month").toString -> x).toMap
+    assert(r("1995-01-01").getAs[Long]("n_new") === 1L)
+    assert(r("1995-01-01").getAs[Long]("n_returning") === 0L)
+    assert(r("1995-02-01").getAs[Long]("n_new") === 1L)
+    assert(r("1995-02-01").getAs[Long]("n_returning") === 1L)
+    assert(r("1995-02-01").getAs[Long]("n_orders") === 3L)
+  }
+
+  test("matryoshkaOverlap: planted prefix-vs-full disagreement is flagged") {
+    import spark.implicits._
+    // query (1,0,0,0); v1 matches on the FULL vector, v2 only on the prefix
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),    // cos_full = 1,     cos_prefix = 1
+      (2L, Array(0.5f, 0f, 10f, 0f)), // cos_full ~ 0.05,  cos_prefix = 1
+      (3L, Array(0.7f, 0.7f, 0f, 0f)) // cos_full ~ 0.707, cos_prefix ~ 0.707
+    ).toDF("vec_id", "embedding")
+    val r2 = Similarity.matryoshkaOverlap(emb, 0L, 2, 2).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r2(1L).getAs[Int]("in_full") === 1 && r2(1L).getAs[Int]("in_prefix") === 1)
+    // v2 only makes the cut on the truncated ranking, v3 only on the full one
+    assert(r2(2L).getAs[Int]("in_prefix") === 1 && r2(2L).getAs[Int]("in_full") === 0)
+    assert(r2(3L).getAs[Int]("in_full") === 1 && r2(3L).getAs[Int]("in_prefix") === 0)
+  }
+
+  test("int8RetrievalOverlap: well-separated corpus keeps recall@k = 1") {
+    import spark.implicits._
+    // cosines to the query are far apart (>> int8 quantization error)
+    val emb = (0L to 6L).map { i =>
+      val ang = i.toDouble * 0.2
+      (i, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.int8RetrievalOverlap(emb, 0L, 3).collect()
+    assert(r.length === 3) // identical top-3 under both rankings
+    assert(r.forall(x => x.getAs[Int]("in_float") === 1 && x.getAs[Int]("in_int8") === 1))
+    assert(r.forall(x => math.abs(
+      x.getAs[Double]("cos_float") - x.getAs[Double]("cos_int8")) < 0.02))
+  }
+
+  test("lpaCommunities: two disjoint triangles each converge to their min node id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("pa", "pb")
+    val r = Graph.lpaCommunities(pairs, "pa", "pb", 3).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("community")).toMap
+    assert(r.size === 6)
+    assert(Seq(1L, 2L, 3L).forall(n => r(n) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(n => r(n) === 10L))
+  }
+
+  test("kmeansExact: two obvious 1-D blobs split on the seeded clusters") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(10.0f)),           // seeds
+      (2L, Array(0.1f)), (3L, Array(0.2f)),
+      (4L, Array(9.9f)), (5L, Array(10.2f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansExact(emb, 2, 2).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("cluster")).toMap
+    assert(Seq(0L, 2L, 3L).forall(v => r(v) === 0L))
+    assert(Seq(1L, 4L, 5L).forall(v => r(v) === 1L))
+  }
+
+  test("intervalJoin: emits each overlapping pair exactly once across bin spans") {
+    import spark.implicits._
+    // bin width 10: intervals spanning multiple bins, overlap in various bins
+    val a = Seq((1L, 5L, 25L), (2L, 40L, 42L)).toDF("aid", "a_s", "a_e")
+    val b = Seq((10L, 8L, 12L),  // overlaps a1 in bins 0..1
+                (11L, 24L, 30L), // overlaps a1 only at bin 2 edge
+                (12L, 26L, 31L), // no overlap with a1 (starts after 25)
+                (13L, 35L, 41L)  // overlaps a2
+    ).toDF("bid", "b_s", "b_e")
+    val r = graft.ops.Relational.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e", 10L)
+      .select("aid", "bid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    assert(r.toSeq === Seq((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+
+  test("sessionOverlapPairs: two users online together measured exactly") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, 100L, ts(0)), (2L, 100L, ts(20)),   // user 100: 10:00-10:20
+      (3L, 200L, ts(10)), (4L, 200L, ts(30)),  // user 200: 10:10-10:30
+      (5L, 300L, ts(55))                       // user 300: point session, no overlap
+    ).toDF("event_id", "user_id", "ts")
+    val r = Events.sessionOverlapPairs(events, 30, 10).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("ua") === 100L && r.head.getAs[Long]("ub") === 200L)
+    assert(r.head.getAs[Long]("overlap_us") === 10L * 60L * 1000000L)
+  }
+
+  test("dpNoisyCounts: deterministic noise, bounded by the clamp, reproducible") {
+    import spark.implicits._
+    val docs = (Seq.fill(40)(("en", "s0")) ++ Seq.fill(10)(("fr", "s1")))
+      .toDF("lang", "source")
+    val r1 = Curation.dpNoisyCounts(docs).collect()
+    val r2 = Curation.dpNoisyCounts(docs).collect()
+    assert(r1.toSeq === r2.toSeq) // seeded: identical across runs
+    r1.foreach { x =>
+      val diff = math.abs(x.getAs[Double]("noisy_n") - x.getAs[Long]("n"))
+      assert(diff <= 27.7) // |Laplace| bounded by the 1e-12 clamp at eps=1
+    }
+  }
+
+  test("referentialAudit: planted orphans and null FKs are counted") {
+    import spark.implicits._
+    val parent = Seq((1L, "x"), (2L, "y")).toDF("pk", "v")
+    val child = Seq((10L, Some(1L)), (11L, Some(2L)), (12L, Some(99L)),
+      (13L, Option.empty[Long])).toDF("id", "fk")
+    val r = Quality.referentialAudit(Seq(("child->parent", child, "fk", parent, "pk")))
+      .head()
+    assert(r.getAs[Long]("n_child") === 4L)
+    assert(r.getAs[Long]("n_orphans") === 2L) // the 99 and the null
+  }
+
+  test("framePixelStats: byte stats computed exactly on a known string") {
+    import spark.implicits._
+    // 40 chars: frame 0 = 32 x 'A' (65), frame 1 = 8 x 'B' (66)
+    val docs = Seq((7L, "A" * 32 + "B" * 8)).toDF("doc_id", "text")
+    val r = Multimodal.framePixelStats(docs, 32, 4).collect()
+      .map(x => x.getAs[Long]("frame_idx") -> x).toMap
+    assert(r.size === 2)
+    assert(r(0L).getAs[Long]("n_px") === 32L)
+    assert(r(0L).getAs[Long]("sum_b") === 32L * 65)
+    assert(r(0L).getAs[Long]("min_b") === 65L && r(0L).getAs[Long]("max_b") === 65L)
+    assert(r(0L).getAs[Long]("mean_b2") === 6500L)
+    assert(r(1L).getAs[Long]("n_px") === 8L)
+    assert(r(1L).getAs[Long]("mean_b2") === 6600L)
+  }
 }
