@@ -1155,7 +1155,21 @@ object SparkEntry {
         rd(s, dir, "nation"), "n_nationkey")))),
     // per-frame byte/"pixel" stats over the stub-decoded payload
     "m_pixel_stats" -> ((s, dir) =>
-      Multimodal.framePixelStats(rd(s, dir, "documents")))
+      Multimodal.framePixelStats(rd(s, dir, "documents"))),
+    // streaming first-seen detection: one emission per user ever,
+    // O(1) state, rolled up to new-users-per-hour
+    "st_new_users" -> ((s, dir) => StreamingOps.newUsersStream(s, dir)),
+    // time travel: three snapshots land, the as-of read must pin the
+    // MIDDLE one (returning v0 or v5 instead fails the oracle hash)
+    "k20_time_travel" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/nation_tt"
+      val nation = rd(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Sinks.snapshotWrite(nation, tmp, 0)
+      Sinks.snapshotWrite(nation.filter(col("n_regionkey") < 3), tmp, 2)
+      Sinks.snapshotWrite(nation.limit(2), tmp, 5)
+      Sinks.readSnapshot(s, tmp, asOf = Some(3)).orderBy(col("n_nationkey"))
+    })
   )
 
   private def joinQuery(s: SparkSession, dir: String, how: String): DataFrame =
@@ -4064,6 +4078,14 @@ SELECT doc_id, frame_idx,
   CAST(MAX(b) AS BIGINT) AS max_b,
   CAST(SUM(b) AS BIGINT) * 100 // COUNT(*) AS mean_b2
 FROM px GROUP BY doc_id, frame_idx
-ORDER BY doc_id, frame_idx"""
+ORDER BY doc_id, frame_idx""",
+    "st_new_users" ->
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS us FROM events GROUP BY user_id)
+SELECT (us // 3600000000) * 3600 AS hour_epoch,
+  CAST(COUNT(*) AS BIGINT) AS n_new_users
+FROM f GROUP BY 1 ORDER BY 1""",
+    "k20_time_travel" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_regionkey < 3 ORDER BY n_nationkey"""
   )
 }

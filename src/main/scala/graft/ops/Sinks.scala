@@ -313,4 +313,54 @@ object Sinks {
     props.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }.save()
     df
   }
+
+  /** Versioned-snapshot table: each write lands a COMPLETE immutable
+    * copy under `path/v=<n>/` — the minimal time-travel layout (the
+    * idea behind every table format's snapshot log, without the
+    * transactional metadata layer). Old snapshots are never modified,
+    * so readers pinned to a version see stable data while writers land
+    * new versions; [[snapshotVersions]] is one driver-side directory
+    * listing (metadata-only, like a real format's log read) and
+    * [[readSnapshot]] reads exactly one snapshot directory — partition
+    * pruning by construction, no cross-version list-and-filter.
+    */
+  def snapshotWrite(df: DataFrame, path: String, version: Long): DataFrame = {
+    require(version >= 0, s"version=$version must be non-negative")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$version")
+    df
+  }
+
+  /** Versions present under a snapshot table root, ascending. */
+  def snapshotVersions(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+      .sorted
+  }
+
+  /** Time-travel read: the newest snapshot with version <= `asOf`
+    * (latest when `asOf` is None). Fails loudly when nothing qualifies
+    * — an as-of read silently returning a NEWER snapshot would defeat
+    * the whole point.
+    */
+  def readSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val versions = snapshotVersions(spark, path)
+    require(versions.nonEmpty, s"no snapshots under $path")
+    val pick = asOf match {
+      case None => versions.last
+      case Some(v) =>
+        val ok = versions.filter(_ <= v)
+        require(ok.nonEmpty, s"no snapshot at or before v=$v (have ${versions.mkString(",")})")
+        ok.last
+    }
+    spark.read.parquet(s"$path/v=$pick")
+  }
 }

@@ -481,4 +481,63 @@ object StreamingOps {
     }
     spark.read.parquet(target).orderBy(col("event_id"))
   }
+
+  /** Streaming NEW-USER detection: the first time a user_id is ever
+    * seen, emit exactly one (user, first-event-time) record — the
+    * stream-native "is this key new?" primitive behind CDC insert/
+    * update routing, first-touch attribution, and streaming exact
+    * dedup at the key level. Per-user state is a single boolean
+    * (O(1) forever, no event buffering); within a micro-batch the
+    * user's first row is selected by the (ts, event_id) total order,
+    * and once the flag is set every later occurrence is dropped
+    * without emitting. The tiny |users| first-touch stream is then
+    * rolled up per hour AFTER the drain — the stateful dedup is the
+    * streaming part, the rollup is a post-pass over the memory sink
+    * (same pattern as [[userEventCountsStream]]).
+    */
+  def newUsersStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long])
+      .as[(Long, Long, Long)]
+
+    def update(
+        user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        state: GroupState[Boolean]): Iterator[(Long, Long)] = {
+      if (state.exists) { while (rows.hasNext) rows.next(); Iterator.empty }
+      else {
+        var bestUs = Long.MaxValue
+        var bestEid = Long.MaxValue
+        rows.foreach { case (_, us, eid) =>
+          if (us < bestUs || (us == bestUs && eid < bestEid)) {
+            bestUs = us; bestEid = eid
+          }
+        }
+        state.update(true)
+        Iterator.single((user, bestUs))
+      }
+    }
+
+    val name = s"graft_stream_new_users_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, streamParts) {
+      val q = stream
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "first_us")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name)
+      .select(expr("(first_us div 3600000000L) * 3600").as("hour_epoch"))
+      .groupBy(col("hour_epoch"))
+      .agg(count(lit(1)).cast("long").as("n_new_users"))
+      .orderBy(col("hour_epoch"))
+  }
 }

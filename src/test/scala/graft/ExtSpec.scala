@@ -2599,4 +2599,39 @@ class ExtSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("n_px") === 8L)
     assert(r(1L).getAs[Long]("mean_b2") === 6600L)
   }
+
+  test("newUsersStream matches the batch first-seen rollup on the fixture") {
+    val streamed = graft.streaming.StreamingOps.newUsersStream(spark, sf()).collect()
+    val batch = graft.ext.Events.normalizeTs(t("events"))
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+      .select(org.apache.spark.sql.functions.expr("(first_us div 3600000000L) * 3600").as("hour_epoch"))
+      .groupBy(col("hour_epoch")).agg(count(lit(1)).cast("long").as("n_new_users"))
+      .orderBy(col("hour_epoch")).collect()
+    assert(streamed.toSeq === batch.toSeq)
+    // total new users across all windows = distinct users
+    assert(streamed.map(_.getAs[Long]("n_new_users")).sum ===
+      t("events").select(col("user_id")).distinct().count())
+  }
+
+  test("snapshot sink: as-of read pins the newest version at or before the ask") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt_spec").toString + "/t"
+    graft.ops.Sinks.snapshotWrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), tmp, 0)
+    graft.ops.Sinks.snapshotWrite(Seq((1, "a2")).toDF("k", "v"), tmp, 3)
+    graft.ops.Sinks.snapshotWrite(Seq((9, "z")).toDF("k", "v"), tmp, 7)
+    assert(graft.ops.Sinks.snapshotVersions(spark, tmp) === Seq(0L, 3L, 7L))
+    // asOf between versions -> floor; latest when unpinned; exact hit
+    assert(graft.ops.Sinks.readSnapshot(spark, tmp, Some(5)).collect().toSeq ===
+      Seq(org.apache.spark.sql.Row(1, "a2")))
+    assert(graft.ops.Sinks.readSnapshot(spark, tmp, Some(3)).collect().toSeq ===
+      Seq(org.apache.spark.sql.Row(1, "a2")))
+    assert(graft.ops.Sinks.readSnapshot(spark, tmp).collect().toSeq ===
+      Seq(org.apache.spark.sql.Row(9, "z")))
+    assert(graft.ops.Sinks.readSnapshot(spark, tmp, Some(0)).count() === 2L)
+    // asking for a version older than every snapshot must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Sinks.readSnapshot(spark, tmp, Some(-1))
+    }
+  }
 }
