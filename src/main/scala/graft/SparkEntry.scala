@@ -1159,6 +1159,22 @@ object SparkEntry {
     // streaming first-seen detection: one emission per user ever,
     // O(1) state, rolled up to new-users-per-hour
     "st_new_users" -> ((s, dir) => StreamingOps.newUsersStream(s, dir)),
+    // exact heavy hitters (> 0.5% of tokens): Misra-Gries per-partition
+    // candidates + exact verify — sketch bounds the shuffle, output exact
+    "d_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(rd(s, dir, "documents"), 5000, 400)),
+    // two-feature closed-form OLS: order total ~ line count + quantity
+    "q_mlr2" -> ((s, dir) =>
+      Aggregates.mlr2(rd(s, dir, "orders"), rd(s, dir, "lineitem"))),
+    // consistent bottom-k-by-hash sample: exactly 50 rows, append-stable
+    "d_sample_fixed_k" -> ((s, dir) =>
+      Cleaning.sampleFixedK(
+        rd(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars")),
+        "doc_id", 50)),
+    // RAKE-style keyphrase extraction: stopword-delimited runs scored
+    // by integer-grid degree/frequency word scores
+    "d_keyphrases" -> ((s, dir) => TextOps.keyPhrases(rd(s, dir, "documents"))),
     // time travel: three snapshots land, the as-of read must pin the
     // MIDDLE one (returning v0 or v5 instead fails the oracle hash)
     "k20_time_travel" -> ((s, dir) => {
@@ -4086,6 +4102,71 @@ SELECT (us // 3600000000) * 3600 AS hour_epoch,
 FROM f GROUP BY 1 ORDER BY 1""",
     "k20_time_travel" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
-WHERE n_regionkey < 3 ORDER BY n_nationkey"""
+WHERE n_regionkey < 3 ORDER BY n_nationkey""",
+    "d_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY term)
+SELECT term, n, tot.n_total,
+  floor(CAST(n AS DOUBLE) / CAST(tot.n_total AS DOUBLE) * 10000.0) / 10000.0 AS share
+FROM c, tot WHERE n * 1000000 > tot.n_total * 5000
+ORDER BY n DESC, term""",
+    "q_mlr2" ->
+      """WITH po AS (SELECT l_orderkey,
+  CAST(COUNT(*) AS BIGINT) AS x1,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+  FROM lineitem GROUP BY 1),
+j AS (SELECT po.x1, po.x2, CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey),
+m AS (SELECT
+  CAST(CAST(COUNT(*) AS HUGEINT) AS DOUBLE) AS n,
+  CAST(CAST(SUM(CAST(x1 AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s1,
+  CAST(CAST(SUM(CAST(x2 AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s2,
+  CAST(CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sy,
+  CAST(CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS DOUBLE) AS s11,
+  CAST(CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS DOUBLE) AS s12,
+  CAST(CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS DOUBLE) AS s22,
+  CAST(CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS s1y,
+  CAST(CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS s2y,
+  CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS syy
+  FROM j),
+b AS (SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy,
+  (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))
+    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b0,
+  (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))
+    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b1,
+  (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))
+    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)) AS b2
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_orders,
+  floor(b0 * 10000.0) / 10000.0 AS b0_cents,
+  floor(b1 * 10000.0) / 10000.0 AS b1_cents_per_line,
+  floor(b2 * 10000.0) / 10000.0 AS b2_cents_per_unit,
+  floor((1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n)) * 10000.0) / 10000.0 AS r2
+FROM b""",
+    "d_sample_fixed_k" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+  FROM documents ORDER BY h, doc_id LIMIT 50)
+ORDER BY doc_id""",
+    "d_keyphrases" ->
+      """WITH toks AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+runs AS (SELECT doc_id, pos, w,
+  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks WHERE w NOT IN ('a', 'the')),
+ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+  CAST(COUNT(*) AS BIGINT) AS len
+  FROM runs GROUP BY doc_id, grp HAVING COUNT(*) BETWEEN 2 AND 4),
+mem AS (SELECT r.doc_id, r.grp, r.w, p.len, p.phrase
+  FROM runs r JOIN ph p USING (doc_id, grp)),
+ws AS (SELECT w, (CAST(SUM(len) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS score6
+  FROM mem GROUP BY w),
+ps AS (SELECT m.doc_id, m.grp, m.phrase, CAST(SUM(ws.score6) AS BIGINT) AS pscore6
+  FROM mem m JOIN ws USING (w) GROUP BY m.doc_id, m.grp, m.phrase)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+  CAST(MAX(pscore6) AS BIGINT) AS score6
+FROM ps GROUP BY phrase ORDER BY score6 DESC, phrase LIMIT 25"""
   )
 }

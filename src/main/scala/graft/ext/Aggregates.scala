@@ -1729,6 +1729,72 @@ object Aggregates {
     * broadcast-free co-shuffled join back on custkey (both sides hash
     * on o_custkey), then a reaggregate to |months| rows.
     */
+  /** Two-feature ordinary least squares via the closed-form normal
+    * equations (Cramer's rule on the 3×3 moment matrix): order total
+    * (cents) regressed on line count and total quantity — "how much
+    * does one more line vs one more unit move the bill". Extends
+    * [[revenueTrendOls]]-style single-feature fits to MULTIPLE
+    * regression without any iterative solver.
+    *
+    * Determinism: every moment (Σx, Σx², Σxy, …) is an exact
+    * DECIMAL(38,0) sum of integer products — order-free in any engine —
+    * then cast once to double (correctly rounded in both engines);
+    * the Cramer determinants and divisions are a fixed IEEE expression
+    * tree over those ten doubles, mirrored token-for-token in the
+    * oracle; outputs are trunc4'd.
+    * Scale shape: one co-partitioned lineitem→orders join (both sides
+    * hash on the order key), one partial-first aggregate to a single
+    * moment row; the algebra is O(1).
+    */
+  def mlr2(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import Num.trunc4
+    val perOrder = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("long").as("x1"),
+        sum(col("l_quantity").cast("long")).cast("long").as("x2"))
+      .join(orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100d).cast("long").as("y")),
+        col("l_orderkey") === col("o_orderkey"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = perOrder.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x1")) * col("x1")).as("s11"),
+      sum(dec(col("x1")) * col("x2")).as("s12"),
+      sum(dec(col("x2")) * col("x2")).as("s22"),
+      sum(dec(col("x1")) * col("y")).as("s1y"),
+      sum(dec(col("x2")) * col("y")).as("s2y"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val d = m.select(Seq("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+      .map(c => col(c).cast("double").as(c)): _*)
+    val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val withB = d
+      .withColumn("b0", det0 / det)
+      .withColumn("b1", det1 / det)
+      .withColumn("b2", det2 / det)
+    val sse = col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") -
+      col("b2") * col("s2y")
+    val sst = col("syy") - col("sy") * col("sy") / col("n")
+    withB.select(
+      col("n").cast("long").as("n_orders"),
+      trunc4(col("b0")).as("b0_cents"),
+      trunc4(col("b1")).as("b1_cents_per_line"),
+      trunc4(col("b2")).as("b2_cents_per_unit"),
+      trunc4(lit(1.0) - sse / sst).as("r2"))
+  }
+
   def newVsReturning(orders: DataFrame): DataFrame = {
     val monthExpr = date_trunc("month", to_date(col("o_orderdate"))).cast("date")
     val first = orders

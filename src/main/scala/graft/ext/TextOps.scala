@@ -571,4 +571,114 @@ object TextOps {
       .select(col("doc_id"), col("n_terms"),
         trunc4(col("score8").cast("double") / lit(1.0e8)).as("score"))
   }
+
+  /** EXACT heavy hitters (terms with frequency strictly above
+    * `thresholdPpm` parts-per-million of the corpus) via the
+    * sketch-then-verify scale pattern: a Misra–Gries summary per
+    * partition proposes candidates, an exact second pass counts and
+    * filters them. The OUTPUT is exact — Misra–Gries with m counters
+    * retains every term whose partition frequency exceeds n_p/m, and a
+    * term above the global threshold must be above it in >= 1 partition
+    * (pigeonhole), so with m >= 1e6/thresholdPpm no true heavy hitter
+    * can be missed; false candidates die in the exact verify. The
+    * threshold compare is pure integers (n * 1e6 > N * ppm).
+    *
+    * Why not just groupBy-count-filter? At 100 TB the full (term,count)
+    * shuffle is the dominant cost and almost all of it is tail terms;
+    * here the exact pass counts ONLY the <= m·partitions candidates
+    * (broadcast semi-join pruned before the shuffle), so shuffle volume
+    * is bounded by the summary size, not the vocabulary.
+    */
+  def heavyHitters(docs: DataFrame, thresholdPpm: Long = 5000,
+      counters: Int = 400): DataFrame = {
+    import graft.ext.Num.trunc4
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000, s"ppm=$thresholdPpm out of range")
+    require(counters.toLong * thresholdPpm >= 1000000L,
+      s"counters=$counters too small for ppm=$thresholdPpm (need >= 1e6/ppm)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = graft.Tables.spread(docs)
+      .select(explode(tokens(col("text"))).as("term")).as[String]
+    val cands = terms.mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None =>
+            if (counts.size < counters) counts.update(t, 1L)
+            else {
+              // decrement-all: the classic Misra-Gries eviction step
+              val dead = new scala.collection.mutable.ArrayBuffer[String]()
+              counts.foreach { case (k, v) =>
+                if (v == 1L) dead += k else counts.update(k, v - 1)
+              }
+              dead.foreach(counts.remove)
+            }
+        }
+      }
+      counts.keysIterator
+    }.toDF("term").distinct()
+    val total = terms.toDF("term")
+      .agg(count(lit(1)).cast("long").as("n_total"))
+    terms.toDF("term")
+      .join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * lit(1000000L) > col("n_total") * lit(thresholdPpm))
+      .select(col("term"), col("n"), col("n_total"),
+        trunc4(col("n").cast("double") / col("n_total").cast("double")).as("share"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  /** RAKE-style keyphrase extraction (Rose et al. 2010, made exact):
+    * candidate phrases are maximal stopword-delimited token runs of
+    * length 2..`maxLen`; each word scores degree/frequency (degree =
+    * summed length of the phrases it appears in, frequency = its
+    * occurrence count in phrases), a phrase scores the sum of its
+    * words' scores; top-k phrases corpus-wide. Per-word scores are
+    * floored onto an integer 1e-6 grid (exact long division), so the
+    * phrase sum and the ranking are pure integer arithmetic — no float
+    * enters the result at all.
+    *
+    * Scale shape: run detection is the classic gaps-and-islands window
+    * (pos − row_number, partitioned by doc — each doc's tokens sort
+    * within its partition, no global order); everything after is
+    * count/sum aggregates on (word) and (phrase) keys and one
+    * TakeOrdered top-k.
+    */
+  def keyPhrases(
+      docs: DataFrame,
+      stopwords: Seq[String] = Seq("a", "the"),
+      maxLen: Int = 4,
+      k: Int = 25): DataFrame = {
+    require(stopwords.nonEmpty, "need a stopword set to delimit phrases")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = graft.Tables.spread(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(!col("w").isin(stopwords: _*))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .localCheckpoint(false) // feeds phrase build AND member join
+    val phrases = runs
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s("w"))).as("phrase"),
+        count(lit(1)).cast("long").as("len"))
+      .filter(col("len") >= 2 && col("len") <= maxLen)
+    val members = runs.join(phrases, Seq("doc_id", "grp"))
+    val wordScore = members
+      .groupBy(col("w"))
+      .agg(expr("(sum(len) * 1000000L) div count(1)").cast("long").as("score6"))
+    members
+      .join(wordScore, Seq("w"))
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(col("score6")).cast("long").as("pscore6"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"),
+        max(col("pscore6")).cast("long").as("score6"))
+      .orderBy(col("score6").desc, col("phrase"))
+      .limit(k)
+  }
 }

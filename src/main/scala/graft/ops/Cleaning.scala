@@ -98,4 +98,30 @@ object Cleaning {
     }
     df.filter(u < frac * lit(4294967296L))
   }
+
+  /** Consistent FIXED-SIZE sample: the `k` rows with the smallest
+    * Knuth multiplicative hash of the key (ties by key). Deterministic
+    * and engine-neutral like [[stratifiedSample]], but guarantees an
+    * exact sample size instead of an expected fraction — the shape for
+    * "give me 10k rows to eyeball/profile" on any corpus size.
+    *
+    * Scale shape: TakeOrderedAndProject — each partition offers only
+    * its local k smallest hashes, the driver merges; no global sort,
+    * no shuffle of the data. Append-stable: new rows enter the sample
+    * only by displacing the current max-hash member, so the sample
+    * drifts minimally as the table grows (the bottom-k-by-hash sketch
+    * underlying consistent sampling). Non-negative integer keys, as
+    * with the other hash-keyed samplers here.
+    */
+  def sampleFixedK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 0, s"k=$k must be positive")
+    val u = pmod(pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    df.withColumn("__h", u)
+      .orderBy(col("__h"), col(keyCol))
+      .limit(k)
+      .drop("__h")
+      .orderBy(col(keyCol))
+  }
 }

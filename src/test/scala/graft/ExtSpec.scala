@@ -2634,4 +2634,73 @@ class ExtSpec extends SparkSpec {
       graft.ops.Sinks.readSnapshot(spark, tmp, Some(-1))
     }
   }
+
+  test("heavyHitters: output equals the exact brute-force filter, guarantee holds") {
+    import spark.implicits._
+    // 'hot' = 24/60 tokens (40%), 'warm' = 12/60 (20%), tail singletons
+    val text = (Seq.fill(24)("hot") ++ Seq.fill(12)("warm") ++
+      (1 to 24).map(i => s"tail$i")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextOps.heavyHitters(docs, thresholdPpm = 200000, counters = 5).collect()
+    // strict threshold: > 20% keeps 'hot' only ('warm' is exactly 20%)
+    assert(r.map(_.getAs[String]("term")).toSeq === Seq("hot"))
+    assert(r.head.getAs[Long]("n") === 24L)
+    assert(r.head.getAs[Long]("n_total") === 60L)
+    // lower threshold (> 10%) must include both, exactly
+    val r2 = TextOps.heavyHitters(docs, thresholdPpm = 100000, counters = 10)
+      .collect().map(_.getAs[String]("term")).toSeq
+    assert(r2 === Seq("hot", "warm"))
+  }
+
+  test("mlr2: exact planted linear relation is recovered with r2 = 1") {
+    import spark.implicits._
+    // per order: y_cents = 200 + 300*x1 + 500*x2 exactly
+    val xs = Seq((1L, 1L, 2L), (2L, 2L, 2L), (3L, 1L, 5L), (4L, 3L, 7L))
+    val lineitem = xs.flatMap { case (ok, x1, x2) =>
+      // x1 lines; quantities sum to x2 (last line takes the remainder)
+      (1L to x1).map(i =>
+        (ok, if (i < x1) 1L else x2 - (x1 - 1)))
+    }.toDF("l_orderkey", "l_quantity")
+    val orders = xs.map { case (ok, x1, x2) =>
+      (ok, (200L + 300L * x1 + 500L * x2).toDouble / 100.0)
+    }.toDF("o_orderkey", "o_totalprice")
+    val r = Aggregates.mlr2(orders, lineitem).head()
+    assert(r.getAs[Long]("n_orders") === 4L)
+    assert(r.getAs[Double]("b0_cents") === 200.0)
+    assert(r.getAs[Double]("b1_cents_per_line") === 300.0)
+    assert(r.getAs[Double]("b2_cents_per_unit") === 500.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("sampleFixedK: exactly k rows, the k smallest hashes, append-stable") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val s1 = graft.ops.Cleaning.sampleFixedK(df, "id", 10).collect().map(_.getLong(0)).toSeq
+    assert(s1.length === 10)
+    assert(s1 === s1.sorted)
+    // appending rows can only displace members, never grow the sample
+    val bigger = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+    val s2 = graft.ops.Cleaning.sampleFixedK(bigger, "id", 10).collect().map(_.getLong(0)).toSeq
+    assert(s2.length === 10)
+    // consistency: every survivor of the old sample that is still in the
+    // new one keeps its membership monotonically (bottom-k property):
+    // the new sample is the 10 smallest hashes of a SUPERSET, so any
+    // old member NOT in the new sample was displaced by a smaller hash
+    val h = (x: Long) => ((x % 2147483648L) * 2654435761L) % 4294967296L
+    assert(s2.map(h).max <= s1.map(h).max)
+  }
+
+  test("keyPhrases: stopword-delimited runs scored by exact degree/freq sums") {
+    import spark.implicits._
+    // doc: "big data the big data pipeline a x" ->
+    // runs: [big data], [big data pipeline], [x] (len-1 dropped)
+    val docs = Seq((1L, "big data the big data pipeline a x")).toDF("doc_id", "text")
+    val r = TextOps.keyPhrases(docs, Seq("a", "the"), 4, 10).collect()
+    val byPhrase = r.map(x => x.getAs[String]("phrase") -> x).toMap
+    assert(byPhrase.keySet === Set("big data", "big data pipeline"))
+    // word stats: big freq=2 deg=2+3=5 -> 2500000; data same; pipeline freq=1 deg=3 -> 3000000
+    assert(byPhrase("big data").getAs[Long]("score6") === 5000000L)
+    assert(byPhrase("big data pipeline").getAs[Long]("score6") === 8000000L)
+    assert(byPhrase("big data").getAs[Long]("n_occurrences") === 1L)
+  }
 }
