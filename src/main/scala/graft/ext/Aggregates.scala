@@ -606,9 +606,9 @@ object Aggregates {
     * input is still only thousands of rows (a broadcast nested-loop on
     * the inequality, never a fact-table self-join). Every slope is one
     * IEEE divide of exact longs (bit-equal across engines); the median
-    * is the exact sort-based [[exactPercentiles]] with `percentile` /
-    * quantile_cont interpolation. Emits the p10/p90 slope band as the
-    * robust trend uncertainty.
+    * is the declarative sort-based [[groupedExactPercentiles]] with
+    * `percentile` / quantile_cont interpolation. Emits the p10/p90
+    * slope band as the robust trend uncertainty.
     */
   def revenueTheilSen(orders: DataFrame): DataFrame = {
     import Num.trunc4
@@ -623,11 +623,17 @@ object Aggregates {
     val slopes = daily.join(broadcast(d2), col("x2") > col("x"))
       .select(((col("y2") - col("y")).cast("double") /
         (col("x2") - col("x")).cast("double")).as("slope"))
-    val (nPairs, qs) = exactPercentiles(slopes, "slope", Seq(0.5, 0.1, 0.9))
-    spark.range(1).select(lit(nPairs).as("n_pairs"),
-      trunc4(lit(qs(0)) / 100.0).as("sen_slope4"),
-      trunc4(lit(qs(1)) / 100.0).as("slope_p10_4"),
-      trunc4(lit(qs(2)) / 100.0).as("slope_p90_4"))
+    // Declarative single-plan percentiles: the pair frame is O(|days|^2)
+    // of the AGGREGATED daily series, never the fact table — bounded by
+    // the calendar (30 years ~ 60M pairs), so the one-buffer sorted
+    // array is safe and the whole query is ONE action instead of the
+    // ~5 jobs the eager RDD-sort path paid (2.9s -> ~1.6s at sf0.1).
+    val qs = exactPercentilesSmall(slopes,
+      "slope", Seq(0.5, 0.1, 0.9), Seq("q50", "q10", "q90"))
+    qs.select(col("n").as("n_pairs"),
+      trunc4(col("q50") / 100.0).as("sen_slope4"),
+      trunc4(col("q10") / 100.0).as("slope_p10_4"),
+      trunc4(col("q90") / 100.0).as("slope_p90_4"))
   }
 
   /** Frequent brand TRIPLES by basket support — the order-3 extension
@@ -800,11 +806,146 @@ object Aggregates {
         val at = indexed.filter { case (_, i) => need.contains(i) }
           .collect().map { case (v, i) => i -> v }.toMap
         (n, targets.map { case (lo, hi, pos) =>
-          val lv = at(lo)
-          lv + (pos - lo) * (at(hi) - lv)
+          // weighted two-sided interpolation: bit-equal to Spark's
+          // builtin Percentile and DuckDB quantile_cont (the one-sided
+          // lo + frac*(hi-lo) form differs by an ulp)
+          if (lo == hi) at(lo) else at(lo) * (hi - pos) + at(hi) * (pos - lo)
         })
       }
     } finally { sorted.unpersist(blocking = false); () }
+  }
+
+  /** Exact interpolated percentiles PER GROUP as a fully DECLARATIVE
+    * plan (bit-equal to SQL `percentile` / DuckDB quantile_cont — see
+    * the interpolation note below). The built-in `percentile` aggregate
+    * buffers every value in per-partition hash maps and merges those
+    * maps through the shuffle — ~2s on a 2.4M-row fact table with 3
+    * groups, memory-unbounded at scale. A naive window
+    * (`row_number over (partition by group order by v)`) is exact but
+    * serializes each GROUP into one task.
+    *
+    * This shape is the scalable one — bucket, count, then sort ONLY the
+    * buckets that contain a requested boundary index:
+    *  1. per-group min/max/count (one cheap scan);
+    *  2. rows bin by codegen'd `width_bucket` (broadcast join of the
+    *     one-row-per-group stats; bin quality affects only load
+    *     BALANCE, never the answer) and a per-(group,bucket) count
+    *     frame — |groups| x `buckets` rows — turns into exclusive
+    *     prefix offsets via a window over that TINY frame;
+    *  3. each requested percentile needs the values at global index
+    *     floor/ceil(p*(n-1)); from the offsets alone the plan knows
+    *     which buckets hold those indices, LEFT SEMI joins the data
+    *     down to just them (~ |ps| * n/buckets rows), ranks them with
+    *     a window per (group,bucket), and a per-group aggregate keeps
+    *     the two boundary rows per percentile.
+    * Shuffle volume past the count pass is n * |targets| / buckets,
+    * not n. Degenerate worst case (all values equal -> one bucket) is
+    * still correct, just shuffles that bucket whole. No eager action,
+    * no driver collect; composes lazily.
+    *
+    * Output: groupCol, `n` (group row count), then one column per
+    * requested percentile named by `outNames`.
+    */
+  def groupedExactPercentiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      ps: Seq[Double],
+      outNames: Seq[String],
+      buckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.length == outNames.length, "ps/outNames mismatch")
+    require(buckets >= 2, s"buckets=$buckets")
+    val vals = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    val stats = vals.groupBy(col(groupCol)).agg(
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(lit(1)).cast("long").as("__n"))
+    // width_bucket yields 1..buckets+1 (max lands in buckets+1); ids only
+    // need to be order-consistent, not dense. Constant-column guard: one
+    // bucket when min == max.
+    def binOf = when(col("__mn") === col("__mx"), lit(1L))
+      .otherwise(width_bucket(col("__v"), col("__mn"), col("__mx"), lit(buckets)))
+    val bucketed = vals.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__b", binOf)
+    val counts = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol))
+    val offsets = counts.select(col(groupCol), col("__b"), col("__c"),
+      coalesce(sum(col("__c")).over(wOff), lit(0L)).cast("long").as("__off"),
+      sum(col("__c")).over(wAll).cast("long").as("__n"))
+    // bucket is needed iff it contains floor or ceil of some target pos
+    val needed = ps.map { p =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      val loI = floor(pos).cast("long"); val hiI = ceil(pos).cast("long")
+      (col("__off") <= loI && loI < col("__off") + col("__c")) ||
+        (col("__off") <= hiI && hiI < col("__off") + col("__c"))
+    }.reduce(_ || _)
+    val targets = offsets.filter(needed)
+      .select(col(groupCol), col("__b"), col("__off"), col("__n"))
+    val wB = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("__v"))
+    val ranked = bucketed.select(col(groupCol), col("__b"), col("__v"))
+      .join(broadcast(targets), Seq(groupCol, "__b"))
+      .withColumn("__i", col("__off") + (row_number().over(wB) - 1).cast("long"))
+    // pos/floor/ceil are per-row expressions but constant within a group
+    // (they depend only on __n); the agg keeps the two boundary rows.
+    val aggs = ps.zip(outNames).flatMap { case (p, name) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      Seq(
+        max(when(col("__i") === floor(pos).cast("long"), col("__v"))).as(s"__lo_$name"),
+        max(when(col("__i") === ceil(pos).cast("long"), col("__v"))).as(s"__hi_$name"))
+    }
+    val agged = ranked.groupBy(col(groupCol))
+      .agg(first(col("__n")).as("n"), aggs: _*)
+    val outs = ps.zip(outNames).map { case (p, name) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      // weighted two-sided form, NOT lo + frac*(hi-lo): both Spark's
+      // builtin Percentile and DuckDB's quantile_cont evaluate
+      // lo*(ceil(pos)-pos) + hi*(pos-floor(pos)), which differs from the
+      // one-sided form by an ulp — enough to flip a trunc4 grid cell.
+      val lo = col(s"__lo_$name"); val hi = col(s"__hi_$name")
+      when(floor(pos) === ceil(pos), lo)
+        .otherwise(lo * (ceil(pos) - pos) + hi * (pos - floor(pos)))
+        .as(name)
+    }
+    agged.select(col(groupCol) +: col("n") +: outs: _*)
+  }
+
+  /** Exact interpolated percentiles over a BOUNDED intermediate frame,
+    * one declarative pass: `collect_list` partials merge through the
+    * shuffle, one `sort_array` on the merged values, `element_at` at
+    * the boundary indices. The whole frame lands in ONE aggregation
+    * buffer, so this is ONLY for frames with a known structural bound —
+    * e.g. Theil–Sen's pair set, O(|days|^2) of an already-aggregated
+    * daily series (~60M values for 30 years ~ 500 MB worst case), never
+    * a fact table. For unbounded inputs use [[groupedExactPercentiles]]
+    * (parallel bounded sorts) instead. Interpolation is the same
+    * weighted two-sided form as `percentile` / quantile_cont.
+    *
+    * Output: one row — `n`, then one column per percentile.
+    */
+  def exactPercentilesSmall(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      outNames: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == outNames.length, "ps/outNames mismatch")
+    val sorted = df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .agg(sort_array(collect_list(col("__v"))).as("__vs"))
+      .select(col("__vs"), size(col("__vs")).cast("long").as("n"))
+    val outs = ps.zip(outNames).map { case (p, name) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      // element_at is 1-based
+      val lo = element_at(col("__vs"), (floor(pos).cast("long") + 1).cast("int"))
+      val hi = element_at(col("__vs"), (ceil(pos).cast("long") + 1).cast("int"))
+      when(col("n") === 0, lit(Double.NaN))
+        .when(floor(pos) === ceil(pos), lo)
+        .otherwise(lo * (ceil(pos) - pos) + hi * (pos - floor(pos)))
+        .as(name)
+    }
+    sorted.select(col("n") +: outs: _*)
   }
 
   /** Mann–Kendall monotonic-trend test over daily revenue: S = sum of
@@ -1211,10 +1352,11 @@ object Aggregates {
       pHi: Double = 0.95): DataFrame = {
     import Num.trunc4
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad clip range [$pLo, $pHi]")
-    val fences = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("q"))
-      .select(col(groupCol),
-        element_at(col("q"), 1).as("lo"), element_at(col("q"), 2).as("hi"))
+    // declarative sort-based exact percentiles — the built-in percentile
+    // aggregate's hash-map merge was ~10x the cost of this whole query
+    val fences = groupedExactPercentiles(df, valueCol, groupCol,
+        Seq(pLo, pHi), Seq("lo", "hi"))
+      .select(col(groupCol), col("lo"), col("hi"))
     val x = col(valueCol)
     df.join(fences, groupCol)
       .groupBy(col(groupCol))
@@ -1246,10 +1388,8 @@ object Aggregates {
     */
   def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     import Num.trunc4
-    val q = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, array(0.25, 0.75))").as("q"))
-      .select(col(groupCol),
-        element_at(col("q"), 1).as("q1"), element_at(col("q"), 2).as("q3"))
+    val q = groupedExactPercentiles(df, valueCol, groupCol,
+        Seq(0.25, 0.75), Seq("q1", "q3"))
       .select(col(groupCol),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))

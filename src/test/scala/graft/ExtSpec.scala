@@ -1482,6 +1482,44 @@ class ExtSpec extends SparkSpec {
     assert(row.getAs[Double]("outlier_pct4") === 10.0)
   }
 
+  test("groupedExactPercentiles: matches builtin percentile per group, many buckets vs few") {
+    import spark.implicits._
+    // two groups with different sizes and ranges, incl. duplicates
+    val rows = (1 to 1000).map(i => ("A", (i % 97).toDouble)) ++
+      (1 to 313).map(i => ("B", i * 1.5))
+    val df = rows.toDF("g", "v")
+    val expected = df.groupBy($"g")
+      .agg(org.apache.spark.sql.functions.expr("percentile(v, array(0.25, 0.5, 0.95))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for (b <- Seq(4, 1024)) {
+      val got = Aggregates.groupedExactPercentiles(df, "v", "g",
+          Seq(0.25, 0.5, 0.95), Seq("q25", "q50", "q95"), buckets = b)
+        .collect().map(r => r.getString(0) ->
+          Seq(r.getAs[Double]("q25"), r.getAs[Double]("q50"), r.getAs[Double]("q95"))).toMap
+      assert(got.keySet === expected.keySet, s"buckets=$b")
+      for (g <- got.keySet; i <- 0 until 3)
+        assert(got(g)(i) === expected(g)(i), s"buckets=$b group=$g p#$i")
+    }
+    // constant column (min == max) degenerate bucket
+    val const = Seq(("C", 5.0), ("C", 5.0), ("C", 5.0)).toDF("g", "v")
+    val c = Aggregates.groupedExactPercentiles(const, "v", "g", Seq(0.5), Seq("q50")).collect()
+    assert(c.head.getAs[Double]("q50") === 5.0 && c.head.getAs[Long]("n") === 3L)
+  }
+
+  test("exactPercentilesSmall: weighted interpolation matches builtin percentile") {
+    import spark.implicits._
+    val df = Seq(3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.3).toDF("v")
+    val exp = df.agg(org.apache.spark.sql.functions
+      .expr("percentile(v, array(0.1, 0.5, 0.9))").as("q"))
+      .collect().head.getSeq[Double](0)
+    val got = Aggregates.exactPercentilesSmall(df, "v",
+      Seq(0.1, 0.5, 0.9), Seq("p10", "p50", "p90")).collect().head
+    assert(got.getAs[Long]("n") === 7L)
+    assert(got.getAs[Double]("p10") === exp(0))
+    assert(got.getAs[Double]("p50") === exp(1))
+    assert(got.getAs[Double]("p90") === exp(2))
+  }
+
   test("searchPhrase: adjacency required, occurrences counted") {
     import spark.implicits._
     val docs = Seq(
