@@ -952,44 +952,74 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col("bucket"))
   }
 
+  /** Driver-local trunc4 twin of [[graft.ext.Num.trunc4]]: identical
+    * IEEE ops, so driver math lands on the same grid as plan math. */
+  private def trunc4d(x: Double): Double = math.floor(x * 10000.0) / 10000.0
+
+  /** Collect the (schema-bounded, O(dim^2) = ~2080-row / 32 KB) upper
+    * triangle into a full symmetric driver-local matrix. This is the
+    * MLlib RowMatrix architecture: ONE distributed pass builds the
+    * Gramian/covariance; the eigen-iteration on the tiny matrix is
+    * driver scalar math, not 15 dim^2-row shuffle jobs (measured 2.5s
+    * of pure job overhead at any SF — the matrix size is set by the
+    * SCHEMA, so the collect is as bounded at 100 TB as at sf0.001).
+    */
+  private def collectCovariance(embeddings: DataFrame): Array[Array[Double]] = {
+    val rows = covarianceMatrix(embeddings)
+      .select(col("i"), col("j"), col("cov4")).collect()
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    m
+  }
+
+  /** K rounds of v <- normalize(C v) from an all-ones seed; returns
+    * (v, |Cv| eigenvalue estimate). Ascending-index summation — the
+    * 64-term sum-order noise is absorbed by the caller's trunc4, the
+    * same policy the relational formulation relied on. */
+  private def powerIterateLocal(m: Array[Array[Double]], iters: Int): (Array[Double], Double) = {
+    val dim = m.length
+    var v = Array.fill(dim)(1.0)
+    var nrm = 0.0
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    (v, nrm)
+  }
+
   /** Top principal component by POWER ITERATION on the covariance
-    * matrix — the first step of PCA/whitening, as a relational plan.
-    * The corpus is touched exactly once (by [[covarianceMatrix]]);
-    * every iteration after that is a matvec on the dim x dim matrix —
-    * a dim^2-row join + aggregate, independent of corpus size, so the
-    * "iterative" part costs nothing at 100 TB. Seed vector is
-    * all-ones; K fixed rounds of v <- normalize(C v) (fixed count, not
-    * convergence polling — same unrolled-CTE oracle policy as
-    * [[Graph.pageRank]]). The trunc4'd covariance entries are the
-    * iteration INPUT, so both engines iterate on bit-identical
-    * matrices and the only cross-engine noise is the 64-term matvec
-    * sum, absorbed by the output trunc4. The final matvec norm is the
-    * dominant-eigenvalue estimate.
+    * matrix — the first step of PCA/whitening. The corpus is touched
+    * exactly once (by [[covarianceMatrix]], a distributed partial-first
+    * aggregate); the iteration then runs on the collected dim x dim
+    * matrix on the driver — O(dim^2) data, bounded by the SCHEMA, the
+    * same at 100 TB as at sf0.001 (MLlib RowMatrix does exactly this
+    * for its Gramian eigen-solve). Seed vector is all-ones; K fixed
+    * rounds of v <- normalize(C v) (fixed count, not convergence
+    * polling — same unrolled-CTE oracle policy as [[Graph.pageRank]]).
+    * The trunc4'd covariance entries are the iteration INPUT, so both
+    * engines iterate on bit-identical matrices and the only
+    * cross-engine noise is the 64-term matvec sum, absorbed by the
+    * output trunc4. The final matvec norm is the dominant-eigenvalue
+    * estimate.
     */
   def pcaTopComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
-    import graft.ext.Num.trunc4
     require(iters >= 1, s"iters=$iters out of range")
-    val covU = covarianceMatrix(embeddings)
-      .select(col("i"), col("j"), col("cov4").as("c"))
-    // mirror the upper triangle; referenced every round -> lazy
-    // localCheckpoint materializes the corpus pass exactly once
-    val covFull = covU
-      .union(covU.filter(col("i") < col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("c")))
-      .localCheckpoint(false)
-    var v = covFull.select(col("i").as("dim")).distinct().withColumn("v", lit(1.0))
-    var nrm: DataFrame = null
-    (1 to iters).foreach { _ =>
-      val w = covFull.join(v.select(col("dim").as("j"), col("v")), "j")
-        .groupBy(col("i").as("dim"))
-        .agg(sum(col("c") * col("v")).as("w"))
-      nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm")) // 1 row
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("dim"), (col("w") / col("nrm")).as("v"))
-        .localCheckpoint(false) // bound per-round lineage growth
-    }
-    v.crossJoin(broadcast(nrm.select(trunc4(col("nrm")).as("eigval4"))))
-      .select(col("dim"), trunc4(col("v")).as("loading4"), col("eigval4"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = collectCovariance(embeddings)
+    val (v, nrm) = powerIterateLocal(m, iters)
+    val e4 = trunc4d(nrm)
+    v.zipWithIndex.map { case (x, d) => (d, trunc4d(x), e4) }
+      .toSeq.toDF("dim", "loading4", "eigval4")
       .orderBy(col("dim"))
   }
 
@@ -1011,45 +1041,20 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     * [[pcaTopComponent]] and its unrolled-CTE oracle already prove out.
     */
   def pcaTopTwo(embeddings: DataFrame, iters: Int = 3): DataFrame = {
-    import graft.ext.Num.trunc4
     require(iters >= 1, s"iters=$iters out of range")
-    val covU = covarianceMatrix(embeddings)
-      .select(col("i"), col("j"), col("cov4").as("c"))
-    val covFull = covU
-      .union(covU.filter(col("i") < col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("c")))
-      .localCheckpoint(false)
-    def powerIterate(cov: DataFrame): (DataFrame, DataFrame) = {
-      var v = cov.select(col("i").as("dim")).distinct().withColumn("v", lit(1.0))
-      var nrm: DataFrame = null
-      (1 to iters).foreach { _ =>
-        val w = cov.join(v.select(col("dim").as("j"), col("v")), "j")
-          .groupBy(col("i").as("dim"))
-          .agg(sum(col("c") * col("v")).as("w"))
-        nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm")) // 1 row
-        v = w.crossJoin(broadcast(nrm))
-          .select(col("dim"), (col("w") / col("nrm")).as("v"))
-          .localCheckpoint(false)
-      }
-      (v, nrm)
-    }
-    val (v1raw, n1raw) = powerIterate(covFull)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = collectCovariance(embeddings)
+    val dim = m.length
+    val (v1raw, n1) = powerIterateLocal(m, iters)
     // truncate BEFORE deflating: both engines subtract the identical rank-1 term
-    val v1 = v1raw.select(col("dim"), trunc4(col("v")).as("v1")).localCheckpoint(false)
-    val e1 = n1raw.select(trunc4(col("nrm")).as("eig1_4")) // 1 row
-    val deflated = covFull
-      .join(v1.select(col("dim").as("i"), col("v1").as("vi")), "i")
-      .join(v1.select(col("dim").as("j"), col("v1").as("vj")), "j")
-      .crossJoin(broadcast(e1))
-      .select(col("i"), col("j"),
-        (col("c") - col("eig1_4") * col("vi") * col("vj")).as("c"))
-      .localCheckpoint(false)
-    val (v2raw, n2raw) = powerIterate(deflated)
-    v1.join(v2raw.select(col("dim"), trunc4(col("v")).as("loading2_4")), "dim")
-      .crossJoin(broadcast(
-        e1.crossJoin(n2raw.select(trunc4(col("nrm")).as("eig2_4")))))
-      .select(col("dim"), col("v1").as("loading1_4"), col("loading2_4"),
-        col("eig1_4"), col("eig2_4"))
+    val v1 = v1raw.map(trunc4d)
+    val e1 = trunc4d(n1)
+    val deflated = Array.tabulate(dim, dim)((i, j) => m(i)(j) - e1 * v1(i) * v1(j))
+    val (v2raw, n2) = powerIterateLocal(deflated, iters)
+    val e2 = trunc4d(n2)
+    (0 until dim).map(d => (d, v1(d), trunc4d(v2raw(d)), e1, e2))
+      .toDF("dim", "loading1_4", "loading2_4", "eig1_4", "eig2_4")
       .orderBy(col("dim"))
   }
 
