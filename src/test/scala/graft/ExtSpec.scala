@@ -1389,6 +1389,12 @@ class ExtSpec extends SparkSpec {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
     val core3 = Graph.kCore(k4, "a", "b", k = 3).collect()
     assert(core3.length === 4 && core3.forall(_.getAs[Long]("core_degree") === 3L))
+    // driver fast path == distributed loop (driverEdgeMax = 0 forces it)
+    val fast = Graph.kCore(g, "a", "b", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val dist = Graph.kCore(g, "a", "b", k = 2, driverEdgeMax = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fast === dist)
   }
 
   test("linkPrediction: wedge endpoints scored, existing edges excluded") {
