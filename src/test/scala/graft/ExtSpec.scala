@@ -1808,6 +1808,10 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(m.values.sum - 5.0) < 5e-3)
     assert(m(1L) > m(2L) * 2) // hub dominates
     assert((2L to 5L).map(m).distinct.size === 1) // leaves symmetric
+    // driver fast path == distributed loop (driverEdgeMax = 0 forces it)
+    val dist = Graph.pageRank(pairs, "doc_a", "doc_b", iters = 3, driverEdgeMax = 0L)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Double]("rank_x_n")).toMap
+    assert(dist === m)
   }
 
   test("topPaths: triple counts consistent with transition pair counts") {
