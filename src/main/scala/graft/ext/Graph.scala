@@ -371,10 +371,13 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct().localCheckpoint(false)
-    var hubs = e.select(col("src")).distinct()
-      .select(col("src"), lit(1).cast("decimal(38,0)").as("h"))
-    var auths: DataFrame = null
-    (1 to iters).foreach { _ =>
+    // Round 1 folded: every hub seeds at h = 1, so the first authority
+    // pass is just the in-degree — two stages (distinct + join) saved.
+    var auths: DataFrame = e.groupBy(col("dst"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("a"))
+    var hubs: DataFrame = e.join(auths, "dst")
+      .groupBy(col("src")).agg(sum(col("a")).cast("decimal(38,0)").as("h"))
+    (2 to iters).foreach { _ =>
       auths = e.join(hubs, "src")
         .groupBy(col("dst")).agg(sum(col("h")).cast("decimal(38,0)").as("a"))
       hubs = e.join(auths, "dst")
