@@ -1153,6 +1153,28 @@ object SparkEntry {
         rd(s, dir, "customer"), "c_custkey"),
       ("supplier.nationkey->nation", rd(s, dir, "supplier"), "s_nationkey",
         rd(s, dir, "nation"), "n_nationkey")))),
+    // gaps-and-islands: per-user consecutive-active-day streaks via the
+    // day_number - row_number grouping key (no self-join, no recursion)
+    "q_gaps_islands" -> ((s, dir) =>
+      Events.activityIslands(rd(s, dir, "events"))),
+    // quantity-weighted lower median price per return flag: integer
+    // cumulative-weight compares on the distinct-value ladder
+    "q_weighted_median" -> ((s, dir) =>
+      Aggregates.weightedMedian(rd(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_returnflag")),
+    // Zipf slope of the corpus frequency spectrum (top-200 terms);
+    // integer-scaled snapped logs -> order-free exact OLS moments
+    "d_zipf" -> ((s, dir) => TextOps.zipfFit(rd(s, dir, "documents"))),
+    // SCD2 history build from a change log: consecutive-duplicate
+    // collapse + validity stamping (k12 is the merge; this is the
+    // from-scratch history reconstruction)
+    "k20_scd2_changelog" -> ((s, dir) =>
+      Relational.scd2(Events.normalizeTs(rd(s, dir, "events")),
+        "user_id", "ts", "event_type", "event_id")),
+    // Matryoshka truncation eval: top-k overlap of prefix-dim cosine
+    // retrieval vs full-dim (how many dims can serving drop)
+    "e_dim_truncation" -> ((s, dir) =>
+      Similarity.dimTruncationEval(rd(s, dir, "embeddings"))),
     // per-frame byte/"pixel" stats over the stub-decoded payload
     "m_pixel_stats" -> ((s, dir) =>
       Multimodal.framePixelStats(rd(s, dir, "documents"))),
@@ -1824,6 +1846,72 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
       """SELECT term, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
 GROUP BY term ORDER BY n_docs DESC, n_occurrences DESC, term LIMIT 50""",
+    "q_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+r AS (SELECT user_id, d,
+  CAST(d - DATE '1970-01-01' AS BIGINT) -
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp FROM days),
+runs AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+  CAST(COUNT(*) AS BIGINT) AS n_islands, CAST(MAX(len) AS BIGINT) AS longest_run
+FROM runs GROUP BY user_id ORDER BY user_id""",
+    "q_weighted_median" ->
+      """WITH pv AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+c AS (SELECT g, v, w,
+  SUM(w) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+  SUM(w) OVER (PARTITION BY g) AS totw FROM pv)
+SELECT g AS l_returnflag, CAST(MIN(totw) AS BIGINT) AS total_weight, MIN(v) AS w_median
+FROM c WHERE 2 * cumw >= totw GROUP BY g ORDER BY g""",
+    "d_zipf" ->
+      """WITH f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term ORDER BY f DESC, term LIMIT 200),
+p AS (SELECT
+  CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term) AS DOUBLE)) * 1e8) AS BIGINT) AS x8,
+  CAST(floor(ln(CAST(f AS DOUBLE)) * 1e8) AS BIGINT) AS y8 FROM f),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(x8) AS BIGINT) AS sx, CAST(SUM(y8) AS BIGINT) AS sy,
+  SUM(CAST(x8 AS HUGEINT) * CAST(x8 AS HUGEINT)) AS sxx,
+  SUM(CAST(x8 AS HUGEINT) * CAST(y8 AS HUGEINT)) AS sxy FROM p),
+m AS (SELECT n, sx, sy,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS m
+  FROM s)
+SELECT n AS n_terms, floor(m * 10000) / 10000.0 AS slope4,
+  floor(((CAST(sy AS DOUBLE) / 1e8 - m * CAST(sx AS DOUBLE) / 1e8) /
+    CAST(n AS DOUBLE)) * 10000) / 10000.0 AS intercept4 FROM m""",
+    "k20_scd2_changelog" ->
+      """WITH c AS (SELECT user_id, ts, event_type, event_id,
+  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+ch AS (SELECT user_id, ts, event_type, event_id FROM c
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type,
+  CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
+  CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to,
+  CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS is_current,
+  event_id AS change_id
+FROM ch ORDER BY user_id, valid_from, change_id""",
+    "e_dim_truncation" ->
+      (Seq(8, 16, 32, 64).map { d =>
+        s"""SELECT $d AS trunc_dim, CAST(COUNT(*) AS BIGINT) AS overlap,
+  floor(COUNT(*) / 10.0 * 10000) / 10000.0 AS recall4 FROM (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+      floor((${cos("(e.v)[1:" + d + "]", "(q.v)[1:" + d + "]")}) * 10000) / 10000.0 AS c
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0) e,
+         (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0) q
+    ORDER BY c DESC, vec_id LIMIT 10)
+  INTERSECT SELECT vec_id FROM (
+    SELECT e.vec_id,
+      floor((${cos("(e.v)[1:64]", "(q.v)[1:64]")}) * 10000) / 10000.0 AS c
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0) e,
+         (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0) q
+    ORDER BY c DESC, vec_id LIMIT 10))"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY trunc_dim")),
     "q_window_top_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice AS top_price
 FROM orders

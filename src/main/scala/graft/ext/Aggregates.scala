@@ -948,6 +948,43 @@ object Aggregates {
     sorted.select(col("n") +: outs: _*)
   }
 
+  /** Weighted (lower) median per group: the smallest value whose
+    * cumulative weight reaches half the group's total — the
+    * quantity-weighted price statistic a mean confounds when line
+    * sizes vary. No interpolation (the LOWER weighted median), so with
+    * integral weights the whole computation is integer compares —
+    * bit-stable across engines with no grid-snapping needed.
+    *
+    * Scale shape: weights first collapse onto DISTINCT values (one
+    * partial-first aggregate — the frame shrinks from |rows| to
+    * |distinct values| per group), the cumulative sum is a window over
+    * that collapsed frame, and the answer row per group is a min-filter.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      groupCol: String): DataFrame = {
+    val perValue = df
+      .select(col(groupCol), col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("v").isNotNull)
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum(col("w")).cast("long").as("w"))
+    val byGroup = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    val wAll = Window.partitionBy(col(groupCol))
+    perValue
+      .withColumn("cumw", sum(col("w")).over(
+        byGroup.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("w")).over(wAll))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col(groupCol))
+      .agg(min(col("v")).as("w_median"),
+        first(col("totw")).cast("long").as("total_weight"))
+      .select(col(groupCol), col("total_weight"), col("w_median"))
+      .orderBy(col(groupCol))
+  }
+
   /** Mann–Kendall monotonic-trend test over daily revenue: S = sum of
     * sign(y_j - y_i) over ordered day pairs, with the tie-corrected
     * normal approximation z = (S -/+ 1)/sqrt(Var S),

@@ -776,4 +776,35 @@ object Events {
       .orderBy(col("overlap_us").desc, col("ua"), col("sa"), col("ub"), col("sb"))
       .limit(k)
   }
+
+  /** Gaps-and-islands over per-user daily activity: contiguous runs of
+    * active DAYS found with the classic `day_number - row_number`
+    * grouping key (constant within a consecutive run, distinct across
+    * gaps — no self-join, no recursion). Emits per user the total
+    * active days, island count, and longest streak: the
+    * retention/engagement shape every activity warehouse maintains.
+    *
+    * Scale shape: one distinct (user, day) projection (partial-first),
+    * a window ordered within each user's DAYS (bounded by the
+    * calendar, thousands of rows per user at most, never events), and
+    * two tiny reaggregations. All integer arithmetic — bit-stable on
+    * any engine.
+    */
+  def activityIslands(eventsRaw: DataFrame): DataFrame = {
+    val events = normalizeTs(eventsRaw)
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val runs = days
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01")).cast("long") -
+          row_number().over(byUser).cast("long"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).cast("long").as("len"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_days"),
+        count(lit(1)).cast("long").as("n_islands"),
+        max(col("len")).cast("long").as("longest_run"))
+      .orderBy(col("user_id"))
+  }
 }

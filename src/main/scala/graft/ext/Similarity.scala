@@ -123,6 +123,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka-style dimension-truncation evaluation: for each prefix
+    * length d, the overlap between the exact cosine top-k computed on
+    * only the FIRST d dimensions and the full-dimension top-k — the
+    * measurement behind "how many dims can we drop before retrieval
+    * degrades", which decides index memory at serving time.
+    *
+    * Scale shape: one broadcast of the single query row, one map-side
+    * pass per truncation (cosine on `slice()`d arrays fused into the
+    * scan), TakeOrderedAndProject per truncation, and the overlap is an
+    * intersect of two k-row sets. Ties broken by vec_id everywhere, so
+    * the top-k boundary is deterministic on any engine.
+    */
+  def dimTruncationEval(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 10,
+      dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    graft.ext.expr.ArrayDotProduct.ensureRegistered(embeddings.sparkSession)
+    def topAt(d: Int): DataFrame = {
+      val q = broadcast(
+        embeddings.filter(col("vec_id") === queryVecId)
+          .select(slice(col("embedding"), 1, d).as("q_emb")))
+      embeddings
+        .filter(col("vec_id") =!= queryVecId)
+        .crossJoin(q)
+        .select(col("vec_id"),
+          Num.trunc4(cosine(slice(col("embedding"), 1, d), col("q_emb"))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"))
+    }
+    val full = topAt(dims.max)
+    dims.map { d =>
+      val hit = topAt(d).intersect(full)
+        .agg(count(lit(1)).cast("long").as("overlap"))
+      hit.select(lit(d).as("trunc_dim"), col("overlap"),
+        Num.trunc4(col("overlap").cast("double") / lit(k.toDouble)).as("recall4"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("trunc_dim"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (seeded) — generated on
     * the driver, embedded as literals, broadcast with the plan.
     */

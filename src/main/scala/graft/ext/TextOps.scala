@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text analysis over the `documents` fixture (doc_id, text, lang,
   * source, n_chars) — training-data-pipeline ops: token counting,
@@ -123,6 +124,53 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("term"))
       .limit(k)
+
+  /** Zipf's-law fit over the corpus frequency spectrum: OLS of
+    * ln(freq) on ln(rank) across the top-k terms — natural language
+    * sits near slope -1, and a corpus that doesn't (templated spam,
+    * log dumps, synthetic filler) flags itself in one number.
+    *
+    * Cross-engine exactness: ln outputs are trunc8-snapped and SCALED
+    * TO INTEGERS (x1e8) before any summation, so Sx/Sy accumulate as
+    * plain longs and the cross-moments Sxx/Sxy as decimal(38,0) —
+    * order-free exact integer sums; the closed-form slope/intercept
+    * then divides identical exact integers in both engines (pure IEEE,
+    * one trunc4 at the end). Scale shape: one explode + partial-first
+    * term count, TakeOrdered top-k, and all OLS arithmetic on the
+    * k-row frame.
+    */
+  def zipfFit(docs: DataFrame, k: Int = 200): DataFrame = {
+    import graft.ext.Num.trunc4
+    val freqs = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("f"))
+      .orderBy(col("f").desc, col("term"))
+      .limit(k)
+    val w = Window.orderBy(col("f").desc, col("term"))
+    // floor(ln*1e8) directly (NOT trunc8 then re-scale: the /1e8*1e8
+    // round-trip can land an ulp below the integer and re-floor lower)
+    val pts = freqs
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(
+        floor(log(col("r").cast("double")) * 1e8).cast("long").as("x8"),
+        floor(log(col("f").cast("double")) * 1e8).cast("long").as("y8"))
+    pts.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x8")).cast("long").as("sx"),
+        sum(col("y8")).cast("long").as("sy"),
+        sum(col("x8").cast("decimal(38,0)") * col("x8").cast("decimal(38,0)")).as("sxx"),
+        sum(col("x8").cast("decimal(38,0)") * col("y8").cast("decimal(38,0)")).as("sxy"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))).as("m"),
+        col("sx"), col("sy"))
+      .select(col("n").as("n_terms"),
+        trunc4(col("m")).as("slope4"),
+        trunc4((col("sy").cast("double") / 1e8 -
+          col("m") * col("sx").cast("double") / 1e8) / col("n").cast("double"))
+          .as("intercept4"))
+  }
 
   /** Normalize-then-hash document fingerprint: md5 of
     * lowercase(whitespace-collapsed) text. md5 agrees across engines, so

@@ -302,4 +302,44 @@ object Relational {
     pruned.join(right.select(col(rightKey)),
       pruned(leftKey) === right(rightKey), "left_semi")
   }
+
+  /** SCD Type-2 dimension build from a change log: collapse
+    * consecutive identical attribute values per key, then stamp each
+    * surviving version with `valid_from` / `valid_to` (epoch seconds;
+    * null valid_to = open) and an `is_current` flag — the standard
+    * warehouse dimension-history shape (Kimball SCD2), as two window
+    * passes.
+    *
+    * Determinism: the change order within a key is (ts, tieCol) — the
+    * caller supplies a unique tiebreaker (an event id) so same-second
+    * changes order identically on every engine. Scale shape: both
+    * windows partition by the KEY (parallelism = |keys|, each key's
+    * history is calendar-bounded), with one exchange serving both —
+    * the second window reuses the first's (key, ts, tie) sort.
+    */
+  def scd2(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lag, lead, lit, unix_timestamp, when}
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val changes = df
+      .select(col(keyCol), col(tsCol), col(attrCol), col(tieCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(byKey))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    changes
+      .withColumn("valid_from", unix_timestamp(col(tsCol)).cast("long"))
+      .withColumn("valid_to",
+        unix_timestamp(lead(col(tsCol), 1).over(byKey)).cast("long"))
+      .select(col(keyCol), col(attrCol),
+        col("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0))
+          .cast("int").as("is_current"),
+        col(tieCol).as("change_id"))
+      .orderBy(col(keyCol), col("valid_from"), col("change_id"))
+  }
 }

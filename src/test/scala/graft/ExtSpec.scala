@@ -1526,6 +1526,74 @@ class ExtSpec extends SparkSpec {
     assert(got.getAs[Double]("p90") === exp(2))
   }
 
+  test("activityIslands: runs split on gaps, streaks counted") {
+    import spark.implicits._
+    // user 1: days 1,2,3 then 7,8 -> 2 islands, longest 3; user 2: one day
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-07"), (1L, "2024-01-08"), (1L, "2024-01-08"), // dup day
+      (2L, "2024-03-05")
+    ).toDF("user_id", "day")
+      .select(col("user_id"), col("day").cast("timestamp").as("ts"))
+    val r = Events.activityIslands(ev).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((5L, 2L, 3L)))
+    assert(r(2L) === ((1L, 1L, 1L)))
+  }
+
+  test("weightedMedian: lower weighted median respects weights") {
+    import spark.implicits._
+    // values 1(w1), 2(w1), 3(w10): half of 12 is 6 -> median 3
+    // group B: symmetric weights -> lower median 10
+    val df = Seq(("A", 1.0, 1L), ("A", 2.0, 1L), ("A", 3.0, 10L),
+      ("B", 10.0, 5L), ("B", 20.0, 5L)).toDF("g", "v", "w")
+    val r = Aggregates.weightedMedian(df, "v", "w", "g").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("A") === ((12L, 3.0)))
+    assert(r("B") === ((10L, 10.0)))
+  }
+
+  test("zipfFit: exact power law recovers its slope") {
+    import spark.implicits._
+    // craft term frequencies ~ r^-1: term t_r appears floor(1200/r) times
+    val docs = (1 to 30).flatMap { r =>
+      Seq.fill(1200 / r)(s"t$r")
+    }.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val row = TextOps.zipfFit(docs, k = 30).collect().head
+    assert(row.getAs[Long]("n_terms") === 30L)
+    val slope = row.getAs[Double]("slope4")
+    assert(slope < -0.93 && slope > -1.07, s"slope=$slope")
+  }
+
+  test("scd2: consecutive duplicates collapse, validity chains") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "2024-01-01 00:00:00", "a", 1L),
+      (1L, "2024-01-02 00:00:00", "a", 2L), // no-op, collapsed
+      (1L, "2024-01-03 00:00:00", "b", 3L),
+      (2L, "2024-02-01 00:00:00", "x", 4L)
+    ).toDF("k", "ts", "attr", "id")
+      .select(col("k"), col("ts").cast("timestamp").as("ts"), col("attr"), col("id"))
+    val r = ops.Relational.scd2(log, "k", "ts", "attr", "id").collect()
+    assert(r.length === 3)
+    val v1 = r.filter(_.getLong(0) == 1L)
+    assert(v1.map(_.getString(1)).toSeq === Seq("a", "b"))
+    // first version closes exactly when the second opens
+    assert(v1(0).getLong(3) === v1(1).getLong(2))
+    assert(v1(0).getInt(4) === 0 && v1(1).getInt(4) === 1)
+  }
+
+  test("dimTruncationEval: full dim has perfect recall, monotone-ish prefix") {
+    val e = t("embeddings")
+    val r = Similarity.dimTruncationEval(e).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r(64) === 10L) // full vs full
+    assert(r.keySet === Set(8, 16, 32, 64))
+    assert(r.values.forall(v => v >= 0L && v <= 10L))
+  }
+
   test("searchPhrase: adjacency required, occurrences counted") {
     import spark.implicits._
     val docs = Seq(
