@@ -1175,6 +1175,21 @@ object SparkEntry {
     // retrieval vs full-dim (how many dims can serving drop)
     "e_dim_truncation" -> ((s, dir) =>
       Similarity.dimTruncationEval(rd(s, dir, "embeddings"))),
+    // k-anonymity equivalence classes over (nation, segment): the
+    // re-identification audit before a pseudonymized export
+    "q_k_anonymity" -> ((s, dir) =>
+      Quality.kAnonymityAudit(rd(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), 10)),
+    // encoding health: non-printable-ASCII share per document
+    "d_ascii_profile" -> ((s, dir) => TextOps.asciiProfile(rd(s, dir, "documents"))),
+    // contrastive hard negatives: nearest cosine neighbours with a
+    // DIFFERENT label, per query vector
+    "e_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(rd(s, dir, "embeddings"))),
+    // order-2 association rules: support / confidence / lift per brand
+    // pair, top-k by lift
+    "q_basket_rules" -> ((s, dir) =>
+      Aggregates.basketRules(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
     // per-frame byte/"pixel" stats over the stub-decoded payload
     "m_pixel_stats" -> ((s, dir) =>
       Multimodal.framePixelStats(rd(s, dir, "documents"))),
@@ -1895,6 +1910,46 @@ SELECT user_id, event_type,
     THEN 1 ELSE 0 END AS is_current,
   event_id AS change_id
 FROM ch ORDER BY user_id, valid_from, change_id""",
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+  CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS violates_k
+FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d_ascii_profile" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^ -~]', '', 'g')) AS BIGINT) AS n_nonprintable,
+  floor((CASE WHEN LENGTH(text) = 0 THEN 0.0
+    ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE) / LENGTH(text) END) * 10000) / 10000.0 AS ratio4,
+  CASE WHEN floor((CASE WHEN LENGTH(text) = 0 THEN 0.0
+    ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE) / LENGTH(text) END) * 10000) / 10000.0 > 0.05
+    THEN 1 ELSE 0 END AS flagged
+FROM documents ORDER BY doc_id""",
+    "e_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 5)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT query_id, e.vec_id, floor((${cos("e.v", "qv")}) * 10000) / 10000.0 AS cos_sim
+  FROM q, e WHERE e.vec_id >= 5 AND e.label <> q.qlabel
+) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 3
+ORDER BY query_id, cos_sim DESC, vec_id""",
+    "q_basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+ok AS (SELECT o FROM items GROUP BY o HAVING COUNT(*) <= 15),
+it AS (SELECT items.o, items.b FROM items JOIN ok ON items.o = ok.o),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM it),
+singles AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM it GROUP BY b),
+pairs AS (SELECT x.b AS brand_a, y.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM it x JOIN it y ON x.o = y.o AND x.b < y.b
+  GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+SELECT brand_a, brand_b, n_ab, sa.n_b AS n_a, sb.n_b AS n_b,
+  floor(CAST(n_ab AS DOUBLE) / sa.n_b * 10000) / 10000.0 AS conf_ab4,
+  floor(CAST(n_ab AS DOUBLE) / sb.n_b * 10000) / 10000.0 AS conf_ba4,
+  floor(CAST(n_ab AS DOUBLE) * nb.n_baskets / (sa.n_b * sb.n_b) * 10000) / 10000.0 AS lift4
+FROM pairs
+JOIN singles sa ON pairs.brand_a = sa.b
+JOIN singles sb ON pairs.brand_b = sb.b
+CROSS JOIN nb
+ORDER BY lift4 DESC, brand_a, brand_b LIMIT 25""",
     "e_dim_truncation" ->
       (Seq(8, 16, 32, 64).map { d =>
         s"""SELECT $d AS trunc_dim, CAST(COUNT(*) AS BIGINT) AS overlap,

@@ -667,6 +667,47 @@ object Aggregates {
       .limit(k)
   }
 
+  /** Association rules over brand PAIRS: support, directional
+    * confidence, and lift — the classic market-basket read
+    * ([[brandTriples]] is the order-3 structure; this is the
+    * decision-grade order-2 table with the probabilistic columns).
+    * Baskets are DISTINCT (order, brand) sets capped at `maxBasket`
+    * (the same d-squared skew guard), N / per-brand / per-pair counts
+    * are all exact integers from partial-first aggregates, and the
+    * two confidences + lift divide those integers as doubles only in
+    * the final projection (trunc4). Top-k by lift via TakeOrdered.
+    */
+  def basketRules(lineitem: DataFrame, part: DataFrame,
+      maxBasket: Int = 15, minSupport: Long = 20, k: Int = 25): DataFrame = {
+    import Num.trunc4
+    val items = lineitem.select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand").as("b")), "l_partkey")
+      .select(col("o"), col("b")).distinct()
+    val ok = items.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBasket).select(col("o"))
+    val it = items.join(ok, Seq("o"), "left_semi")
+    val nBaskets = it.select(col("o")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_baskets"))
+    val singles = it.groupBy(col("b")).agg(count(lit(1)).cast("long").as("n_b"))
+    val x = it.select(col("o"), col("b").as("brand_a"))
+    val y = it.select(col("o"), col("b").as("brand_b"))
+    val pairs = x.join(y, Seq("o")).filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(singles.select(col("b").as("brand_a"), col("n_b").as("n_a"))), "brand_a")
+      .join(broadcast(singles.select(col("b").as("brand_b"), col("n_b").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        trunc4(col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_ab4"),
+        trunc4(col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_ba4"),
+        trunc4(col("n_ab").cast("double") * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift4"))
+      .orderBy(col("lift4").desc, col("brand_a"), col("brand_b"))
+      .limit(k)
+  }
+
   /** Laspeyres monthly price index over lineitem: how much does the
     * BASE month's basket cost in month m, relative to what it cost in
     * the base month — the inflation read that separates price movement

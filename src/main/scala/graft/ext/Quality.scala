@@ -157,4 +157,19 @@ object Quality {
     }.reduce(_ unionByName _)
       .orderBy(col("relationship"))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple: the size of every
+    * equivalence class and whether it violates the k threshold — the
+    * re-identification check run before any pseudonymized export
+    * (Sweeney's k-anonymity; a class smaller than k pins an individual
+    * to <= k-1 alternatives). One partial-first aggregate; output is
+    * |distinct quasi tuples| rows, grouped-count shaped at any scale.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Int = 10): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: no quasi columns")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("violates_k", (col("n") < k).cast("int"))
+      .orderBy(quasiCols.map(col): _*)
+  }
 }

@@ -600,6 +600,29 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar CORPUS vectors carrying a
+    * DIFFERENT label — the near-miss negatives that sharpen a
+    * retrieval model far more than random ones. Reuses [[knnJoin]]'s
+    * broadcast-batch + per-partition-heap kernel per query-label
+    * group, with the corpus pre-filtered to the opposing labels, so
+    * the corpus is scanned once per distinct label in the query batch
+    * (bounded by the label vocabulary, not data size).
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val qs = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val labels = qs.select(col("label").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(labels.nonEmpty, "hardNegatives: empty query batch")
+    labels.map { l =>
+      knnJoin(
+        embeddings.filter(col("vec_id") >= nQueries && col("label") =!= l),
+        qs.filter(col("label") === l), k)
+    }.reduce(_ unionAll _)
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** int8 embedding quantization — the storage-scale lever: per-vector
     * symmetric scale (max|x|/127), elements are TINYINT (1 byte) — the
     * 4x-vs-float32 saving is real in memory and on the shuffle wire,

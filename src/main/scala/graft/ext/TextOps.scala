@@ -172,6 +172,30 @@ object TextOps {
           .as("intercept4"))
   }
 
+  /** Printable-ASCII profile per document: count of characters outside
+    * the space..tilde range (control bytes, mojibake, unexpected
+    * unicode) and their share — the cheap encoding-health audit a
+    * crawl pipeline runs before tokenization. One codegen'd
+    * regexp_replace per row, fused into the scan; the `[^ -~]` class
+    * means the same thing to every regex engine.
+    *
+    * (Character counting note: lengths are UTF-16 code units on the
+    * JVM; corpora with astral-plane characters count them as 2 here —
+    * the flag semantics are unaffected.)
+    */
+  def asciiProfile(docs: DataFrame, maxRatio: Double = 0.05): DataFrame = {
+    import graft.ext.Num.trunc4
+    val nChars = length(col("text")).cast("long")
+    val nPrintable = length(regexp_replace(col("text"), "[^ -~]", "")).cast("long")
+    docs.select(col("doc_id"), nChars.as("n_chars"),
+        (nChars - nPrintable).as("n_nonprintable"))
+      .withColumn("ratio4",
+        trunc4(when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col("n_nonprintable").cast("double") / col("n_chars").cast("double"))))
+      .withColumn("flagged", (col("ratio4") > maxRatio).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Normalize-then-hash document fingerprint: md5 of
     * lowercase(whitespace-collapsed) text. md5 agrees across engines, so
     * the fingerprint is portable — it is also the grouping key for

@@ -1594,6 +1594,62 @@ class ExtSpec extends SparkSpec {
     assert(r.values.forall(v => v >= 0L && v <= 10L))
   }
 
+  test("kAnonymityAudit: small classes flagged") {
+    import spark.implicits._
+    val df = (Seq.fill(12)(("US", "A")) ++ Seq.fill(3)(("US", "B")) ++
+      Seq.fill(10)(("DE", "A"))).toDF("nat", "seg")
+    val r = Quality.kAnonymityAudit(df, Seq("nat", "seg"), 10).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getInt(3))).toMap
+    assert(r(("US", "A")) === ((12L, 0)))
+    assert(r(("US", "B")) === ((3L, 1)))
+    assert(r(("DE", "A")) === ((10L, 0)))
+  }
+
+  test("asciiProfile: control and unicode chars counted, ratio flags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "tab\there"),              // 1 non-printable
+      (3L, "café résumé") // 3 non-ascii letters
+    ).toDF("doc_id", "text")
+    val r = TextOps.asciiProfile(docs, 0.05).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getInt(4))).toMap
+    assert(r(1L) === ((0L, 0)))
+    assert(r(2L) === ((1L, 1))) // 1/8 > 5%
+    assert(r(3L) === ((3L, 1)))
+  }
+
+  test("hardNegatives: neighbours never share the query label") {
+    val e = t("embeddings")
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r = Similarity.hardNegatives(e, nQueries = 5, k = 3).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val q = row.getAs[Long]("query_id"); val v = row.getAs[Long]("vec_id")
+      assert(labels(q) !== labels(v), s"query $q and neighbour $v share a label")
+      assert(v >= 5L)
+    }
+    // exactly k rows per query
+    assert(r.groupBy(_.getAs[Long]("query_id")).values.forall(_.length === 3))
+  }
+
+  test("basketRules: confidence and lift from known baskets") {
+    import spark.implicits._
+    // brands X,Y co-occur in 2 of 4 baskets; X alone in 1 more
+    val li = Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
+      (3L, 101L), (4L, 103L)).toDF("l_orderkey", "l_partkey")
+    val part = Seq((101L, "X"), (102L, "Y"), (103L, "Z")).toDF("p_partkey", "p_brand")
+    val r = Aggregates.basketRules(li, part, maxBasket = 15, minSupport = 1, k = 10)
+      .collect()
+    val xy = r.find(x => x.getAs[String]("brand_a") == "X" && x.getAs[String]("brand_b") == "Y").get
+    assert(xy.getAs[Long]("n_ab") === 2L && xy.getAs[Long]("n_a") === 3L && xy.getAs[Long]("n_b") === 2L)
+    // conf X->Y = 2/3, conf Y->X = 1, lift = 2*4/(3*2) = 1.3333
+    assert(xy.getAs[Double]("conf_ab4") === 0.6666)
+    assert(xy.getAs[Double]("conf_ba4") === 1.0)
+    assert(xy.getAs[Double]("lift4") === 1.3333)
+  }
+
   test("searchPhrase: adjacency required, occurrences counted") {
     import spark.implicits._
     val docs = Seq(
