@@ -1190,6 +1190,12 @@ object SparkEntry {
     // pair, top-k by lift
     "q_basket_rules" -> ((s, dir) =>
       Aggregates.basketRules(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
+    // rolling 7-day return rate per active day (day-grain stickiness)
+    "q_return_rate_7d" -> ((s, dir) => Events.returnRate7d(rd(s, dir, "events"))),
+    // MOSS winnowing: window-min md5 fingerprints, doc pairs by overlap
+    "d_winnowing" -> ((s, dir) => Dedup.winnowingPairs(rd(s, dir, "documents"))),
+    // term burstiness (Fano factor): topical clumping vs even spread
+    "d_burstiness" -> ((s, dir) => TextOps.termBurstiness(rd(s, dir, "documents"))),
     // per-frame byte/"pixel" stats over the stub-decoded payload
     "m_pixel_stats" -> ((s, dir) =>
       Multimodal.framePixelStats(rd(s, dir, "documents"))),
@@ -1910,6 +1916,39 @@ SELECT user_id, event_type,
     THEN 1 ELSE 0 END AS is_current,
   event_id AS change_id
 FROM ch ORDER BY user_id, valid_from, change_id""",
+    "q_return_rate_7d" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d FROM events),
+ret AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_returned FROM (
+  SELECT DISTINCT a.user_id, a.d FROM days a JOIN days b
+    ON a.user_id = b.user_id AND b.d > a.d AND b.d <= a.d + 7)
+  GROUP BY d),
+act AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active FROM days GROUP BY d)
+SELECT act.d AS day_num, act.n_active,
+  CAST(COALESCE(ret.n_returned, 0) AS BIGINT) AS n_returned,
+  floor(CAST(COALESCE(ret.n_returned, 0) AS DOUBLE) / act.n_active * 10000) / 10000.0 AS return_rate4
+FROM act LEFT JOIN ret ON act.d = ret.d ORDER BY day_num""",
+    "d_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 5),
+pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t),
+g AS (SELECT doc_id, i, md5(array_to_string(ws[i:(i+4)], ' ')) AS h FROM pos),
+sel AS (SELECT DISTINCT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+ORDER BY n_shared DESC, doc_a, doc_b LIMIT 25""",
+    "d_burstiness" ->
+      """WITH pd AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1, 2),
+s AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(c) AS BIGINT) AS tot, CAST(SUM(c * c) AS BIGINT) AS sumsq
+  FROM pd GROUP BY term HAVING COUNT(*) >= 20)
+SELECT term, n_docs, tot,
+  floor((CAST(n_docs AS DOUBLE) * CAST(sumsq AS DOUBLE) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) /
+    (CAST(n_docs AS DOUBLE) * CAST(tot AS DOUBLE)) * 10000) / 10000.0 AS burstiness4
+FROM s ORDER BY burstiness4 DESC, term LIMIT 25""",
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
   CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS violates_k

@@ -605,6 +605,57 @@ object Dedup {
       .orderBy(col("first_doc"), col("h"))
   }
 
+  /** Winnowing fingerprint overlap (the MOSS document-fingerprinting
+    * scheme): hash every `k`-token shingle, slide a window of `w`
+    * consecutive shingle hashes, keep each window's MINIMUM — a
+    * guaranteed-coverage subsample (any shared run of k+w-1 tokens
+    * shares a fingerprint) at ~1/w the volume of full shingling. Doc
+    * pairs sharing >= `minShared` selected fingerprints are emitted
+    * with their overlap count: the plagiarism/near-dup detector that
+    * scales where full shingle comparison can't.
+    *
+    * Portability: the hash is the md5 hex string itself (engines agree
+    * byte-for-byte), and "minimum" is its lexicographic order — so the
+    * SELECTION (which depends on hash ORDER, unlike the equality-only
+    * pipelines above) is identical in any engine. Trailing partial
+    * windows are included (each position takes the min over itself and
+    * up to w-1 followers) — a documented variant, consistent across
+    * engines. Scale shape: explode + window-min per doc (calendar of
+    * positions, partition = doc), distinct, and a posting-list
+    * self-join on the fingerprint — candidates meet only on shared
+    * fingerprints, never all-pairs.
+    */
+  def winnowingPairs(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Long = 3,
+      topK: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("ws"))
+    val grams = toks
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - (k - 1))).as("i"),
+        col("ws"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("ws"), col("i"), lit(k)), " ")).as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val selected = grams
+      .select(col("doc_id"), min(col("h")).over(byDoc).as("fp"))
+      .distinct()
+    val a = selected.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = selected.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
   def substringDup(docs: DataFrame, n: Int = 30): DataFrame = {
     val sh = shingleHashes(docs, n)
     val firstSeen = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))

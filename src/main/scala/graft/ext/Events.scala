@@ -777,6 +777,39 @@ object Events {
       .limit(k)
   }
 
+  /** Rolling 7-day return rate: for every active day d, the share of
+    * that day's active users who come back within the next 7 days —
+    * the day-grain retention pulse (cohort triangles answer "which
+    * month", this answers "is stickiness moving this week").
+    *
+    * Scale shape: the fact stream collapses once to the DISTINCT
+    * (user, day) frame; the return test is a self-join on user_id with
+    * a bounded day-range predicate (each user's day list is
+    * calendar-bounded), then two partial-first counts per day. All
+    * integers until the final ratio (trunc4).
+    */
+  def returnRate7d(eventsRaw: DataFrame, horizonDays: Int = 7): DataFrame = {
+    import graft.ext.Num.trunc4
+    val events = normalizeTs(eventsRaw)
+    val days = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+      .distinct()
+    val later = days.select(col("user_id"), col("d").as("d2"))
+    val returned = days.join(later,
+        Seq("user_id"))
+      .filter(col("d2") > col("d") && col("d2") <= col("d") + horizonDays)
+      .select(col("user_id"), col("d")).distinct()
+      .groupBy(col("d")).agg(count(lit(1)).cast("long").as("n_returned"))
+    days.groupBy(col("d")).agg(count(lit(1)).cast("long").as("n_active"))
+      .join(returned, Seq("d"), "left")
+      .select(col("d").as("day_num"), col("n_active"),
+        coalesce(col("n_returned"), lit(0L)).cast("long").as("n_returned"),
+        trunc4(coalesce(col("n_returned"), lit(0L)).cast("double") /
+          col("n_active").cast("double")).as("return_rate4"))
+      .orderBy(col("day_num"))
+  }
+
   /** Gaps-and-islands over per-user daily activity: contiguous runs of
     * active DAYS found with the classic `day_number - row_number`
     * grouping key (constant within a consecutive run, distinct across

@@ -172,6 +172,36 @@ object TextOps {
           .as("intercept4"))
   }
 
+  /** Term burstiness (Fano factor over containing docs): Var/mean of a
+    * term's per-document count — topical terms clump (burstiness >> 1:
+    * when they appear, they appear repeatedly), function words spread
+    * evenly (~scattered around the mean). The statistic behind
+    * burstiness-corrected IDF and template detection. Exact until the
+    * last op: per-doc counts, their sum and sum-of-squares are
+    * integers, Fano = (n*sumsq - tot^2) / (n*tot) divides two exact
+    * integers once (trunc4). Top-k by burstiness, df-filtered so
+    * one-doc flukes don't dominate.
+    */
+  def termBurstiness(docs: DataFrame, minDocs: Long = 20, k: Int = 25): DataFrame = {
+    import graft.ext.Num.trunc4
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("c")).cast("long").as("tot"),
+        sum(col("c") * col("c")).cast("long").as("sumsq"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("term"), col("n_docs"), col("tot"),
+        trunc4((col("n_docs").cast("double") * col("sumsq").cast("double") -
+          col("tot").cast("double") * col("tot").cast("double")) /
+          (col("n_docs").cast("double") * col("tot").cast("double")))
+          .as("burstiness4"))
+      .orderBy(col("burstiness4").desc, col("term"))
+      .limit(k)
+  }
+
   /** Printable-ASCII profile per document: count of characters outside
     * the space..tilde range (control bytes, mojibake, unexpected
     * unicode) and their share — the cheap encoding-health audit a

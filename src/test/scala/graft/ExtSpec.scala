@@ -1650,6 +1650,55 @@ class ExtSpec extends SparkSpec {
     assert(xy.getAs[Double]("lift4") === 1.3333)
   }
 
+  test("returnRate7d: returners within horizon counted, edge day excluded") {
+    import spark.implicits._
+    // user 1 active day 0 and day 7 (returns), user 2 day 0 and day 8 (no),
+    // user 3 day 0 only
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-08"),
+      (2L, "2024-01-01"), (2L, "2024-01-09"), (3L, "2024-01-01"))
+      .toDF("user_id", "day")
+      .select(col("user_id"), col("day").cast("timestamp").as("ts"))
+    val r = Events.returnRate7d(ev).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    val day0 = r.keys.min
+    assert(r(day0) === ((3L, 1L, 0.3333)))
+  }
+
+  test("winnowingPairs: shared long run guarantees a shared fingerprint") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared four"),
+      (3L, "totally different words here nothing in common at all today")
+    ).toDF("doc_id", "text")
+    val r = Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 1, topK = 10).collect()
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // winnowing guarantee: k+w-1 = 8 < 12
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("termBurstiness: clumped term outranks evenly spread term") {
+    import spark.implicits._
+    // 'bursty' appears 5x in each of 20 docs; 'even' once in each of 20
+    val docs = (1 to 20).map { i =>
+      (i.toLong, (Seq.fill(5)("bursty") ++ Seq("even") ++ Seq(s"pad$i")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = TextOps.termBurstiness(docs, minDocs = 20, k = 10).collect()
+    val m = r.map(x => x.getString(0) -> x.getAs[Double]("burstiness4")).toMap
+    // all counts equal within each term -> variance 0 -> burstiness 0
+    assert(m("bursty") === 0.0 && m("even") === 0.0)
+    // add a clumped term: 10x in one doc, 1x in the 19 others
+    val docs2 = (1 to 20).map { i =>
+      val n = if (i == 1) 10 else 1
+      (i.toLong, (Seq.fill(n)("clump") ++ Seq.fill(2)("flat")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r2 = TextOps.termBurstiness(docs2, minDocs = 20, k = 10).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("burstiness4")).toMap
+    assert(r2("clump") > r2("flat"))
+    assert(r2("flat") === 0.0)
+  }
+
   test("searchPhrase: adjacency required, occurrences counted") {
     import spark.implicits._
     val docs = Seq(
