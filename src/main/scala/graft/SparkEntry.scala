@@ -601,6 +601,8 @@ object SparkEntry {
     "q_seasonality" -> ((s, dir) => Events.hourOfDayProfile(rd(s, dir, "events"))),
     "q_seasonality_dow" -> ((s, dir) => Events.dayOfWeekProfile(rd(s, dir, "events"))),
     "d_vocab_growth" -> ((s, dir) => Curation.vocabGrowth(rd(s, dir, "documents"))),
+    // 3-gram first-occurrence novelty curve per source (re-crawl signal)
+    "d_ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(rd(s, dir, "documents"))),
     // exact equal-frequency binning over document length (integer rank
     // arithmetic — no float percentile, no fact-table sort)
     "d_eqfreq_bins" -> ((s, dir) =>
@@ -750,6 +752,20 @@ object SparkEntry {
     "q_runs_test" -> ((s, dir) => Aggregates.revenueRunsTest(rd(s, dir, "orders"))),
     // inflation vs mix shift: base-basket monthly price index
     "q_price_index" -> ((s, dir) => Aggregates.priceIndexLaspeyres(rd(s, dir, "lineitem"))),
+    // Laspeyres/Paasche substitution-bias bracket + Fisher ideal index
+    "q_price_index_fisher" -> ((s, dir) =>
+      Aggregates.priceIndexFisher(rd(s, dir, "lineitem"))),
+    // pairwise concordance (tau-b) on the tiny aggregated nation frame
+    "q_kendall_tau" -> ((s, dir) =>
+      Aggregates.kendallTauNation(rd(s, dir, "orders"), rd(s, dir, "customer"))),
+    // one-number association strength for the chi2 contingency screen
+    "q_cramers_v" -> ((s, dir) =>
+      Aggregates.cramersV(rd(s, dir, "orders"), rd(s, dir, "customer"))),
+    // balance-band buy-rate lift vs exact decile boundaries
+    "q_decile_lift" -> ((s, dir) =>
+      Aggregates.decileLift(rd(s, dir, "customer"), rd(s, dir, "orders"))),
+    // ANALYZE-style one-scan per-column stats (nulls/ndv/min/max)
+    "q_table_stats" -> ((s, dir) => Quality.tableStats(rd(s, dir, "orders"))),
     // order-3 basket structure with an explicit mega-basket cap
     "q_brand_triples" -> ((s, dir) =>
       Aggregates.brandTriples(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
@@ -3018,6 +3034,20 @@ SELECT block, new_terms,
   CAST(SUM(new_terms) OVER (ORDER BY block
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
 FROM blk ORDER BY block""",
+    "d_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3)),
+f AS (SELECT sh, MIN(doc_id) AS fd FROM g GROUP BY 1),
+per AS (SELECT g.doc_id, g.source, CAST(COUNT(*) AS BIGINT) AS n_sh,
+  CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM g JOIN f ON f.sh = g.sh GROUP BY 1, 2),
+r AS (SELECT source, doc_id, (n_new * 10000) // n_sh AS bp,
+  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM per)
+SELECT source, CAST((rn - 1) // 25 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(bp) // COUNT(*) AS DOUBLE) / 10000.0 AS novelty4
+FROM r GROUP BY 1, 2 ORDER BY source, bucket""",
     "d_eqfreq_bins" ->
       """WITH vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
   WHERE n_chars IS NOT NULL GROUP BY 1),
@@ -3784,6 +3814,114 @@ SELECT p.month, CAST(COUNT(*) AS BIGINT) AS n_parts,
 FROM pmu p JOIN bq b ON b.part = p.part
 GROUP BY p.month
 ORDER BY p.month""",
+    "q_price_index_fisher" ->
+      """WITH pm AS (SELECT l_partkey AS part, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2),
+pmu AS (SELECT part, month, (cents * 1000000) // qty AS up6, qty FROM pm),
+bm AS (SELECT MIN(month) AS bm FROM pmu),
+bq AS (SELECT p.part, p.qty AS qb, p.up6 AS ub6 FROM pmu p, bm WHERE p.month = bm.bm),
+g AS (SELECT p.month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  SUM(CAST(b.qb AS HUGEINT) * p.up6) AS lnum,
+  SUM(CAST(b.qb AS HUGEINT) * b.ub6) AS lden,
+  SUM(CAST(p.qty AS HUGEINT) * p.up6) AS pnum,
+  SUM(CAST(p.qty AS HUGEINT) * b.ub6) AS pden
+  FROM pmu p JOIN bq b ON b.part = p.part GROUP BY 1)
+SELECT month, n_parts,
+  floor(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE) * 10000) / 10000.0 AS laspeyres4,
+  floor(CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE) * 10000) / 10000.0 AS paasche4,
+  floor(sqrt((CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)) *
+             (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE))) * 10000) / 10000.0 AS fisher4
+FROM g ORDER BY month""",
+    "q_kendall_tau" ->
+      """WITH per AS (SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS x,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+  FROM per a JOIN per b ON a.nation < b.nation),
+s AS (SELECT
+  CAST(SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+  CAST(SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+  CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+  CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+  CAST(COUNT(*) AS BIGINT) AS n0 FROM p)
+SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+  floor(CAST(c - d AS DOUBLE) / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)) * 10000) / 10000.0 AS tau_b4
+FROM s""",
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+  CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+m AS (SELECT segment, priority, obs,
+  CAST(SUM(obs) OVER (PARTITION BY segment) AS BIGINT) AS rt,
+  CAST(SUM(obs) OVER (PARTITION BY priority) AS BIGINT) AS ct,
+  CAST(SUM(obs) OVER () AS BIGINT) AS n FROM cells),
+c8 AS (SELECT segment, priority, n,
+  CAST(floor((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * 100000000) AS BIGINT) AS c8
+  FROM m),
+s AS (SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+  CAST(COUNT(DISTINCT segment) AS BIGINT) AS r_levels,
+  CAST(COUNT(DISTINCT priority) AS BIGINT) AS c_levels,
+  CAST(SUM(c8) AS BIGINT) AS chi8 FROM c8)
+SELECT n_total, r_levels, c_levels,
+  floor(CAST(chi8 AS DOUBLE) / 100000000 * 10000) / 10000.0 AS chi2_4,
+  floor(sqrt((CAST(chi8 AS DOUBLE) / 100000000) /
+             CAST(n_total * least(r_levels - 1, c_levels - 1) AS DOUBLE)) * 10000) / 10000.0 AS cramers_v4
+FROM s""",
+    "q_decile_lift" ->
+      """WITH b AS (SELECT quantile_cont(c_acctbal, 0.1) AS d1, quantile_cont(c_acctbal, 0.2) AS d2,
+  quantile_cont(c_acctbal, 0.3) AS d3, quantile_cont(c_acctbal, 0.4) AS d4,
+  quantile_cont(c_acctbal, 0.5) AS d5, quantile_cont(c_acctbal, 0.6) AS d6,
+  quantile_cont(c_acctbal, 0.7) AS d7, quantile_cont(c_acctbal, 0.8) AS d8,
+  quantile_cont(c_acctbal, 0.9) AS d9 FROM customer),
+buy AS (SELECT DISTINCT o_custkey FROM orders),
+banded AS (SELECT CAST(1
+    + (CASE WHEN c.c_acctbal > b.d1 THEN 1 ELSE 0 END)
+    + (CASE WHEN c.c_acctbal > b.d2 THEN 1 ELSE 0 END)
+    + (CASE WHEN c.c_acctbal > b.d3 THEN 1 ELSE 0 END)
+    + (CASE WHEN c.c_acctbal > b.d4 THEN 1 ELSE 0 END)
+    + (CASE WHEN c.c_acctbal > b.d5 THEN 1 ELSE 0 END)
+    + (CASE WHEN c.c_acctbal > b.d6 THEN 1 ELSE 0 END)
+    + (CASE WHEN c.c_acctbal > b.d7 THEN 1 ELSE 0 END)
+    + (CASE WHEN c.c_acctbal > b.d8 THEN 1 ELSE 0 END)
+    + (CASE WHEN c.c_acctbal > b.d9 THEN 1 ELSE 0 END) AS BIGINT) AS decile,
+  CASE WHEN buy.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS bought
+  FROM customer c CROSS JOIN b LEFT JOIN buy ON buy.o_custkey = c.c_custkey),
+per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(bought) AS BIGINT) AS n_buyers FROM banded GROUP BY 1),
+t AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS tot_n,
+  CAST(SUM(n_buyers) AS BIGINT) AS tot_b FROM per)
+SELECT decile, n_customers, n_buyers,
+  floor(CAST(n_buyers AS DOUBLE) / CAST(n_customers AS DOUBLE) * 10000) / 10000.0 AS buy_rate4,
+  floor(CAST(n_buyers * tot_n AS DOUBLE) / CAST(n_customers * tot_b AS DOUBLE) * 10000) / 10000.0 AS lift4
+FROM per CROSS JOIN t ORDER BY decile""",
+    "q_table_stats" ->
+      """WITH s AS (
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  COUNT(DISTINCT o_orderkey) AS ndv,
+  CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num FROM orders
+UNION ALL SELECT 'o_custkey', COUNT(*),
+  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_custkey),
+  CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE) FROM orders
+UNION ALL SELECT 'o_orderstatus', COUNT(*),
+  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderstatus),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+UNION ALL SELECT 'o_totalprice', COUNT(*),
+  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_totalprice),
+  CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+UNION ALL SELECT 'o_orderdate', COUNT(*),
+  SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderdate),
+  CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE), CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) FROM orders
+UNION ALL SELECT 'o_orderpriority', COUNT(*),
+  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT o_orderpriority),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders)
+SELECT col_name AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_nulls AS BIGINT) AS n_nulls, CAST(ndv AS BIGINT) AS ndv, min_num, max_num
+FROM s ORDER BY "column"""",
     "q_ltv_cohort" ->
       """WITH fm AS (SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
   FROM events GROUP BY 1),

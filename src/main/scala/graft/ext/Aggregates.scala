@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2011,6 +2011,165 @@ object Aggregates {
       trunc4(col("b1")).as("b1_cents_per_line"),
       trunc4(col("b2")).as("b2_cents_per_unit"),
       trunc4(lit(1.0) - sse / sst).as("r2"))
+  }
+
+  /** Laspeyres + Paasche + Fisher monthly price indices over the same
+    * base-month basket frame as [[priceIndexLaspeyres]]. Laspeyres
+    * weights by BASE-month quantities (overstates inflation as buyers
+    * substitute away from risers), Paasche by CURRENT-month quantities
+    * (understates it), Fisher is their geometric mean — the
+    * "ideal" index (Fisher 1922, public literature). One extra pair of
+    * sums per group over the identical join, so the plan cost is the
+    * Laspeyres plan: per-(part,month) partial aggregate, broadcast
+    * 1-row base month, partial-first final aggregate. Unit prices are
+    * exact 1e-6-scaled integers; the four basket sums stay exact in
+    * decimal(38,0) (mirrors DuckDB's hugeint); doubles appear only in
+    * the two final divisions and the IEEE-correct sqrt.
+    */
+  def priceIndexFisher(lineitem: DataFrame): DataFrame = {
+    import Num.trunc4
+    val pm = lineitem
+      .groupBy(col("l_partkey").as("part"),
+        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(sum(round(col("l_extendedprice") * 100d).cast("long")).cast("long").as("cents"),
+        sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+      .withColumn("up6", expr("(cents * 1000000L) div qty"))
+    val base = pm.agg(min(col("month")).as("bm"))
+    val baseQ = pm.join(broadcast(base), col("month") === col("bm"))
+      .select(col("part"), col("qty").as("qb"), col("up6").as("ub6"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val g = pm.join(baseQ, "part")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(dec(col("qb")) * dec(col("up6"))).as("lnum"),
+        sum(dec(col("qb")) * dec(col("ub6"))).as("lden"),
+        sum(dec(col("qty")) * dec(col("up6"))).as("pnum"),
+        sum(dec(col("qty")) * dec(col("ub6"))).as("pden"))
+    val l = col("lnum").cast("double") / col("lden").cast("double")
+    val p = col("pnum").cast("double") / col("pden").cast("double")
+    g.select(col("month"), col("n_parts"),
+      trunc4(l).as("laspeyres4"),
+      trunc4(p).as("paasche4"),
+      trunc4(sqrt(l * p)).as("fisher4"))
+      .orderBy(col("month"))
+  }
+
+  /** Kendall tau-b rank correlation between per-nation order count and
+    * per-nation revenue. Complements [[spearmanSpend]]: tau is a
+    * PAIRWISE concordance statistic — robust to any monotone transform
+    * and with a direct probabilistic reading (P(concordant) −
+    * P(discordant)) — where Spearman is a moment statistic on ranks.
+    * Tau is O(n²) in the general case, so the scale contract is:
+    * aggregate FIRST (the shuffle reduces the fact table to |nations|
+    * rows), then the all-pairs self-join runs on the tiny aggregated
+    * frame (broadcast, no shuffle). Concordance is decided by sign
+    * COMPARISONS, never by (Δx·Δy) products, so nothing can overflow at
+    * any scale. Ties use the tau-b correction: n1 = x-tied pairs,
+    * n2 = y-tied pairs, tau_b = (C−D)/sqrt((n0−n1)(n0−n2)) — all-long
+    * arithmetic until the final sqrt/division.
+    */
+  def kendallTauNation(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import Num.trunc4
+    val per = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).cast("long").as("x"),
+        sum(round(col("o_totalprice") * 100d).cast("long")).cast("long").as("y"))
+    val a = per.select(col("nation").as("na"), col("x").as("xa"), col("y").as("ya"))
+    val b = per.select(col("nation").as("nb"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(broadcast(b), col("na") < col("nb"))
+    val s = pairs.agg(
+      sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+        (col("xa") > col("xb") && col("ya") > col("yb")), 1L).otherwise(0L))
+        .cast("long").as("c"),
+      sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+        (col("xa") > col("xb") && col("ya") < col("yb")), 1L).otherwise(0L))
+        .cast("long").as("d"),
+      sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).cast("long").as("tx"),
+      sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).cast("long").as("ty"),
+      count(lit(1)).cast("long").as("n0"))
+    s.select(
+      col("n0").as("n_pairs"), col("c").as("concordant"), col("d").as("discordant"),
+      trunc4((col("c") - col("d")).cast("double") /
+        sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty"))).cast("double")))
+        .as("tau_b4"))
+  }
+
+  /** Cramér's V association strength for the segment × priority
+    * contingency table — the single-number summary [[contingencyChi2]]
+    * decomposes per cell. Each cell's chi-square contribution is
+    * snapped to an exact 1e-8-scaled long BEFORE the total sum, so the
+    * cross-cell addition is integer (order-independent across
+    * partitions and engines); V = sqrt(chi2 / (n·min(r−1, k−1))).
+    * Same plan as the chi2 screen: one partial-first cell count, window
+    * margins over the |r·k|-row cell frame, one tiny final aggregate.
+    */
+  def cramersV(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import Num.trunc4
+    val cells = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).cast("long").as("obs"))
+    val m = cells.select(col("segment"), col("priority"), col("obs"),
+      sum(col("obs")).over(Window.partitionBy(col("segment"))).cast("long").as("rt"),
+      sum(col("obs")).over(Window.partitionBy(col("priority"))).cast("long").as("ct"),
+      sum(col("obs")).over(Window.partitionBy()).cast("long").as("n"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    val contrib = (col("obs").cast("double") - e) * (col("obs").cast("double") - e) / e
+    val s = m.select(col("segment"), col("priority"), col("n"),
+      floor(contrib * lit(1.0e8)).cast("long").as("c8"))
+      .groupBy()
+      .agg(max(col("n")).as("n_total"),
+        countDistinct(col("segment")).cast("long").as("r_levels"),
+        countDistinct(col("priority")).cast("long").as("c_levels"),
+        sum(col("c8")).cast("long").as("chi8"))
+    val chi2 = col("chi8").cast("double") / 1.0e8
+    val dof = least(col("r_levels") - 1L, col("c_levels") - 1L)
+    s.select(col("n_total"), col("r_levels"), col("c_levels"),
+      trunc4(chi2).as("chi2_4"),
+      trunc4(sqrt(chi2 / (col("n_total") * dof).cast("double"))).as("cramers_v4"))
+  }
+
+  /** Decile lift table: customers banded by the 9 exact account-balance
+    * decile BOUNDARIES, each band's buy-rate compared to the overall
+    * rate — the campaign-targeting read ("does balance predict
+    * purchase, and where does the lift concentrate"). Banding is by
+    * VALUE against broadcast boundaries, not by rank position — equal
+    * balances always land in the same band (no arbitrary tie split),
+    * and the assignment is one broadcast join + 9 codegen'd compares,
+    * never a global window. Boundaries come from
+    * [[groupedExactPercentiles]] (distributed bucketed sort, bit-equal
+    * to DuckDB quantile_cont); rate and lift are exact-integer
+    * cross-ratios truncated only at output.
+    */
+  def decileLift(customer: DataFrame, orders: DataFrame): DataFrame = {
+    import Num.trunc4
+    val ps = (1 to 9).map(_ / 10.0)
+    val names = (1 to 9).map(i => s"d$i")
+    val bounds = groupedExactPercentiles(
+      customer.select(lit(1).as("g"), col("c_acctbal"), col("c_custkey")),
+      "c_acctbal", "g", ps, names)
+      .select(names.map(col): _*)
+    val buyers = orders.select(col("o_custkey")).distinct()
+      .withColumn("bought", lit(1L))
+    val banded = customer
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        names.map(n => when(col("c_acctbal") > col(n), 1L).otherwise(0L))
+          .reduce(_ + _) + 1L)
+    val per = banded.groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(coalesce(col("bought"), lit(0L))).cast("long").as("n_buyers"))
+    val w = Window.partitionBy()
+    per.select(col("decile"), col("n_customers"), col("n_buyers"),
+      sum(col("n_customers")).over(w).cast("long").as("tot_n"),
+      sum(col("n_buyers")).over(w).cast("long").as("tot_b"))
+      .select(col("decile"), col("n_customers"), col("n_buyers"),
+        trunc4(col("n_buyers").cast("double") / col("n_customers").cast("double"))
+          .as("buy_rate4"),
+        trunc4((col("n_buyers") * col("tot_n")).cast("double") /
+          (col("n_customers") * col("tot_b")).cast("double")).as("lift4"))
+      .orderBy(col("decile"))
   }
 
   def newVsReturning(orders: DataFrame): DataFrame = {

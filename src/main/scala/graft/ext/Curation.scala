@@ -793,4 +793,58 @@ object Curation {
         trunc4(col("n").cast("double") + noise).as("noisy_n"))
       .orderBy(col("lang"), col("source"))
   }
+
+  /** N-gram novelty curve: for each document, the share of its distinct
+    * word 3-grams that appear for the FIRST time in the corpus (min
+    * doc_id owns the shingle), averaged over fixed-size doc buckets per
+    * source. This is the "is the next crawl slice still buying new
+    * content" signal — the n-gram analogue of [[vocabGrowth]]: vocab
+    * saturates in thousands of docs, but 3-gram novelty keeps
+    * discriminating because the shingle space is combinatorially
+    * larger. A flat-lining curve says the source is re-crawling itself
+    * (dedup budget), a high plateau says it keeps producing fresh text
+    * (curation budget).
+    *
+    * Scale shape: shingles are array-local (`transform` over the token
+    * array — codegen, no UDF) and deduplicated per doc BEFORE the
+    * explode; the only big shuffle is the per-shingle min-doc_id
+    * partial-first aggregate plus one join back on the shingle key.
+    * Per-doc novelty is an exact basis-point integer; the bucket
+    * average divides exact integer sums. The per-source window orders
+    * the already-aggregated |docs|-row frame, partitioned by source.
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      bucketSize: Int = 25,
+      textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    require(bucketSize > 0, s"bucketSize=$bucketSize must be positive")
+    val ws = split(col(textCol), " ")
+    // sequence(1, 0) would DESCEND in Spark; docs under 3 tokens get an
+    // explicit empty shingle set instead
+    val shingles = when(size(ws) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    val docSh = graft.Tables.spread(docs)
+      .select(col(keyCol), col("source"), explode(shingles).as("sh"))
+    val firstDoc = docSh.groupBy(col("sh")).agg(min(col(keyCol)).as("fd"))
+    val per = docSh.join(firstDoc, "sh")
+      .groupBy(col(keyCol), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_sh"),
+        sum(when(col("fd") === col(keyCol), 1L).otherwise(0L)).cast("long").as("n_new"))
+      .withColumn("bp", expr("(n_new * 10000L) div n_sh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col(keyCol))
+    per
+      .withColumn("bucket", ((row_number().over(w) - 1) / bucketSize).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("bp")).cast("long").as("sbp"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        (expr("sbp div n_docs").cast("double") / 10000.0).as("novelty4"))
+      .orderBy(col("source"), col("bucket"))
+  }
 }

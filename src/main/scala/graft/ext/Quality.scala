@@ -172,4 +172,54 @@ object Quality {
       .withColumn("violates_k", (col("n") < k).cast("int"))
       .orderBy(quasiCols.map(col): _*)
   }
+
+  /** ANALYZE-style per-column statistics in ONE scan: row count, null
+    * count, exact distinct count, and (for orderable numeric /
+    * timestamp columns) min and max on a canonical numeric axis —
+    * doubles for numerics, epoch micros for timestamps, epoch days for
+    * dates, NULL for strings/binary (their min/max would drag
+    * collation and formatting differences into the contract). This is
+    * the stats table an optimizer or a data catalog ingests, and the
+    * first profiling pass any new dataset gets.
+    *
+    * Plan shape: all 4·|columns| measures live in ONE aggregation
+    * (exact count-distincts expand the input |columns|-fold before the
+    * partial aggregate — the documented price of EXACT ndv; swap in
+    * approx_count_distinct at petabyte scale if a 2% error is
+    * acceptable). The single result row is then unpivoted to
+    * |columns| rows driver-free via an inline stack.
+    */
+  def tableStats(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields
+    def axis(f: StructField): Option[Column] = f.dataType match {
+      case _: NumericType => Some(col(f.name).cast("double"))
+      // NTZ (how Spark 4 surfaces parquet isAdjustedToUTC=false) casts
+      // through TimestampType in the session zone — UTC by session
+      // contract, so the epoch agrees with DuckDB's epoch_us
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(unix_micros(col(f.name).cast("timestamp")).cast("double"))
+      case _: DateType => Some(datediff(col(f.name), lit("1970-01-01")).cast("double"))
+      case _ => None
+    }
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val ax = axis(f)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as(s"__nn_${f.name}"),
+        countDistinct(c).cast("long").as(s"__nd_${f.name}"),
+        ax.map(a => min(a)).getOrElse(lit(null).cast("double")).as(s"__mn_${f.name}"),
+        ax.map(a => max(a)).getOrElse(lit(null).cast("double")).as(s"__mx_${f.name}"))
+    }
+    val one = df.agg(count(lit(1)).cast("long").as("__n"), aggs.toSeq: _*)
+    val rows = fields.map { f =>
+      struct(lit(f.name).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_${f.name}").as("n_nulls"), col(s"__nd_${f.name}").as("ndv"),
+        col(s"__mn_${f.name}").as("min_num"), col(s"__mx_${f.name}").as("max_num"))
+    }
+    one.select(explode(array(rows.toSeq: _*)).as("s"))
+      .select(col("s.column"), col("s.n_rows"), col("s.n_nulls"),
+        col("s.ndv"), col("s.min_num"), col("s.max_num"))
+      .orderBy(col("column"))
+  }
 }

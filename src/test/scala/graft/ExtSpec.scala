@@ -2924,4 +2924,77 @@ class ExtSpec extends SparkSpec {
     assert(byPhrase("big data pipeline").getAs[Long]("score6") === 8000000L)
     assert(byPhrase("big data").getAs[Long]("n_occurrences") === 1L)
   }
+
+  test("fisher index: base month is 1.0 and fisher sits between L and P") {
+    val r = Aggregates.priceIndexFisher(t("lineitem")).collect()
+    assert(r.nonEmpty)
+    val first = r.head // ordered by month; head is the base month
+    assert(first.getAs[Double]("laspeyres4") === 1.0)
+    assert(first.getAs[Double]("paasche4") === 1.0)
+    assert(first.getAs[Double]("fisher4") === 1.0)
+    r.foreach { row =>
+      val l = row.getAs[Double]("laspeyres4"); val p = row.getAs[Double]("paasche4")
+      val f = row.getAs[Double]("fisher4")
+      // trunc4 grid can place f one cell outside [min,max] at equality
+      assert(f >= math.min(l, p) - 1e-4 && f <= math.max(l, p) + 1e-4)
+    }
+  }
+
+  test("kendall tau-b: bounded, pair counts consistent") {
+    val row = Aggregates.kendallTauNation(t("orders"), t("customer")).head()
+    val n0 = row.getAs[Long]("n_pairs")
+    val c = row.getAs[Long]("concordant"); val d = row.getAs[Long]("discordant")
+    assert(c + d <= n0 && n0 > 0)
+    val tau = row.getAs[Double]("tau_b4")
+    assert(tau >= -1.0 && tau <= 1.0)
+  }
+
+  test("cramers v: in [0,1], levels positive") {
+    val row = Aggregates.cramersV(t("orders"), t("customer")).head()
+    assert(row.getAs[Long]("r_levels") >= 1 && row.getAs[Long]("c_levels") >= 1)
+    assert(row.getAs[Double]("chi2_4") >= 0.0)
+    val v = row.getAs[Double]("cramers_v4")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("decile lift: partitions all customers, lift averages to 1") {
+    val r = Aggregates.decileLift(t("customer"), t("orders")).collect()
+    assert(r.map(_.getAs[Long]("n_customers")).sum === t("customer").count())
+    r.foreach { row =>
+      val rate = row.getAs[Double]("buy_rate4")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(row.getAs[Long]("decile") >= 1 && row.getAs[Long]("decile") <= 10)
+    }
+    // customer-weighted mean of lift = 1 by construction (up to trunc4)
+    val totN = r.map(_.getAs[Long]("n_customers")).sum.toDouble
+    val wavg = r.map(x => x.getAs[Long]("n_customers") * x.getAs[Double]("lift4")).sum / totN
+    assert(math.abs(wavg - 1.0) < 1e-3)
+  }
+
+  test("table stats: one row per column, key column unique, string axis null") {
+    val orders = t("orders")
+    val r = Quality.tableStats(orders).collect()
+    assert(r.length === orders.columns.length)
+    val byCol = r.map(x => x.getAs[String]("column") -> x).toMap
+    assert(byCol("o_orderkey").getAs[Long]("ndv") === orders.count())
+    assert(byCol("o_orderkey").getAs[Long]("n_nulls") === 0L)
+    assert(byCol("o_orderstatus").isNullAt(byCol("o_orderstatus").fieldIndex("min_num")))
+    assert(byCol("o_totalprice").getAs[Double]("max_num") >=
+      byCol("o_totalprice").getAs[Double]("min_num"))
+  }
+
+  test("ngram novelty: exact copy scores 0, fresh text scores 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "a b c d"),   // shingles {a b c, b c d} first seen here
+      (2L, "s", "a b c d"),   // exact copy -> novelty 0
+      (3L, "s", "x y z"),     // fresh -> novelty 1
+      (4L, "s", "a b")        // under 3 tokens -> no shingles, dropped
+    ).toDF("doc_id", "source", "text")
+    val r = Curation.ngramNovelty(docs).collect()
+    assert(r.length === 1) // one source, one bucket
+    assert(r.head.getAs[Long]("n_docs") === 3L) // doc 4 contributes nothing
+    // avg bp = (10000 + 0 + 10000) div 3 = 6666 -> 0.6666
+    assert(r.head.getAs[Double]("novelty4") === 0.6666)
+  }
 }
