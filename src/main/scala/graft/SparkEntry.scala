@@ -766,6 +766,8 @@ object SparkEntry {
       Aggregates.decileLift(rd(s, dir, "customer"), rd(s, dir, "orders"))),
     // ANALYZE-style one-scan per-column stats (nulls/ndv/min/max)
     "q_table_stats" -> ((s, dir) => Quality.tableStats(rd(s, dir, "orders"))),
+    // autoregressive ML feature frame: target + lag1/lag7/ma7/dow
+    "q_feature_frame" -> ((s, dir) => Aggregates.featureFrame(rd(s, dir, "orders"))),
     // order-3 basket structure with an explicit mega-basket cap
     "q_brand_triples" -> ((s, dir) =>
       Aggregates.brandTriples(rd(s, dir, "lineitem"), rd(s, dir, "part"))),
@@ -1093,6 +1095,9 @@ object SparkEntry {
     // events, fired once per finalized (watermark-closed) window
     "st_mix_alert" -> ((s, dir) => StreamingOps.mixAlertStream(s, dir)),
     "st_user_counts" -> ((s, dir) => StreamingOps.userEventCountsStream(s, dir)),
+    // streaming hourly-count anomaly: expanding-window z-score >= 2
+    // after a 24-hour training prefix, exact-integer statistic
+    "st_anomaly" -> ((s, dir) => StreamingOps.anomalyStream(s, dir)),
     // streaming transition mining: O(1)-per-user state, shares the
     // batch transitionMatrix oracle (counts only)
     "st_transitions" -> ((s, dir) => StreamingOps.transitionsStream(s, dir)),
@@ -1148,6 +1153,9 @@ object SparkEntry {
     // vec_id 0..3) — the oracle-gated sibling of the no_oracle IVF
     "e_kmeans" -> ((s, dir) =>
       Similarity.kmeansExact(rd(s, dir, "embeddings"), 4, 2)),
+    // exact product quantization: 4 subspaces x 8 codes on the same
+    // integer grid — codes + total reconstruction distortion
+    "e_pq" -> ((s, dir) => Similarity.pqEncode(rd(s, dir, "embeddings"))),
     // top cross-user session-overlap pairs via the binned interval join
     "q_session_overlap" -> ((s, dir) =>
       Events.sessionOverlapPairs(rd(s, dir, "events"), 30, 20)),
@@ -1397,6 +1405,48 @@ c$i AS MATERIALIZED (SELECT a.cluster, p.dim,
     sb.append(",\n" + assignCte("afinal", s"c$rounds"))
     sb.append("""
 SELECT vec_id, cluster, dist AS dist_sq6 FROM afinal ORDER BY vec_id""")
+    sb.toString
+  }
+
+  /** Oracle for e_pq: the identical unrolled Lloyd rounds as kmeansSql
+    * but keyed by subspace (sub = dim div subDim) — one CTE chain
+    * trains all m sub-quantizers simultaneously, exactly like the
+    * Spark plan.
+    */
+  private val pqSql: String = {
+    val m = 4; val dim = 64; val k = 8; val rounds = 2
+    val subDim = dim / m
+    def assignCte(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, sub, cluster, dist FROM (
+  SELECT p.vec_id, p.sub, c.cluster,
+    CAST(SUM((p.x6 - c.c6) * (p.x6 - c.c6)) AS BIGINT) AS dist,
+    ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.sub
+      ORDER BY SUM((p.x6 - c.c6) * (p.x6 - c.c6)), c.cluster) AS rn
+  FROM pts p JOIN $cents c ON c.sub = p.sub AND c.dim = p.dim
+  GROUP BY p.vec_id, p.sub, c.cluster) WHERE rn = 1)"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH pts AS MATERIALIZED (SELECT vec_id, pos - 1 AS dim,
+  CAST((pos - 1) // $subDim AS INTEGER) AS sub,
+  CAST(floor(x * 1.0e6) AS BIGINT) AS x6
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding::DOUBLE[], 1) AS pos FROM embeddings)),
+c0 AS MATERIALIZED (SELECT vec_id AS cluster, sub, dim, x6 AS c6 FROM pts WHERE vec_id < $k)""")
+    for (i <- 1 to rounds) {
+      sb.append(",\n" + assignCte(s"a$i", s"c${i - 1}"))
+      sb.append(s""",
+c$i AS MATERIALIZED (SELECT a.cluster, p.sub, p.dim,
+  CAST(floor(CAST(SUM(p.x6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c6
+  FROM pts p JOIN a$i a ON a.vec_id = p.vec_id AND a.sub = p.sub
+  GROUP BY a.cluster, p.sub, p.dim)""")
+    }
+    sb.append(",\n" + assignCte("afinal", s"c$rounds"))
+    val codes = (0 until m).map(s =>
+      s"  CAST(MAX(CASE WHEN sub = $s THEN cluster END) AS BIGINT) AS code$s").mkString(",\n")
+    sb.append(s"""
+SELECT vec_id,
+$codes,
+  CAST(SUM(dist) AS BIGINT) AS dist_sq6
+FROM afinal GROUP BY vec_id ORDER BY vec_id""")
     sb.toString
   }
 
@@ -3922,6 +3972,22 @@ UNION ALL SELECT 'o_orderpriority', COUNT(*),
 SELECT col_name AS "column", CAST(n_rows AS BIGINT) AS n_rows,
   CAST(n_nulls AS BIGINT) AS n_nulls, CAST(ndv AS BIGINT) AS ndv, min_num, max_num
 FROM s ORDER BY "column"""",
+    "q_feature_frame" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+f AS (SELECT day, cents,
+  ROW_NUMBER() OVER w AS rn,
+  LAG(cents, 1) OVER w AS l1,
+  LAG(cents, 7) OVER w AS l7,
+  CAST(SUM(cents) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7
+  FROM daily WINDOW w AS (ORDER BY day))
+SELECT day, CAST(cents AS DOUBLE) / 100.0 AS y,
+  CAST(l1 AS DOUBLE) / 100.0 AS lag1,
+  CAST(l7 AS DOUBLE) / 100.0 AS lag7,
+  CAST(s7 // 7 AS DOUBLE) / 100.0 AS ma7,
+  CAST(isodow(day) - 1 AS BIGINT) AS dow
+FROM f WHERE rn > 7 ORDER BY day""",
     "q_ltv_cohort" ->
       """WITH fm AS (SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
   FROM events GROUP BY 1),
@@ -4177,6 +4243,23 @@ SELECT frame_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
   MIN(doc_id) AS first_doc
 FROM f GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY frame_md5""",
     "st_events_hourly" -> eventsHourlyOracle,
+    "st_anomaly" ->
+      """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+  CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+w AS (SELECT hour_epoch, x,
+  CAST(ROW_NUMBER() OVER (ORDER BY hour_epoch) - 1 AS BIGINT) AS np,
+  CAST(COALESCE(SUM(x) OVER (ORDER BY hour_epoch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s1,
+  CAST(COALESCE(SUM(x * x) OVER (ORDER BY hour_epoch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s2
+  FROM h),
+z AS (SELECT hour_epoch, x, np,
+  floor(CAST(x * np - s1 AS DOUBLE) /
+        sqrt(CAST(np * s2 - s1 * s1 AS DOUBLE) * CAST(np AS DOUBLE) /
+             CAST(np - 1 AS DOUBLE)) * 10000) / 10000.0 AS z4
+  FROM w WHERE np >= 24 AND np * s2 - s1 * s1 > 0)
+SELECT hour_epoch, x AS n_events, np AS n_prior, z4 FROM z
+WHERE z4 >= 2.0 OR z4 <= -2.0 ORDER BY hour_epoch""",
     // Append-mode watermarked stream: emitted windows are exactly those
     // whose end the final watermark (max ts - 2h) has passed.
     "st_mix_alert" ->
@@ -4344,6 +4427,7 @@ FROM fl FULL OUTER JOIN qi ON fl.vec_id = qi.vec_id
 ORDER BY 1""",
     "q_lpa_communities" -> lpaSql,
     "e_kmeans" -> kmeansSql,
+    "e_pq" -> pqSql,
     "q_session_overlap" ->
       """WITH g AS (
   SELECT user_id, ts, event_id, epoch_us(ts) AS us,

@@ -2172,6 +2172,39 @@ object Aggregates {
       .orderBy(col("decile"))
   }
 
+  /** Supervised-learning feature frame over daily revenue: one row per
+    * day with the regression target and its standard autoregressive
+    * features — lag-1, lag-7 (same weekday last week), the trailing
+    * 7-day mean, and the weekday index. This is the feature-engineering
+    * hand-off an ML forecasting pipeline consumes, stated as a single
+    * declarative plan: one partial-first daily aggregate, one ordered
+    * window pass over the |days|-row frame (bounded by the calendar,
+    * never by order volume). The trailing mean is an exact integer
+    * cents division; day counts start after a 7-day warm-up so every
+    * emitted row has a complete feature vector (no null-punched
+    * training rows).
+    */
+  def featureFrame(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100d).cast("long")).cast("long").as("cents"))
+    val w = Window.orderBy(col("day"))
+    val prior7 = w.rowsBetween(-7, -1)
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("l1", lag(col("cents"), 1).over(w))
+      .withColumn("l7", lag(col("cents"), 7).over(w))
+      .withColumn("s7", sum(col("cents")).over(prior7).cast("long"))
+      .filter(col("rn") > 7)
+      .select(col("day"),
+        (col("cents").cast("double") / 100.0).as("y"),
+        (col("l1").cast("double") / 100.0).as("lag1"),
+        (col("l7").cast("double") / 100.0).as("lag7"),
+        (expr("s7 div 7").cast("double") / 100.0).as("ma7"),
+        weekday(col("day")).cast("long").as("dow"))
+      .orderBy(col("day"))
+  }
+
   def newVsReturning(orders: DataFrame): DataFrame = {
     val monthExpr = date_trunc("month", to_date(col("o_orderdate"))).cast("date")
     val first = orders

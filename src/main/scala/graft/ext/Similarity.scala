@@ -1536,4 +1536,73 @@ FROM e ORDER BY vec_id"""
       .select(col("vec_id"), col("cluster"), col("dist").as("dist_sq6"))
       .orderBy(col("vec_id"))
   }
+
+  /** EXACT product quantization (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the vector splits into
+    * `m` contiguous subspaces and each subspace is vector-quantized
+    * independently with its own small codebook — storage falls from
+    * dim·4 bytes to m codes, and ADC search scans codes against m
+    * lookup tables. This is the engine-neutral, oracle-checkable
+    * trainer+encoder: same integer-1e-6-grid arithmetic as
+    * [[kmeansExact]], codebooks seeded from vec_id 0..k-1, fixed Lloyd
+    * rounds, so codes and distortion are a deterministic function of
+    * the input in any engine.
+    *
+    * All m sub-quantizers train in ONE plan: the exploded point frame
+    * carries a `sub` key (dim div dim/m) and every join/aggregate is
+    * keyed by it, so adding subspaces adds no passes. Per round the
+    * broadcast codebook is m·k·(dim/m) = k·dim rows — identical to
+    * flat k-means — while assignment distance sums shrink to
+    * per-subspace slices. Scale cost: rounds × |vecs|·dim·k join rows,
+    * the irreducible dense quantizer-training work; encode-only reuse
+    * of a trained codebook is one broadcast join.
+    *
+    * Output: vec_id, one code column per subspace, and the total
+    * squared reconstruction distortion on the 1e-6 grid — the PQ
+    * compression-quality statement.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      m: Int = 4,
+      dim: Int = 64,
+      k: Int = 8,
+      rounds: Int = 2): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(k >= 2 && rounds >= 1, s"k=$k rounds=$rounds out of range")
+    val subDim = dim / m
+    val pts = embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        (col("pos") / subDim).cast("int").as("sub"),
+        floor(col("col") * lit(1.0e6)).cast("long").as("x6"))
+      .localCheckpoint(false) // reused by every round's join + update
+    def assign(cents: DataFrame): DataFrame = {
+      val d = col("x6") - col("c6")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("cluster"))
+      pts.join(broadcast(cents), Seq("sub", "dim"))
+        .groupBy(col("vec_id"), col("sub"), col("cluster"))
+        .agg(sum(d * d).cast("long").as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cluster"), col("dist"))
+    }
+    var cents = pts.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("sub"), col("dim"), col("x6").as("c6"))
+    for (_ <- 1 to rounds) {
+      val a = assign(cents).select(col("vec_id"), col("sub"), col("cluster"))
+      cents = pts.join(a, Seq("vec_id", "sub"))
+        .groupBy(col("cluster"), col("sub"), col("dim"))
+        .agg(floor(sum(col("x6")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("c6"))
+        .localCheckpoint(false)
+    }
+    val codeCols = (0 until m).map(s =>
+      max(when(col("sub") === s, col("cluster"))).cast("long").as(s"code$s"))
+    assign(cents)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, (codeCols.tail :+
+        sum(col("dist")).cast("long").as("dist_sq6")): _*)
+      .orderBy(col("vec_id"))
+  }
 }

@@ -540,4 +540,63 @@ object StreamingOps {
       .agg(count(lit(1)).cast("long").as("n_new_users"))
       .orderBy(col("hour_epoch"))
   }
+
+  /** Streaming traffic-anomaly detection: hourly event totals through a
+    * real streaming window aggregate, scored with an EXPANDING-window
+    * z-score — hour t is anomalous when its count sits >= 2 sample
+    * standard deviations from the mean of ALL PRIOR hours (>= 24 hours
+    * of history required, so the first day trains the detector). The
+    * detector statistic is exact-integer until the last step: with
+    * prior-hour count sums S1 = sum(x), S2 = sum(x^2) over np hours,
+    * z = (x*np - S1) / sqrt((np*S2 - S1^2) * np / (np-1)) — numerator
+    * and both variance products are exact longs, so the score is
+    * engine-independent and the >= 2.0 trigger compares on the
+    * trunc4'd grid in both engines.
+    *
+    * The scoring pass runs on the DRAINED hourly frame (|hours| rows —
+    * bounded by the stream's time span, never by event volume), which
+    * is where the single-partition ordered window is the honest,
+    * cheap choice; the unbounded-state work (per-hour counting over
+    * the event firehose) is what runs inside the streaming engine.
+    */
+  def anomalyStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Num.trunc4
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    val stream = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_stream_anomaly_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, streamParts) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val hours = spark.table(name)
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("n").cast("long").as("x"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("hour_epoch"))
+    val prior = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val s = hours.select(col("hour_epoch"), col("x"),
+      (row_number().over(wOrd) - 1).cast("long").as("np"),
+      coalesce(sum(col("x")).over(prior), lit(0L)).cast("long").as("s1"),
+      coalesce(sum(col("x") * col("x")).over(prior), lit(0L)).cast("long").as("s2"))
+    val varNum = col("np") * col("s2") - col("s1") * col("s1")
+    val z = (col("x") * col("np") - col("s1")).cast("double") /
+      sqrt(varNum.cast("double") * col("np").cast("double") /
+        (col("np") - 1L).cast("double"))
+    s.filter(col("np") >= 24 && varNum > 0)
+      .withColumn("z4", trunc4(z))
+      .filter(col("z4") >= 2.0 || col("z4") <= -2.0)
+      .select(col("hour_epoch"), col("x").as("n_events"),
+        col("np").as("n_prior"), col("z4"))
+      .orderBy(col("hour_epoch"))
+  }
 }

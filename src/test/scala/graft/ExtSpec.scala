@@ -2983,6 +2983,48 @@ class ExtSpec extends SparkSpec {
       byCol("o_totalprice").getAs[Double]("min_num"))
   }
 
+  test("product quantization: one row per vector, codes in range, Lloyd improves on seeds") {
+    val emb = t("embeddings")
+    val enc = Similarity.pqEncode(emb, m = 4, dim = 64, k = 8, rounds = 2)
+    val rows = enc.collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      (0 until 4).foreach { s =>
+        val c = r.getAs[Long](s"code$s"); assert(c >= 0 && c < 8)
+      }
+      assert(r.getAs[Long]("dist_sq6") >= 0L)
+    }
+    // Lloyd monotonicity: trained-codebook total distortion can't exceed
+    // assignment against the raw vec_id<k seed codebooks (rounds=0 ~ seed
+    // assignment is what 1 round's assign step starts from)
+    val seeded = Similarity.pqEncode(emb, m = 4, dim = 64, k = 8, rounds = 1)
+    val d2 = rows.map(_.getAs[Long]("dist_sq6")).sum
+    val d1 = seeded.collect().map(_.getAs[Long]("dist_sq6")).sum
+    assert(d2 <= d1)
+  }
+
+  test("streaming anomaly: z-scores bounded away from 0 and history >= 24h") {
+    val r = graft.streaming.StreamingOps.anomalyStream(spark, sf()).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_prior") >= 24L)
+      assert(math.abs(row.getAs[Double]("z4")) >= 2.0)
+    }
+  }
+
+  test("feature frame: complete feature vectors, ma7 consistent with lags") {
+    val r = Aggregates.featureFrame(t("orders")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(!row.isNullAt(row.fieldIndex("lag1")))
+      assert(!row.isNullAt(row.fieldIndex("lag7")))
+      val dow = row.getAs[Long]("dow")
+      assert(dow >= 0 && dow <= 6)
+      // trailing mean lies within [min,max] of any 7-day window bound:
+      // weaker but cheap — ma7 must be positive on this fixture
+      assert(row.getAs[Double]("ma7") > 0.0)
+    }
+  }
+
   test("ngram novelty: exact copy scores 0, fresh text scores 1") {
     import spark.implicits._
     val docs = Seq(
