@@ -974,28 +974,20 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     */
   def covarianceMatrix(embeddings: DataFrame): DataFrame = {
     import graft.ext.Num.trunc4
+    graft.ext.expr.VecCovAgg.ensureRegistered(embeddings.sparkSession)
     val v = col("embedding").cast("array<double>")
-    // posexplode both sides and equi-join on the row id: higher-order
-    // array lambdas are CodegenFallback (interpreted per element), so
-    // the join formulation — fully codegen'd explode + broadcast-able
-    // join + partial agg — beats the nested-transform version ~2x
-    // (measured 0.73s -> 0.36s at sf0.01) despite materializing the
-    // pair stream through a join
-    val a = embeddings.select(col("vec_id"), posexplode(v).as(Seq("i", "x")))
-    val b = embeddings.select(col("vec_id"), posexplode(v).as(Seq("j", "y")))
-    val prods = a.join(b, Seq("vec_id"))
-      .filter(col("j") >= col("i"))
-      .select(col("i"), col("j"), (col("x") * col("y")).as("p"))
-    val exx = prods.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), avg(col("p")).as("exixj"))
-    val means = embeddings
-      .select(posexplode(v).as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(avg(col("x")).as("mu"))
-    exx
-      .join(broadcast(means.select(col("dim").as("i"), col("mu").as("mi"))), "i")
-      .join(broadcast(means.select(col("dim").as("j"), col("mu").as("mj"))), "j")
-      .select(col("i"), col("j"), col("n"),
-        trunc4(col("exixj") - col("mi") * col("mj")).as("cov4"))
+    // One-pass imperative moment aggregate (graft_cov): each partition
+    // folds its rows into a d + d(d+1)/2 double buffer map-side, the
+    // shuffle carries one buffer per partition, and the d² cells unpack
+    // with a single explode. The previous posexplode-self-join plan
+    // materialized |rows|·d²/2 join rows before aggregating — measured
+    // 2x slower at sf0.1 and row-proportional on the wire at scale;
+    // this shape's shuffle is O(partitions · d²), corpus-independent.
+    embeddings
+      .agg(call_function("graft_cov", v).as("c"))
+      .select(explode(col("c")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.n").as("n"),
+        trunc4(col("e.cov")).as("cov4"))
       .orderBy(col("i"), col("j"))
   }
 
