@@ -495,9 +495,12 @@ object SparkEntry {
     // the bloom's false positives)
     "q_bloom_join" -> ((s, dir) => {
       val hi = rd(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      // 64k capacity: the >450k-price key set is a few hundred at any
+      // fixture SF; a 1M-capacity filter (1.2 MB of bits) only inflates
+      // the literal every task must hash against (~0.3s/run measured)
       Relational.bloomPrunedSemiJoin(
           rd(s, dir, "lineitem"), hi, "l_orderkey", "o_orderkey",
-          expectedItems = 1 << 20)
+          expectedItems = 1 << 16)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"))

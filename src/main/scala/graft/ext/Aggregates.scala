@@ -619,15 +619,28 @@ object Aggregates {
       .agg(Int128Sum.sumLong(round(col("o_totalprice") * 100d).cast("long"), 0).as("cents"))
       .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
         col("cents").as("y"))
+    // Explicit width for the pair generation: after the daily aggregate
+    // AQE coalesces the tiny |days|-row frame to ONE partition, which
+    // would serialize the |days|^2/2 nested-loop pair stream AND the
+    // percentile sort behind it onto a single core (measured 1.7s at
+    // sf0.1 with 2.4k days -> 2.9M pairs). A user-specified repartition
+    // is exempt from AQE coalescing, so each of the `parts` tasks
+    // generates |days|/parts rows' worth of pairs against the broadcast
+    // copy.
+    val parts = daily.sparkSession.sparkContext.defaultParallelism
     val d2 = daily.select(col("x").as("x2"), col("y").as("y2"))
-    val slopes = daily.join(broadcast(d2), col("x2") > col("x"))
+    val slopes = daily.repartition(parts).join(broadcast(d2), col("x2") > col("x"))
       .select(((col("y2") - col("y")).cast("double") /
         (col("x2") - col("x")).cast("double")).as("slope"))
-    // Declarative single-plan percentiles: the pair frame is O(|days|^2)
-    // of the AGGREGATED daily series, never the fact table — bounded by
-    // the calendar (30 years ~ 60M pairs), so the one-buffer sorted
-    // array is safe and the whole query is ONE action instead of the
-    // ~5 jobs the eager RDD-sort path paid (2.9s -> ~1.6s at sf0.1).
+    // Single-buffer percentiles on the pair frame: collect_list partials
+    // merge per-partition (pair GENERATION stays parallel — the expensive
+    // part), and only the final sort_array of the merged ~|days|^2/2
+    // doubles is serial — bounded by the calendar (30 years ~ 60M pairs,
+    // ~0.5 GB, seconds to sort). The multi-pass bucketed alternative
+    // (groupedExactPercentiles) re-executes the nested-loop pair stream
+    // once per pass — measured 4x WORSE (6.8s vs 1.7s at sf0.1) — so the
+    // one-shot buffer is the right shape unless the series spans
+    // centuries.
     val qs = exactPercentilesSmall(slopes,
       "slope", Seq(0.5, 0.1, 0.9), Seq("q50", "q10", "q90"))
     qs.select(col("n").as("n_pairs"),
