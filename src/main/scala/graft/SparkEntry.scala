@@ -606,6 +606,22 @@ object SparkEntry {
     "d_vocab_growth" -> ((s, dir) => Curation.vocabGrowth(rd(s, dir, "documents"))),
     // 3-gram first-occurrence novelty curve per source (re-crawl signal)
     "d_ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(rd(s, dir, "documents"))),
+    // train->test 3-gram coverage per language (split-support audit)
+    "d_gram_coverage" -> ((s, dir) => Curation.gramCoverage(rd(s, dir, "documents"))),
+    // consistent-hash training-shard assignment + balance report
+    "d_shard_balance" -> ((s, dir) => Curation.shardBalance(rd(s, dir, "documents"))),
+    // farthest-from-centroid embedding outliers (OOD/corrupt-row screen)
+    "e_outliers" -> ((s, dir) => Similarity.embeddingOutliers(rd(s, dir, "embeddings"))),
+    // duplicate business-key screen: customers with >1 order on one day
+    "q_same_day_orders" -> ((s, dir) =>
+      Quality.duplicateKeyScreen(
+        rd(s, dir, "orders").withColumn("day", to_date(col("o_orderdate"))),
+        Seq("o_custkey", "day"))),
+    // CDC apply: last change per customer wins, final-status-F keys drop
+    "k_cdc_apply" -> ((s, dir) =>
+      Relational.applyChangelog(rd(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_orderkey",
+        col("o_orderstatus") === "F")),
     // exact equal-frequency binning over document length (integer rank
     // arithmetic — no float percentile, no fact-table sort)
     "d_eqfreq_bins" -> ((s, dir) =>
@@ -3101,6 +3117,50 @@ r AS (SELECT source, doc_id, (n_new * 10000) // n_sh AS bp,
 SELECT source, CAST((rn - 1) // 25 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(bp) // COUNT(*) AS DOUBLE) / 10000.0 AS novelty4
 FROM r GROUP BY 1, 2 ORDER BY source, bucket""",
+    "d_gram_coverage" ->
+      """WITH sp0 AS (SELECT doc_id, lang, text,
+  ((((doc_id % 2147483648) * 2654435761) % 4294967296) * 100) >> 32 AS bucket FROM documents),
+sp AS (SELECT doc_id, lang,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+  string_split(text, ' ') AS ws FROM sp0),
+g AS (SELECT DISTINCT doc_id, lang, split, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM (SELECT doc_id, lang, split, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM sp WHERE len(ws) >= 3)),
+tr AS (SELECT DISTINCT sh FROM g WHERE split = 'train'),
+te AS (SELECT DISTINCT lang, sh FROM g WHERE split = 'test'),
+cov AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_covered
+        FROM te JOIN tr USING (sh) GROUP BY 1),
+tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test_shingles FROM te GROUP BY 1)
+SELECT t.lang, t.n_test_shingles, CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+  floor(CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / CAST(t.n_test_shingles AS DOUBLE)
+    * 10000) / 10000.0 AS coverage4
+FROM tot t LEFT JOIN cov c ON c.lang = t.lang ORDER BY t.lang""",
+    "d_shard_balance" ->
+      """WITH s AS (SELECT
+  ((((doc_id % 2147483648) * 2654435761) % 4294967296) * 64) >> 32 AS shard,
+  n_chars FROM documents),
+per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM s GROUP BY 1),
+t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM per)
+SELECT shard, n_docs, n_chars,
+  floor(CAST(n_chars AS DOUBLE) * 64 / CAST(tot AS DOUBLE) * 10000) / 10000.0 AS load_ratio4
+FROM per CROSS JOIN t ORDER BY shard""",
+    "e_outliers" ->
+      """WITH x AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS v,
+  generate_subscripts(embedding::DOUBLE[], 1) - 1 AS dim FROM embeddings),
+c AS (SELECT dim, floor(AVG(v) * 10000) / 10000.0 AS mu4 FROM x GROUP BY 1),
+d AS (SELECT vec_id, label, SUM((v - mu4) * (v - mu4)) AS d2
+      FROM x JOIN c USING (dim) GROUP BY 1, 2)
+SELECT vec_id, label, floor(sqrt(d2) * 10000) / 10000.0 AS dist4
+FROM d ORDER BY dist4 DESC, vec_id LIMIT 20""",
+    "q_same_day_orders" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders GROUP BY 1, 2 HAVING COUNT(*) > 1 ORDER BY o_custkey, day""",
+    "k_cdc_apply" ->
+      """WITH r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM r WHERE rn = 1 AND NOT (o_orderstatus = 'F') ORDER BY o_custkey""",
     "d_eqfreq_bins" ->
       """WITH vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
   WHERE n_chars IS NOT NULL GROUP BY 1),

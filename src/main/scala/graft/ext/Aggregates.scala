@@ -698,6 +698,10 @@ object Aggregates {
       .select(col("o"), col("b")).distinct()
     val ok = items.groupBy(col("o")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBasket).select(col("o"))
+    // NOTE: the basket frame feeds four consumers, but the identical
+    // subplans collapse into ONE execution via ReuseExchange — an
+    // explicit localCheckpoint here measured SLOWER (extra
+    // materialization barrier, lost pipelining)
     val it = items.join(ok, Seq("o"), "left_semi")
     val nBaskets = it.select(col("o")).distinct()
       .agg(count(lit(1)).cast("long").as("n_baskets"))

@@ -813,21 +813,27 @@ object Curation {
     * average divides exact integer sums. The per-source window orders
     * the already-aggregated |docs|-row frame, partitioned by source.
     */
+  /** Distinct word 3-gram shingles of a text column as an array-local
+    * codegen expression (no UDF). `sequence(1, 0)` would DESCEND in
+    * Spark, so docs under 3 tokens get an explicit empty set.
+    */
+  private[ext] def wordShingles3(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def ngramNovelty(
       docs: DataFrame,
       bucketSize: Int = 25,
       textCol: String = "text",
       keyCol: String = "doc_id"): DataFrame = {
     require(bucketSize > 0, s"bucketSize=$bucketSize must be positive")
-    val ws = split(col(textCol), " ")
-    // sequence(1, 0) would DESCEND in Spark; docs under 3 tokens get an
-    // explicit empty shingle set instead
-    val shingles = when(size(ws) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+    val shingles = wordShingles3(col(textCol))
     val docSh = graft.Tables.spread(docs)
       .select(col(keyCol), col("source"), explode(shingles).as("sh"))
     val firstDoc = docSh.groupBy(col("sh")).agg(min(col(keyCol)).as("fd"))
@@ -846,5 +852,77 @@ object Curation {
       .select(col("source"), col("bucket"), col("n_docs"),
         (expr("sbp div n_docs").cast("double") / 10000.0).as("novelty4"))
       .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Train→test n-gram coverage: for each language, the share of the
+    * TEST split's distinct word 3-grams that also occur anywhere in the
+    * TRAIN split — the flip side of [[contaminationScreen]]: that op
+    * hunts verbatim leakage (want LOW overlap on held-out eval sets);
+    * this one measures distributional coverage (want HIGH — a test
+    * shingle the model never saw a 3-gram context for is an
+    * extrapolation case, and a LOW ratio flags a split whose test
+    * slice drifted away from its training support). Splits come from
+    * [[splitAssign]]'s engine-neutral multiplicative hash, so the
+    * metric is reproducible across engines and dataset versions.
+    *
+    * Scale shape: one shingle explode feeds both sides; the train side
+    * collapses to a DISTINCT shingle set (partial-first), the test side
+    * to distinct (lang, shingle) pairs, and coverage is one LEFT SEMI
+    * join + two counts — shuffles carry shingle strings once each,
+    * never documents.
+    */
+  def gramCoverage(
+      docs: DataFrame,
+      textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    import Num.trunc4
+    val sp = splitAssign(graft.Tables.spread(docs), keyCol)
+      .select(col(keyCol), col("lang"), col("split"),
+        explode(wordShingles3(col(textCol))).as("sh"))
+    val train = sp.filter(col("split") === "train").select(col("sh")).distinct()
+    val test = sp.filter(col("split") === "test")
+      .select(col("lang"), col("sh")).distinct()
+    val covered = test.join(train, Seq("sh"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n_covered"))
+    test.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n_test_shingles"))
+      .join(covered, Seq("lang"), "left")
+      .select(col("lang"), col("n_test_shingles"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage4",
+        trunc4(col("n_covered").cast("double") / col("n_test_shingles").cast("double")))
+      .orderBy(col("lang"))
+  }
+
+  /** Data-parallel shard assignment + balance audit: docs map to one of
+    * `shards` training shards via the same high-bits multiplicative
+    * hash as [[splitAssign]] (engine-neutral, append-stable — a new doc
+    * never moves an old one), and the report shows each shard's doc
+    * and character load against the perfect share. The imbalance
+    * headline (max shard byte share / ideal share) is what decides
+    * whether the pack order starves a data-parallel trainer. One
+    * partial-first aggregate; |shards| output rows.
+    */
+  def shardBalance(
+      docs: DataFrame,
+      shards: Int = 64,
+      keyCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    import Num.trunc4
+    require(shards > 1 && shards <= (1 << 20), s"shards=$shards out of range")
+    val prod = pmod(
+      pmod(col(keyCol).cast("long"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val shard = shiftright(prod * lit(shards.toLong), 32)
+    val per = docs.withColumn("shard", shard)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col(weightCol).cast("long")).cast("long").as("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    per.select(col("shard"), col("n_docs"), col("n_chars"),
+      sum(col("n_chars")).over(w).cast("long").as("tot"))
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        trunc4(col("n_chars").cast("double") * shards /
+          col("tot").cast("double")).as("load_ratio4"))
+      .orderBy(col("shard"))
   }
 }

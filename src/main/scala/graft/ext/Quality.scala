@@ -173,6 +173,24 @@ object Quality {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** Duplicate-key screen: every key tuple that appears more than
+    * `maxAllowed` times, with its multiplicity — the generic
+    * "same customer, same day, N orders" / double-ingestion check run
+    * before trusting a table as unique on a business key. One
+    * partial-first grouped count filtered server-side; output is only
+    * the violating tuples, so the result is alert-sized at any scale.
+    */
+  def duplicateKeyScreen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      maxAllowed: Long = 1L): DataFrame = {
+    require(keyCols.nonEmpty, "duplicateKeyScreen: no key columns")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .filter(col("n_rows") > maxAllowed)
+      .orderBy(keyCols.map(col): _*)
+  }
+
   /** ANALYZE-style per-column statistics in ONE scan: row count, null
     * count, exact distinct count, and (for orderable numeric /
     * timestamp columns) min and max on a canonical numeric axis —

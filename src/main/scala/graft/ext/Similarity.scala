@@ -1597,4 +1597,29 @@ FROM e ORDER BY vec_id"""
         sum(col("dist")).cast("long").as("dist_sq6")): _*)
       .orderBy(col("vec_id"))
   }
+
+  /** Embedding outlier mining: the k vectors farthest from the corpus
+    * centroid — the cheap first screen for mislabeled, corrupt, or
+    * out-of-distribution rows before they poison centroid-based ANN
+    * training or contrastive sampling. The centroid is trunc4'd BEFORE
+    * distances (both engines consume bit-identical coordinates, the
+    * [[clusterQuality]] policy); per-vector distance is one exploded
+    * partial aggregate; the ranking is TakeOrdered top-k, never a full
+    * sort. Output ties break on vec_id so the cut is deterministic.
+    */
+  def embeddingOutliers(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    import graft.ext.Num.trunc4
+    require(k >= 1, s"k=$k out of range")
+    val x = embeddings.select(col("vec_id"), col("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+    val cent = x.groupBy(col("dim"))
+      .agg(avg(col("v")).as("mu"))
+      .select(col("dim"), trunc4(col("mu")).as("mu4"))
+    x.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("v") - col("mu4")) * (col("v") - col("mu4"))).as("d2"))
+      .select(col("vec_id"), col("label"), trunc4(sqrt(col("d2"))).as("dist4"))
+      .orderBy(col("dist4").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.broadcast
 
 /** Relational ops (reference: simple_etl.py:313-351, SURVEY.md §2.2 T9).
@@ -341,5 +341,35 @@ object Relational {
           .cast("int").as("is_current"),
         col(tieCol).as("change_id"))
       .orderBy(col(keyCol), col("valid_from"), col("change_id"))
+  }
+
+  /** CDC changelog apply: reduce an insert/update/delete stream to the
+    * final table state — last writer per key wins, and a key whose
+    * LAST change matches `deleteWhen` vanishes. This is the
+    * upsert-with-tombstones merge a CDC ingestion pipeline runs on each
+    * sync (k7's upsert handles I/U only; deletes need the tombstone
+    * path). One window over (key: order by ts, tie) — single exchange
+    * on the key, each key's history scanned once; the filter keeps
+    * exactly one row per surviving key.
+    *
+    * Determinism: (tsCol, tieCol) must totally order each key's
+    * changes; the caller supplies a unique tiebreaker, same contract
+    * as [[scd2]].
+    */
+  def applyChangelog(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      deleteWhen: Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !deleteWhen)
+      .drop("__rn")
+      .orderBy(col(keyCol))
   }
 }

@@ -3025,6 +3025,57 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("gram coverage: ratios bounded, covered <= total") {
+    val r = Curation.gramCoverage(t("documents")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_covered") <= row.getAs[Long]("n_test_shingles"))
+      val c = row.getAs[Double]("coverage4")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("shard balance: partitions all docs into range") {
+    val docs = t("documents")
+    val r = Curation.shardBalance(docs).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    r.foreach { row =>
+      val s = row.getAs[Long]("shard")
+      assert(s >= 0 && s < 64)
+      assert(row.getAs[Double]("load_ratio4") > 0.0)
+    }
+  }
+
+  test("embedding outliers: k rows, descending, distances positive") {
+    val r = Similarity.embeddingOutliers(t("embeddings"), 10).collect()
+    assert(r.length === 10)
+    val ds = r.map(_.getAs[Double]("dist4"))
+    assert(ds.sameElements(ds.sorted.reverse))
+    assert(ds.forall(_ >= 0.0))
+  }
+
+  test("duplicate key screen: finds planted duplicate, skips unique keys") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("k", "v")
+    val r = Quality.duplicateKeyScreen(df, Seq("k", "v")).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("k") === 1L && r.head.getAs[Long]("n_rows") === 2L)
+  }
+
+  test("apply changelog: last writer wins, tombstoned key vanishes") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 1L, "I", 10.0), (1L, 2L, "U", 20.0),  // key 1 -> survives at 20.0
+      (2L, 3L, "I", 30.0), (2L, 4L, "D", 0.0),   // key 2 -> deleted
+      (3L, 5L, "I", 50.0)                          // key 3 -> survives
+    ).toDF("key", "seq", "op", "v")
+    val r = ops.Relational.applyChangelog(changes, "key", "seq", "seq",
+      col("op") === "D").collect()
+    assert(r.map(_.getAs[Long]("key")).toSeq === Seq(1L, 3L))
+    assert(r.head.getAs[Double]("v") === 20.0)
+  }
+
   test("ngram novelty: exact copy scores 0, fresh text scores 1") {
     import spark.implicits._
     val docs = Seq(
