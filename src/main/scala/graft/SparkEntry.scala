@@ -1117,6 +1117,32 @@ object SparkEntry {
     // streaming hourly-count anomaly: expanding-window z-score >= 2
     // after a 24-hour training prefix, exact-integer statistic
     "st_anomaly" -> ((s, dir) => StreamingOps.anomalyStream(s, dir)),
+    // stream-stream LEFT OUTER interval join: null-view rows emitted
+    // only when the watermark proves no match can arrive
+    "st_left_join" -> ((s, dir) => StreamingOps.clickViewLeftJoinStream(s, dir)),
+    // ARI readability per doc (curation signal on word/sentence shape)
+    "d_readability" -> ((s, dir) => TextOps.readability(rd(s, dir, "documents"))),
+    // l-diversity: class size vs distinct sensitive values per class
+    "q_l_diversity" -> ((s, dir) =>
+      Quality.lDiversityAudit(rd(s, dir, "customer"),
+        Seq("c_nationkey"), "c_mktsegment", 5)),
+    // dynamic partition overwrite: reload ONE month in place, rest intact
+    "k_dynamic_overwrite" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dynow").toString + "/orders"
+      val orders = rd(s, dir, "orders")
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+      Sinks.parquet(orders, tmp, Seq("om"))
+      val m0 = orders.agg(min(col("om")).as("m")).head().getString(0)
+      Sinks.overwritePartitionsDynamic(
+        orders.filter(col("om") === m0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        tmp, Seq("om"))
+      s.read.parquet(tmp)
+        .groupBy(col("om"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(round(col("o_totalprice") * 100d).cast("long")).cast("long").as("cents"))
+        .orderBy(col("om"))
+    }),
     // streaming transition mining: O(1)-per-user state, shares the
     // batch transitionMatrix oracle (counts only)
     "st_transitions" -> ((s, dir) => StreamingOps.transitionsStream(s, dir)),
@@ -4323,6 +4349,44 @@ z AS (SELECT hour_epoch, x, np,
   FROM w WHERE np >= 24 AND np * s2 - s1 * s1 > 0)
 SELECT hour_epoch, x AS n_events, np AS n_prior, z4 FROM z
 WHERE z4 >= 2.0 OR z4 <= -2.0 ORDER BY hour_epoch""",
+    "st_left_join" ->
+      """WITH m AS (SELECT epoch_us(max(ts)) AS mx FROM events),
+clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+views AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus FROM events WHERE event_type = 'view'),
+matched AS (SELECT c.click_id, v.view_id FROM clicks c JOIN views v
+  ON c.user_id = v.user_id AND v.vus >= c.cus - 1800000000 AND v.vus <= c.cus),
+unmatched AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS view_id
+  FROM clicks c CROSS JOIN m
+  WHERE c.cus < m.mx - 3600000000
+    AND NOT EXISTS (SELECT 1 FROM views v WHERE v.user_id = c.user_id
+      AND v.vus >= c.cus - 1800000000 AND v.vus <= c.cus))
+SELECT click_id, view_id FROM matched
+UNION ALL SELECT click_id, view_id FROM unmatched
+ORDER BY click_id, view_id NULLS FIRST""",
+    "d_readability" ->
+      """WITH s AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
+  greatest(CAST(1 AS BIGINT),
+    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT)) AS n_sentences
+  FROM documents)
+SELECT doc_id, n_words, n_chars_ns, n_sentences,
+  floor((4.71 * CAST(n_chars_ns AS DOUBLE) / CAST(n_words AS DOUBLE)
+       + 0.5 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+       - 21.43) * 10000) / 10000.0 AS ari4
+FROM s ORDER BY doc_id""",
+    "q_l_diversity" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS diversity,
+  CAST(CASE WHEN COUNT(DISTINCT c_mktsegment) < 5 THEN 1 ELSE 0 END AS INTEGER) AS violates_l
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "k_dynamic_overwrite" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m') AS om FROM orders),
+m0 AS (SELECT MIN(om) AS m FROM o)
+SELECT om, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round((CASE WHEN om = (SELECT m FROM m0) THEN o_totalprice * 2
+                       ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM o GROUP BY om ORDER BY om""",
     // Append-mode watermarked stream: emitted windows are exactly those
     // whose end the final watermark (max ts - 2h) has passed.
     "st_mix_alert" ->

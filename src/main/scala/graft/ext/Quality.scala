@@ -173,6 +173,26 @@ object Quality {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007): for each
+    * quasi-identifier equivalence class, the number of DISTINCT
+    * sensitive values it contains — k-anonymity's complement (a class
+    * can be large yet expose everyone's sensitive attribute if all
+    * members share one value). Classes below `l` distinct values
+    * violate. One grouped count-distinct; |classes| output rows.
+    */
+  def lDiversityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int = 3): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit: no quasi columns")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        countDistinct(col(sensitiveCol)).cast("long").as("diversity"))
+      .withColumn("violates_l", (col("diversity") < l).cast("int"))
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** Duplicate-key screen: every key tuple that appears more than
     * `maxAllowed` times, with its multiplicity — the generic
     * "same customer, same day, N orders" / double-ingestion check run

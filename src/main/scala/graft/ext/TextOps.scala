@@ -783,4 +783,30 @@ object TextOps {
       .orderBy(col("score6").desc, col("phrase"))
       .limit(k)
   }
+
+  /** Automated Readability Index per document (Senter & Smith 1967):
+    * ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43, using
+    * non-space characters, whitespace words, and [.!?] sentence marks
+    * (floored at 1 so unpunctuated corpora — like machine-generated
+    * text — still score on word length alone). A curation signal in the
+    * same family as the quality gate: extreme ARI flags boilerplate
+    * (short fragments) or run-on machine text. Pure per-row length
+    * arithmetic — three codegen'd counts, exact integers into two IEEE
+    * divisions, trunc4 at output; fuses into the scan, no shuffle.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    import graft.ext.Num.trunc4
+    val text = col("text")
+    val words = size(tokens(text)).cast("long")
+    val chars = length(regexp_replace(text, " ", "")).cast("long")
+    val sentences = greatest(lit(1L),
+      (length(text) - length(regexp_replace(text, "[.!?]", ""))).cast("long"))
+    docs.select(col("doc_id"),
+      words.as("n_words"), chars.as("n_chars_ns"), sentences.as("n_sentences"))
+      .withColumn("ari4", trunc4(
+        lit(4.71) * col("n_chars_ns").cast("double") / col("n_words").cast("double") +
+          lit(0.5) * col("n_words").cast("double") / col("n_sentences").cast("double") -
+          lit(21.43)))
+      .orderBy(col("doc_id"))
+  }
 }

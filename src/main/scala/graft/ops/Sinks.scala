@@ -363,4 +363,31 @@ object Sinks {
     }
     spark.read.parquet(s"$path/v=$pick")
   }
+
+  /** Dynamic partition overwrite: replace ONLY the partitions present
+    * in `updates`, leaving every other partition's files untouched —
+    * the idempotent daily-reload pattern (re-run yesterday's load
+    * without rewriting the year). Spark's static overwrite mode would
+    * TRUNCATE the whole table first; the dynamic mode scopes the
+    * delete to the incoming partition values, which is also the only
+    * sane semantics at 100 TB (rewriting unrelated partitions is a
+    * full-table write). The session conf is set per-write and restored
+    * — no global mutation leaks to concurrent writers.
+    */
+  def overwritePartitionsDynamic(
+      updates: DataFrame,
+      path: String,
+      partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "overwritePartitionsDynamic: no partition columns")
+    val spark = updates.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updates.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionBy: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -541,6 +541,47 @@ object StreamingOps {
       .orderBy(col("hour_epoch"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the harder sibling of
+    * [[clickViewJoinStream]]: matched (click, view) pairs emit as soon
+    * as both sides arrive (inner semantics), and a click with NO view
+    * in its 30-minute lookback emits a null-view row only once the
+    * watermark proves no matching view can still arrive. That proof
+    * needs `wm > click_ts` (the latest admissible view_ts equals
+    * click_ts), so after draining a finite input the null rows are
+    * exactly the unmatched clicks with `click_ts < max(ts) − delay` —
+    * clicks younger than the final watermark stay in state and are
+    * discarded unemitted, which the oracle states with the same cutoff.
+    * State on both sides is watermark-bounded (eviction at wm minus
+    * the interval bound) — the production shape for funnels that must
+    * record "no preceding view" rather than silently dropping the row.
+    */
+  def clickViewLeftJoinStream(
+      spark: SparkSession, dir: String, delay: String = "1 hour"): DataFrame = {
+    val schema = graft.Tables.read(spark, dir, "events").schema
+    def src() = graft.ext.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val views = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val joined = clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("view_ts") <= col("click_ts"),
+      "left_outer")
+      .select(col("click_id"), col("view_id"))
+    val name = s"graft_stream_ssleft_${counter.incrementAndGet()}"
+    withStreamPartitions(spark, streamParts) {
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(name).orderBy(col("click_id"), col("view_id"))
+  }
+
   /** Streaming traffic-anomaly detection: hourly event totals through a
     * real streaming window aggregate, scored with an EXPANDING-window
     * z-score — hour t is anomalous when its count sits >= 2 sample

@@ -3025,6 +3025,53 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("readability: ARI exact on a constructed sentence") {
+    import spark.implicits._
+    // "Hi there. Go now." -> words=4, chars_ns=14, sentences=2
+    val docs = Seq((1L, "Hi there. Go now.")).toDF("doc_id", "text")
+    val r = TextOps.readability(docs).head()
+    assert(r.getAs[Long]("n_words") === 4L)
+    assert(r.getAs[Long]("n_chars_ns") === 14L)
+    assert(r.getAs[Long]("n_sentences") === 2L)
+    // 4.71*14/4 + 0.5*4/2 - 21.43 = 16.485 - 21.43 + 1.0 = -3.945
+    assert(math.abs(r.getAs[Double]("ari4") - (-3.945)) < 1e-9)
+  }
+
+  test("l-diversity: uniform sensitive column violates, diverse one passes") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "z"))
+      .toDF("quasi", "sens")
+    val r = Quality.lDiversityAudit(df, Seq("quasi"), "sens", 2).collect()
+    val byQ = r.map(x => x.getAs[String]("quasi") -> x).toMap
+    assert(byQ("a").getAs[Long]("diversity") === 1L)
+    assert(byQ("a").getAs[Int]("violates_l") === 1)
+    assert(byQ("b").getAs[Long]("diversity") === 3L)
+    assert(byQ("b").getAs[Int]("violates_l") === 0)
+  }
+
+  test("dynamic partition overwrite: only the targeted partition changes") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dynow-t").toString + "/t"
+    val base = Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+      .toDF("id", "p", "v")
+    ops.Sinks.parquet(base, tmp, Seq("p"))
+    ops.Sinks.overwritePartitionsDynamic(
+      Seq((9L, "p1", 99.0)).toDF("id", "p", "v"), tmp, Seq("p"))
+    val back = spark.read.parquet(tmp).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("p"), r.getAs[Double]("v")))
+      .sortBy(_._1)
+    // p1 fully replaced by the single new row; p2 untouched
+    assert(back.toSeq === Seq((3L, "p2", 30.0), (9L, "p1", 99.0)))
+  }
+
+  test("stream-stream left join: all matches present plus watermark-proven nulls") {
+    val r = graft.streaming.StreamingOps.clickViewLeftJoinStream(spark, sf()).collect()
+    val matched = r.filter(!_.isNullAt(1))
+    val inner = graft.streaming.StreamingOps.clickViewJoinStream(spark, sf()).collect()
+    assert(matched.length === inner.length) // outer join keeps every inner match
+    assert(r.length >= inner.length)        // plus null rows for old unmatched clicks
+  }
+
   test("gram coverage: ratios bounded, covered <= total") {
     val r = Curation.gramCoverage(t("documents")).collect()
     assert(r.nonEmpty)
