@@ -1122,6 +1122,22 @@ object SparkEntry {
     "st_left_join" -> ((s, dir) => StreamingOps.clickViewLeftJoinStream(s, dir)),
     // ARI readability per doc (curation signal on word/sentence shape)
     "d_readability" -> ((s, dir) => TextOps.readability(rd(s, dir, "documents"))),
+    // BPE merge rules from the corpus word-frequency table (tokenizer
+    // training; distributed count + vocabulary-bounded driver loop)
+    "d_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(rd(s, dir, "documents"))),
+    // bounded-hop BFS from the near-dup graph's hub: reach per hop
+    "q_bfs_reach" -> ((s, dir) =>
+      Graph.bfsReach(Dedup.ngramJaccardPairs(rd(s, dir, "documents")),
+        "doc_a", "doc_b", 3)),
+    // RFC 4180 dialect roundtrip: embedded comma/quote/newline survive
+    "k_csv_multiline" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csvml").toString + "/nation"
+      val tricky = rd(s, dir, "nation").select(col("n_nationkey"),
+        concat(col("n_name"), lit(",\""), lit("\n"), col("n_name")).as("tricky"))
+      Sinks.csvRfc4180(tricky, tmp)
+      Sources.csvMultiline(s, tmp, "n_nationkey BIGINT, tricky STRING")
+        .orderBy(col("n_nationkey"))
+    }),
     // l-diversity: class size vs distinct sensitive values per class
     "q_l_diversity" -> ((s, dir) =>
       Quality.lDiversityAudit(rd(s, dir, "customer"),
@@ -4375,6 +4391,30 @@ SELECT doc_id, n_words, n_chars_ns, n_sentences,
        + 0.5 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
        - 21.43) * 10000) / 10000.0 AS ari4
 FROM s ORDER BY doc_id""",
+    "q_bfs_reach" ->
+      s"""WITH $shingleCtes,
+pairs AS (SELECT doc_a, doc_b
+          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+          WHERE CAST(c AS DOUBLE)/(x.n + y.n - c) >= 0.3),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+h0 AS (SELECT u AS node FROM deg ORDER BY d DESC, u LIMIT 1),
+f1 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN h0 ON e.u = h0.node
+       WHERE e.v NOT IN (SELECT node FROM h0)),
+f2 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN f1 ON e.u = f1.node
+       WHERE e.v NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM f1)),
+f3 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN f2 ON e.u = f2.node
+       WHERE e.v NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM f1
+                         UNION ALL SELECT node FROM f2))
+SELECT hop, n_nodes FROM (
+  SELECT CAST(0 AS BIGINT) AS hop, CAST((SELECT COUNT(*) FROM h0) AS BIGINT) AS n_nodes
+  UNION ALL SELECT 1, (SELECT COUNT(*) FROM f1)
+  UNION ALL SELECT 2, (SELECT COUNT(*) FROM f2)
+  UNION ALL SELECT 3, (SELECT COUNT(*) FROM f3))
+WHERE n_nodes > 0 ORDER BY hop""",
+    "k_csv_multiline" ->
+      """SELECT n_nationkey, n_name || ',"' || chr(10) || n_name AS tricky
+FROM nation ORDER BY n_nationkey""",
     "q_l_diversity" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS diversity,

@@ -520,4 +520,37 @@ object Graph {
     labels.select(col("node"), col("label").as("community"))
       .orderBy(col("node"))
   }
+
+  /** Bounded-hop BFS reach profile from the highest-degree node (ties
+    * break on node id): how much of the graph is within 1, 2, 3 hops of
+    * the hub — the reachability read on a near-dup pair graph ("is
+    * duplication one big blob or many small islands"). Each hop is one
+    * join frontier→edges plus an anti-join against the reached set —
+    * frontier-proportional work, the textbook relational BFS round; the
+    * reached set is lazily checkpointed per hop so round t+1 never
+    * re-executes rounds 1..t. Hops that discover nothing emit no row
+    * (and once a frontier is empty every later hop is too).
+    */
+  def bfsReach(
+      pairs: DataFrame, aCol: String, bCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, s"maxHops=$maxHops")
+    val fwd = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(false)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val src = deg.orderBy(col("d").desc, col("u")).limit(1)
+      .select(col("u").as("node"))
+    var reached = src.withColumn("hop", lit(0L)).localCheckpoint(false)
+    (1 to maxHops).foreach { h =>
+      val frontier = reached.filter(col("hop") === (h - 1).toLong)
+        .select(col("node").as("u"))
+      val nxt = und.join(frontier, "u").select(col("v").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+      reached = reached.unionByName(nxt).localCheckpoint(false)
+    }
+    reached.groupBy(col("hop"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .orderBy(col("hop"))
+  }
 }

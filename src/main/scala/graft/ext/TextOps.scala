@@ -794,6 +794,77 @@ object TextOps {
     * arithmetic — three codegen'd counts, exact integers into two IEEE
     * divisions, trunc4 at output; fuses into the scan, no shuffle.
     */
+  /** Byte-pair-encoding merge trainer (Sennrich et al. 2016, the
+    * subword-tokenizer construction): starting from characters, the k
+    * most frequent ADJACENT symbol pairs merge greedily, each merge
+    * recorded as one vocabulary rule — the exact algorithm behind
+    * GPT/Llama-style tokenizers, run on the corpus word-frequency
+    * table. Ties break lexicographically on the pair so the merge
+    * sequence is a deterministic function of the corpus.
+    *
+    * Scale split: the DISTRIBUTED part is the word-frequency aggregate
+    * (the only corpus-proportional pass — shuffle carries (word, count)
+    * partials); the merge loop then runs on the driver over the
+    * distinct-word table, which is VOCABULARY-bounded (Heaps' law:
+    * ~1e5-1e6 types even for TB-scale corpora) and enforced by the hard
+    * `maxVocab` gate. This is also how production tokenizer trainers
+    * (SentencePiece, HF tokenizers) structure it: distributed count,
+    * local merge loop. Engine-local by nature (greedy sequential state)
+    * — declared without a SQL oracle; correctness is pinned by the
+    * constructed-corpus spec.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      merges: Int = 8,
+      maxVocab: Long = 200000L,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(merges >= 1, s"merges=$merges")
+    val wordFreq = graft.Tables.spread(docs)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+    val vocab = wordFreq.collect().map(r => (r.getString(0), r.getLong(1)))
+    require(vocab.length <= maxVocab,
+      s"bpeMerges: ${vocab.length} word types exceed maxVocab=$maxVocab")
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= merges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rt), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r, l, rt, cnt))
+        val merged = l + rt
+        words = words.map { case (syms, f) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rt) {
+              buf += merged; i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.toArray, f)
+        }
+        r += 1
+      }
+    }
+    out.toSeq.toDF("merge_rank", "left", "right", "pair_freq")
+      .orderBy(col("merge_rank"))
+  }
+
   def readability(docs: DataFrame): DataFrame = {
     import graft.ext.Num.trunc4
     val text = col("text")

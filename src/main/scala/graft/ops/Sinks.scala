@@ -27,6 +27,21 @@ object Sinks {
     df
   }
 
+  /** K2b — RFC 4180 dialect CSV write: quotes escape by DOUBLING
+    * (`""`), not Spark's default backslash, so embedded commas, quotes
+    * and NEWLINES inside fields round-trip against any standards-
+    * compliant reader (DuckDB, Excel, Postgres COPY). Spark's default
+    * escape produces files those readers mis-parse on quoted quotes —
+    * the classic cross-tool CSV interop bug.
+    */
+  def csvRfc4180(df: DataFrame, path: String, header: Boolean = true): DataFrame = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+    df
+  }
+
   /** Z-ORDER interleave key for two non-negative integer dimensions
     * (16 bits each): bit i of `a` lands at position 2i, bit i of `b` at
     * 2i+1. Rows close in BOTH dimensions get close z-values, so sorting

@@ -35,6 +35,21 @@ object Sources {
     * (simple_etl.py:165-169). At 100 TB silently dropping or stringly
     * typing bad rows is how corrupt feeds go unnoticed for months.
     */
+  /** S1c — RFC 4180 multiline CSV scan: `multiLine` lets quoted fields
+    * span physical newlines, `escape='"'` reads doubled quotes — the
+    * dialect [[graft.ops.Sinks.csvRfc4180]] writes and standard tools
+    * emit. Trade-off stated: multiline files are NOT splittable (one
+    * task per file — record boundaries can't be found mid-file), so
+    * at scale feed many files, not one giant one.
+    */
+  def csvMultiline(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .schema(schemaDdl)
+      .csv(path)
+
   def csvWithQuarantine(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read
       .option("header", "true")

@@ -3025,6 +3025,38 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bpe merges: greedy pair sequence on a constructed corpus") {
+    import spark.implicits._
+    // "aaab" x2 + "ab": pairs (a,a)=4, (a,b)=3 -> merge1 (a,a);
+    // then (aa,a)=2,(a,b)=3 -> merge2 (a,b)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val r = TextOps.bpeMerges(docs, merges = 2).collect()
+    assert(r.length === 2)
+    assert((r(0).getAs[String]("left"), r(0).getAs[String]("right"),
+      r(0).getAs[Long]("pair_freq")) === (("a", "a", 4L)))
+    assert((r(1).getAs[String]("left"), r(1).getAs[String]("right"),
+      r(1).getAs[Long]("pair_freq")) === (("a", "b", 3L)))
+  }
+
+  test("bfs reach: full coverage on a path graph from its hub") {
+    import spark.implicits._
+    // path 1-2-3-4-5: hub = lowest-id degree-2 node (2); hops 0..3 reach all
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = Graph.bfsReach(pairs, "a", "b", 3).collect()
+      .map(x => x.getAs[Long]("hop") -> x.getAs[Long]("n_nodes")).toMap
+    // node 2 (deg 2, smallest id among deg-2): hop1 = {1,3}, hop2 = {4}, hop3 = {5}
+    assert(r === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("rfc4180 csv: comma, quote and newline round-trip") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csvml-t").toString + "/t"
+    val df = Seq((1L, "a,\"b\"\nc")).toDF("id", "s")
+    ops.Sinks.csvRfc4180(df, tmp)
+    val back = ops.Sources.csvMultiline(spark, tmp, "id BIGINT, s STRING").head()
+    assert(back.getAs[String]("s") === "a,\"b\"\nc")
+  }
+
   test("readability: ARI exact on a constructed sentence") {
     import spark.implicits._
     // "Hi there. Go now." -> words=4, chars_ns=14, sentences=2
