@@ -1142,22 +1142,24 @@ object SparkEntry {
     "q_l_diversity" -> ((s, dir) =>
       Quality.lDiversityAudit(rd(s, dir, "customer"),
         Seq("c_nationkey"), "c_mktsegment", 5)),
-    // dynamic partition overwrite: reload ONE month in place, rest intact
+    // dynamic partition overwrite: reload ONE year in place, rest intact
+    // (year grain keeps the partition-dir count small at fixture scale;
+    // the mechanism is identical at any grain)
     "k_dynamic_overwrite" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_dynow").toString + "/orders"
       val orders = rd(s, dir, "orders")
-        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
-      Sinks.parquet(orders, tmp, Seq("om"))
-      val m0 = orders.agg(min(col("om")).as("m")).head().getString(0)
+        .withColumn("oy", date_format(col("o_orderdate"), "yyyy"))
+      Sinks.parquet(orders, tmp, Seq("oy"))
+      val y0 = orders.agg(min(col("oy")).as("y")).head().getString(0)
       Sinks.overwritePartitionsDynamic(
-        orders.filter(col("om") === m0)
+        orders.filter(col("oy") === y0)
           .withColumn("o_totalprice", col("o_totalprice") * 2),
-        tmp, Seq("om"))
+        tmp, Seq("oy"))
       s.read.parquet(tmp)
-        .groupBy(col("om"))
+        .groupBy(col("oy"))
         .agg(count(lit(1)).cast("long").as("n"),
           sum(round(col("o_totalprice") * 100d).cast("long")).cast("long").as("cents"))
-        .orderBy(col("om"))
+        .orderBy(col("oy"))
     }),
     // streaming transition mining: O(1)-per-user state, shares the
     // batch transitionMatrix oracle (counts only)
@@ -2098,10 +2100,10 @@ SELECT query_id, vec_id, cos_sim FROM (
 ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 3
 ORDER BY query_id, cos_sim DESC, vec_id""",
     "q_basket_rules" ->
-      """WITH items AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
 ok AS (SELECT o FROM items GROUP BY o HAVING COUNT(*) <= 15),
-it AS (SELECT items.o, items.b FROM items JOIN ok ON items.o = ok.o),
+it AS MATERIALIZED (SELECT items.o, items.b FROM items JOIN ok ON items.o = ok.o),
 nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM it),
 singles AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM it GROUP BY b),
 pairs AS (SELECT x.b AS brand_a, y.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
@@ -3944,10 +3946,10 @@ SELECT t, n_risk, d AS d_churn, CAST(obs_n - d AS BIGINT) AS n_censored,
        ELSE floor(exp(CAST(cum8 AS DOUBLE) / 100000000.0) * 10000) / 10000.0 END AS surv4
 FROM c ORDER BY t""",
     "q_brand_triples" ->
-      """WITH items AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
 ok AS (SELECT o FROM items GROUP BY o HAVING COUNT(*) >= 3 AND COUNT(*) <= 15),
-it AS (SELECT items.* FROM items JOIN ok USING (o))
+it AS MATERIALIZED (SELECT items.* FROM items JOIN ok USING (o))
 SELECT a.b AS brand_a, b.b AS brand_b, c.b AS brand_c,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM it a JOIN it b ON a.o = b.o AND a.b < b.b
@@ -4421,12 +4423,12 @@ FROM nation ORDER BY n_nationkey""",
   CAST(CASE WHEN COUNT(DISTINCT c_mktsegment) < 5 THEN 1 ELSE 0 END AS INTEGER) AS violates_l
 FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "k_dynamic_overwrite" ->
-      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m') AS om FROM orders),
-m0 AS (SELECT MIN(om) AS m FROM o)
-SELECT om, CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(round((CASE WHEN om = (SELECT m FROM m0) THEN o_totalprice * 2
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y') AS oy FROM orders),
+y0 AS (SELECT MIN(oy) AS y FROM o)
+SELECT oy, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round((CASE WHEN oy = (SELECT y FROM y0) THEN o_totalprice * 2
                        ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS cents
-FROM o GROUP BY om ORDER BY om""",
+FROM o GROUP BY oy ORDER BY oy""",
     // Append-mode watermarked stream: emitted windows are exactly those
     // whose end the final watermark (max ts - 2h) has passed.
     "st_mix_alert" ->
