@@ -410,4 +410,56 @@ class PropSpec extends SparkSpec {
       assert(got === expected)
     }
   }
+
+  test("prop: graft_cov covariance matches the naive local computation across partitionings") {
+    import spark.implicits._
+    val vecGen: Gen[List[Array[Double]]] =
+      Gen.choose(2, 10).flatMap { n =>
+        Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-3.0, 3.0)).map(_.toArray))
+      }
+    cases(vecGen) { vecs =>
+      // local reference: population cov = E[xy] - E[x]E[y]
+      val n = vecs.length.toDouble
+      def mean(d: Int) = vecs.map(_(d)).sum / n
+      def cov(i: Int, j: Int) =
+        vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+      Seq(1, 3).foreach { parts =>
+        val df = vecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+          .toDF("vec_id", "embedding").repartition(parts)
+        val got = ext.Similarity.covarianceMatrix(df).collect()
+          .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Double]("cov4"))
+          .toMap
+        got.foreach { case ((i, j), c4) =>
+          // trunc4 grid: float-cast inputs and summation order shift the
+          // raw value by ulps, so compare on the grid with one-cell slack
+          val ref = math.floor(cov(i, j) * 10000.0) / 10000.0
+          assert(math.abs(c4 - ref) <= 2e-4 + 1e-9,
+            s"cell ($i,$j) got $c4 expected ~$ref (parts=$parts)")
+        }
+      }
+    }
+  }
+
+  test("prop: pqEncode total distortion never exceeds flat-kmeans distortion budget per subspace count") {
+    import spark.implicits._
+    // PQ with m=1 IS kmeansExact (same seeds/rounds): codes and total
+    // distortion must agree exactly
+    val vecGen: Gen[List[Array[Double]]] =
+      Gen.choose(4, 8).flatMap { n =>
+        Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-2.0, 2.0)).map(_.toArray))
+      }
+    cases(vecGen) { vecs =>
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val pq = ext.Similarity.pqEncode(df, m = 1, dim = 4, k = 2, rounds = 2)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("code0"), r.getAs[Long]("dist_sq6"))).toMap
+      val km = ext.Similarity.kmeansExact(df, k = 2, rounds = 2)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          (r.getAs[Long]("cluster"), r.getAs[Long]("dist_sq6"))).toMap
+      assert(pq === km)
+    }
+  }
 }
