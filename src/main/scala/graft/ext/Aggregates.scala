@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ext.expr.Int128Sum
+import graft.ext.expr.{DoubleOrderBits, Int128Sum}
 
 /** Analytic aggregates over the fixture star schema — the reference has
   * ZERO aggregations (SURVEY.md §2.4), but the BASELINE north-star
@@ -660,20 +660,40 @@ object Aggregates {
     * self-equi-joins on the order key (co-partitioned after one
     * exchange), a partial-first support count, and TakeOrdered top-k.
     */
+  /** Baskets as sorted distinct-brand ARRAYS: one groupBy(order) shuffle
+    * (collect_set dedupes map-side), capped at `maxBasket` — the
+    * explicit d-squared skew guard that makes the downstream
+    * combination explosion bounded per row. Pair/triple generation then
+    * happens MAP-SIDE with codegen'd array HOFs instead of 2-3-way
+    * self-joins on the order key (which cost an extra shuffle + sort
+    * each and rebuild every basket s^2/s^3 times through the join).
+    */
+  private def brandBaskets(lineitem: DataFrame, part: DataFrame,
+      minBasket: Int, maxBasket: Int): DataFrame =
+    lineitem.select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand").as("b"))), "l_partkey")
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+      .filter(size(col("bs")).between(minBasket, maxBasket))
+
+  /** All ordered index pairs (i < j) of a sorted array, as structs. */
+  private def comboPairs(bs: Column, an: String, bn: String): Column =
+    flatten(transform(bs, (x, i) =>
+      transform(slice(bs, i + lit(2), size(bs)),
+        y => struct(x.as(an), y.as(bn)))))
+
   def brandTriples(lineitem: DataFrame, part: DataFrame,
       maxBasket: Int = 15, minSupport: Long = 5, k: Int = 25): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("o"), col("l_partkey"))
-      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand").as("b")), "l_partkey")
-      .select(col("o"), col("b")).distinct()
-    val ok = items.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") >= 3 && col("sz") <= maxBasket).select(col("o"))
-    val it = items.join(ok, Seq("o"), "left_semi")
-    val x = it.select(col("o"), col("b").as("brand_a"))
-    val y = it.select(col("o"), col("b").as("brand_b"))
-    val z = it.select(col("o"), col("b").as("brand_c"))
-    x.join(y, Seq("o")).filter(col("brand_a") < col("brand_b"))
-      .join(z, Seq("o")).filter(col("brand_b") < col("brand_c"))
-      .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
+    val baskets = brandBaskets(lineitem, part, 3, maxBasket)
+    // i < j < k combinations, generated map-side from the sorted array
+    val triples = flatten(transform(col("bs"), (a, i) =>
+      flatten(transform(slice(col("bs"), i + lit(2), size(col("bs"))), (b, j) =>
+        transform(slice(col("bs"), i + j + lit(3), size(col("bs"))),
+          c => struct(a.as("brand_a"), b.as("brand_b"), c.as("brand_c")))))))
+    baskets.select(explode(triples).as("t"))
+      .groupBy(col("t.brand_a").as("brand_a"), col("t.brand_b").as("brand_b"),
+        col("t.brand_c").as("brand_c"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
       .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"), col("brand_c"))
@@ -693,24 +713,31 @@ object Aggregates {
   def basketRules(lineitem: DataFrame, part: DataFrame,
       maxBasket: Int = 15, minSupport: Long = 20, k: Int = 25): DataFrame = {
     import Num.trunc4
-    val items = lineitem.select(col("l_orderkey").as("o"), col("l_partkey"))
-      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand").as("b")), "l_partkey")
-      .select(col("o"), col("b")).distinct()
-    val ok = items.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") <= maxBasket).select(col("o"))
-    // NOTE: the basket frame feeds four consumers, but the identical
-    // subplans collapse into ONE execution via ReuseExchange — an
-    // explicit localCheckpoint here measured SLOWER (extra
-    // materialization barrier, lost pipelining)
-    val it = items.join(ok, Seq("o"), "left_semi")
-    val nBaskets = it.select(col("o")).distinct()
-      .agg(count(lit(1)).cast("long").as("n_baskets"))
-    val singles = it.groupBy(col("b")).agg(count(lit(1)).cast("long").as("n_b"))
-    val x = it.select(col("o"), col("b").as("brand_a"))
-    val y = it.select(col("o"), col("b").as("brand_b"))
-    val pairs = x.join(y, Seq("o")).filter(col("brand_a") < col("brand_b"))
-      .groupBy(col("brand_a"), col("brand_b"))
-      .agg(count(lit(1)).cast("long").as("n_ab"))
+    // The rule table needs THREE counts off the basket frame — basket
+    // total, per-brand, per-pair. Emitting them as one tagged explode
+    // ((null,null) marker + singles + pairs) through a SINGLE tiny
+    // (a,b) aggregate means the expensive part — the groupBy(o)
+    // collect_set and the combination explosion — executes once;
+    // the three consumers below filter the ~|brands|^2 count frame,
+    // whose identical exchange subplan ReuseExchange collapses. (The
+    // earlier 3-branch formulation re-ran the post-shuffle basket
+    // aggregation once PER consumer: exchange reuse only dedupes the
+    // shuffle files, not the final aggregate above them.)
+    val baskets = brandBaskets(lineitem, part, 1, maxBasket)
+    val nullB = lit(null).cast("string")
+    val tagged = baskets.select(explode(concat(
+      array(struct(nullB.as("a"), nullB.as("b"))),
+      transform(col("bs"), x => struct(x.as("a"), nullB.as("b"))),
+      comboPairs(col("bs"), "a", "b"))).as("p"))
+    val counts = tagged
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val nBaskets = counts.filter(col("a").isNull && col("b").isNull)
+      .select(col("n").as("n_baskets"))
+    val singles = counts.filter(col("a").isNotNull && col("b").isNull)
+      .select(col("a").as("b"), col("n").as("n_b"))
+    val pairs = counts.filter(col("b").isNotNull)
+      .select(col("a").as("brand_a"), col("b").as("brand_b"), col("n").as("n_ab"))
       .filter(col("n_ab") >= minSupport)
     pairs
       .join(broadcast(singles.select(col("b").as("brand_a"), col("n_b").as("n_a"))), "brand_a")
@@ -884,13 +911,14 @@ object Aggregates {
     *
     * This shape is the scalable one — bucket, count, then sort ONLY the
     * buckets that contain a requested boundary index:
-    *  1. per-group min/max/count (one cheap scan);
-    *  2. rows bin by codegen'd `width_bucket` (broadcast join of the
-    *     one-row-per-group stats; bin quality affects only load
-    *     BALANCE, never the answer) and a per-(group,bucket) count
-    *     frame — |groups| x `buckets` rows — turns into exclusive
+    *  1. rows bin by the codegen'd order-preserving bit image
+    *     ([[graft.ext.expr.DoubleOrderBits]] >> `shift`) — a DATA-
+    *     INDEPENDENT monotone bin id, so there is no min/max stats
+    *     pass and no broadcast join at all (bin balance affects only
+    *     load, never the answer); the per-(group,bucket) count frame —
+    *     |groups| x occupied-buckets rows — turns into exclusive
     *     prefix offsets via a window over that TINY frame;
-    *  3. each requested percentile needs the values at global index
+    *  2. each requested percentile needs the values at global index
     *     floor/ceil(p*(n-1)); from the offsets alone the plan knows
     *     which buckets hold those indices, LEFT SEMI joins the data
     *     down to just them (~ |ps| * n/buckets rows), ranks them with
@@ -901,6 +929,12 @@ object Aggregates {
     * still correct, just shuffles that bucket whole. No eager action,
     * no driver collect; composes lazily.
     *
+    * `shift` trades bucket-census size against prune sharpness: 44
+    * keeps sign+exponent+12 mantissa bits — ~4096 cells per binade,
+    * a few thousand OCCUPIED cells for data spanning a handful of
+    * binades (the census window stays tiny), each holding ~n/4096 of
+    * a binade's rows for the final sort.
+    *
     * Output: groupCol, `n` (group row count), then one column per
     * requested percentile named by `outNames`.
     */
@@ -910,21 +944,15 @@ object Aggregates {
       groupCol: String,
       ps: Seq[Double],
       outNames: Seq[String],
-      buckets: Int = 1024): DataFrame = {
+      shift: Int = 44): DataFrame = {
     require(ps.nonEmpty && ps.length == outNames.length, "ps/outNames mismatch")
-    require(buckets >= 2, s"buckets=$buckets")
-    val vals = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    require(shift >= 0 && shift < 64, s"shift=$shift")
+    DoubleOrderBits.ensureRegistered(df.sparkSession)
+    val bucketed = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
-    val stats = vals.groupBy(col(groupCol)).agg(
-      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
-      count(lit(1)).cast("long").as("__n"))
-    // width_bucket yields 1..buckets+1 (max lands in buckets+1); ids only
-    // need to be order-consistent, not dense. Constant-column guard: one
-    // bucket when min == max.
-    def binOf = when(col("__mn") === col("__mx"), lit(1L))
-      .otherwise(width_bucket(col("__v"), col("__mn"), col("__mx"), lit(buckets)))
-    val bucketed = vals.join(broadcast(stats), Seq(groupCol))
-      .withColumn("__b", binOf)
+      .withColumn("__b",
+        shiftright(call_function(DoubleOrderBits.name, col("__v")), shift))
     val counts = bucketed.groupBy(col(groupCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
@@ -1013,32 +1041,67 @@ object Aggregates {
     * integral weights the whole computation is integer compares —
     * bit-stable across engines with no grid-snapping needed.
     *
-    * Scale shape: weights first collapse onto DISTINCT values (one
-    * partial-first aggregate — the frame shrinks from |rows| to
-    * |distinct values| per group), the cumulative sum is a window over
-    * that collapsed frame, and the answer row per group is a min-filter.
+    * Scale shape mirrors [[groupedExactPercentiles]] — bucket, count,
+    * then sort ONLY the bucket holding the answer. (The obvious
+    * alternative, a cumulative-weight window `partitionBy(group)
+    * .orderBy(v)`, serializes each GROUP into one task — with few
+    * groups that is a 3-thread sort of the whole frame.)
+    *  1. RAW rows bin by the codegen'd order-preserving bit image
+    *     ([[graft.ext.expr.DoubleOrderBits]] >> `shift` — data-
+    *     independent, so no min/max stats pass; bin quality affects
+    *     only load balance, never the answer) — and no distinct-
+    *     collapse pass either: with near-unique values that collapse
+    *     is a full-size shuffle for no reduction, while the
+    *     per-(group,bucket) WEIGHT frame here aggregates map-side to
+    *     |groups| x occupied-buckets rows;
+    *  2. a window over that tiny frame yields exclusive prefix weights
+    *     and the group totals;
+    *  3. the single bucket per group whose prefix straddles totw/2 is
+    *     broadcast back; only its ~n/buckets raw rows sort (window per
+    *     (group,bucket)), and the min-filter keeps the answer row.
+    *     Tie rows (equal v) may order arbitrarily inside the window,
+    *     but the half-total crossing provably lands inside the answer
+    *     value's tie group, so min(v) is tie-order-independent.
+    * All weight compares stay integer (2*cumw >= totw), so the result
+    * is bit-identical to a full ordered scan at any partition count.
     */
   def weightedMedian(
       df: DataFrame,
       valueCol: String,
       weightCol: String,
-      groupCol: String): DataFrame = {
-    val perValue = df
+      groupCol: String,
+      shift: Int = 44): DataFrame = {
+    DoubleOrderBits.ensureRegistered(df.sparkSession)
+    val bucketed = df
       .select(col(groupCol), col(valueCol).cast("double").as("v"),
         col(weightCol).cast("long").as("w"))
       .where(col("v").isNotNull)
-      .groupBy(col(groupCol), col("v"))
-      .agg(sum(col("w")).cast("long").as("w"))
-    val byGroup = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .withColumn("__b",
+        shiftright(call_function(DoubleOrderBits.name, col("v")), shift))
+    val perBucket = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("w")).cast("long").as("__bw"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col(groupCol))
-    perValue
-      .withColumn("cumw", sum(col("w")).over(
-        byGroup.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("totw", sum(col("w")).over(wAll))
-      .filter(col("cumw") * 2 >= col("totw"))
+    val offsets = perBucket.select(col(groupCol), col("__b"), col("__bw"),
+      coalesce(sum(col("__bw")).over(wOff), lit(0L)).cast("long").as("__off"),
+      sum(col("__bw")).over(wAll).cast("long").as("__totw"))
+    // answer bucket: first whose inclusive prefix reaches half the total
+    val target = offsets
+      .filter((col("__off") + col("__bw")) * 2 >= col("__totw") &&
+        col("__off") * 2 < col("__totw"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__b")).as("__b"), first(col("__off")).as("__off"),
+        first(col("__totw")).as("__totw"))
+    val wB = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("v"))
+    bucketed.select(col(groupCol), col("__b"), col("v"), col("w"))
+      .join(broadcast(target), Seq(groupCol, "__b"))
+      .withColumn("cumw", col("__off") + sum(col("w")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cumw") * 2 >= col("__totw"))
       .groupBy(col(groupCol))
       .agg(min(col("v")).as("w_median"),
-        first(col("totw")).cast("long").as("total_weight"))
+        first(col("__totw")).cast("long").as("total_weight"))
       .select(col(groupCol), col("total_weight"), col("w_median"))
       .orderBy(col(groupCol))
   }

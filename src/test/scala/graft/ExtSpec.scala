@@ -1488,23 +1488,26 @@ class ExtSpec extends SparkSpec {
     assert(row.getAs[Double]("outlier_pct4") === 10.0)
   }
 
-  test("groupedExactPercentiles: matches builtin percentile per group, many buckets vs few") {
+  test("groupedExactPercentiles: matches builtin percentile per group, coarse vs fine bit-buckets") {
     import spark.implicits._
-    // two groups with different sizes and ranges, incl. duplicates
-    val rows = (1 to 1000).map(i => ("A", (i % 97).toDouble)) ++
+    // two groups with different sizes and ranges, incl. duplicates and
+    // negatives (the sign-flip branch of the order-bits transform)
+    val rows = (1 to 1000).map(i => ("A", (i % 97).toDouble - 13.0)) ++
       (1 to 313).map(i => ("B", i * 1.5))
     val df = rows.toDF("g", "v")
     val expected = df.groupBy($"g")
       .agg(org.apache.spark.sql.functions.expr("percentile(v, array(0.25, 0.5, 0.95))").as("q"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    for (b <- Seq(4, 1024)) {
+    // shift=62 leaves ~2 buckets (degenerate sort-nearly-everything),
+    // shift=30 gives a huge sparse census — answers must be identical
+    for (b <- Seq(30, 44, 62)) {
       val got = Aggregates.groupedExactPercentiles(df, "v", "g",
-          Seq(0.25, 0.5, 0.95), Seq("q25", "q50", "q95"), buckets = b)
+          Seq(0.25, 0.5, 0.95), Seq("q25", "q50", "q95"), shift = b)
         .collect().map(r => r.getString(0) ->
           Seq(r.getAs[Double]("q25"), r.getAs[Double]("q50"), r.getAs[Double]("q95"))).toMap
-      assert(got.keySet === expected.keySet, s"buckets=$b")
+      assert(got.keySet === expected.keySet, s"shift=$b")
       for (g <- got.keySet; i <- 0 until 3)
-        assert(got(g)(i) === expected(g)(i), s"buckets=$b group=$g p#$i")
+        assert(got(g)(i) === expected(g)(i), s"shift=$b group=$g p#$i")
     }
     // constant column (min == max) degenerate bucket
     val const = Seq(("C", 5.0), ("C", 5.0), ("C", 5.0)).toDF("g", "v")
