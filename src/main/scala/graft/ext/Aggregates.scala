@@ -767,17 +767,43 @@ object Aggregates {
     * broadcast of the one-row base month, a join on part, and a
     * months-sized output frame.
     */
-  def priceIndexLaspeyres(lineitem: DataFrame): DataFrame = {
-    import Num.trunc4
-    val pm = lineitem
+  /** (part, month) unit-price frame shared by the index families:
+    * one partial-first aggregate; up6 is LONG floor-division — no
+    * doubles anywhere.
+    */
+  private def partMonthPrices(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy(col("l_partkey").as("part"),
         to_date(date_trunc("month", col("l_shipdate"))).as("month"))
       .agg(sum(round(col("l_extendedprice") * 100d).cast("long")).cast("long").as("cents"),
         sum(col("l_quantity").cast("long")).cast("long").as("qty"))
       .withColumn("up6", expr("(cents * 1000000L) div qty"))
-    val base = pm.agg(min(col("month")).as("bm"))
-    val baseQ = pm.join(broadcast(base), col("month") === col("bm"))
-      .select(col("part"), col("qty").as("qb"), col("up6").as("ub6"))
+
+  /** BASE-month basket (per-part quantity + unit price), computed
+    * directly off lineitem with an early month filter rather than by
+    * re-aggregating the full (part,month) frame: the base month is
+    * ~1/|months| of the fact table, and integer sums over the same row
+    * set are bit-identical either way — so this branch costs a
+    * column-pruned scan + a |base parts|-row aggregate instead of a
+    * second full-size final aggregation (exchange reuse only dedupes
+    * the shuffle files, not the aggregate above them).
+    */
+  private def baseMonthBasket(lineitem: DataFrame): DataFrame = {
+    val month = to_date(date_trunc("month", col("l_shipdate")))
+    val bm = lineitem.agg(min(month).as("bm"))
+    lineitem.crossJoin(broadcast(bm))
+      .filter(month === col("bm"))
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(round(col("l_extendedprice") * 100d).cast("long")).cast("long").as("cents"),
+        sum(col("l_quantity").cast("long")).cast("long").as("qty"))
+      .select(col("part"), col("qty").as("qb"),
+        expr("(cents * 1000000L) div qty").as("ub6"))
+  }
+
+  def priceIndexLaspeyres(lineitem: DataFrame): DataFrame = {
+    import Num.trunc4
+    val pm = partMonthPrices(lineitem)
+    val baseQ = baseMonthBasket(lineitem)
     pm.join(baseQ, "part")
       .groupBy(col("month"))
       .agg(count(lit(1)).as("n_parts"),
@@ -2108,15 +2134,8 @@ object Aggregates {
     */
   def priceIndexFisher(lineitem: DataFrame): DataFrame = {
     import Num.trunc4
-    val pm = lineitem
-      .groupBy(col("l_partkey").as("part"),
-        to_date(date_trunc("month", col("l_shipdate"))).as("month"))
-      .agg(sum(round(col("l_extendedprice") * 100d).cast("long")).cast("long").as("cents"),
-        sum(col("l_quantity").cast("long")).cast("long").as("qty"))
-      .withColumn("up6", expr("(cents * 1000000L) div qty"))
-    val base = pm.agg(min(col("month")).as("bm"))
-    val baseQ = pm.join(broadcast(base), col("month") === col("bm"))
-      .select(col("part"), col("qty").as("qb"), col("up6").as("ub6"))
+    val pm = partMonthPrices(lineitem)
+    val baseQ = baseMonthBasket(lineitem)
     def dec(c: Column) = c.cast("decimal(19,0)")
     val g = pm.join(baseQ, "part")
       .groupBy(col("month"))
