@@ -37,6 +37,28 @@ object SparkEntry {
 
   private def rd(s: SparkSession, dir: String, t: String): DataFrame = Tables.read(s, dir, t)
 
+  /** Bulk co-purchase pair graph shared by the q_triangles /
+    * q_clustering_coeff / q_kcore / q_link_predict / q_assortativity /
+    * q_lpa_communities family: parts bought together in quantity >= 43
+    * within one order, one row per (order, pa < pb). Distinct items +
+    * self-join on the order key: the two sides share ONE distinct
+    * exchange via ReuseExchange, and downstream graph algorithms that
+    * re-reference the pair frame re-execute only the cheap join above
+    * it (measured FASTER here than a groupBy+collect_set combination
+    * explosion, whose ObjectHashAggregate re-runs per consumer). The
+    * quantity filter is the basket-size guard that bounds the
+    * per-order pair fan-out.
+    */
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val items = rd(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 43)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("pa"), col("b.p").as("pb"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Parity: cleaning (T1, T2) ----
@@ -824,49 +846,25 @@ object SparkEntry {
     // triangle census of the high-quantity co-purchase graph (parts
     // bought together in bulk): degree-ordered orientation
     "q_triangles" -> ((s, dir) => {
-      val items = rd(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 43)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = items.as("a")
-        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val pairs = coPurchasePairs(s, dir)
       Graph.triangleStats(pairs, "pa", "pb")
     }),
     // per-node neighborhood density over the same co-purchase graph:
     // community members (cc near 1) vs bridging hubs (cc near 0)
     "q_clustering_coeff" -> ((s, dir) => {
-      val items = rd(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 43)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = items.as("a")
-        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val pairs = coPurchasePairs(s, dir)
       Graph.localClustering(pairs, "pa", "pb", 20)
     }),
     // dense-subgraph extraction: 3-core of the co-purchase graph by
     // bounded-round iterated degree pruning (bit-stable at any SF)
     "q_kcore" -> ((s, dir) => {
-      val items = rd(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 43)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = items.as("a")
-        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val pairs = coPurchasePairs(s, dir)
       Graph.kCore(pairs, "pa", "pb", 3, 32)
     }),
     // which parts SHOULD co-occur but don't yet: Adamic-Adar + Jaccard
     // over 2-hop closures, existing edges anti-joined away
     "q_link_predict" -> ((s, dir) => {
-      val items = rd(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 43)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = items.as("a")
-        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val pairs = coPurchasePairs(s, dir)
       Graph.linkPrediction(pairs, "pa", "pb", 20)
     }),
     // HITS on the bipartite customer->part purchase graph: authorities
@@ -882,13 +880,7 @@ object SparkEntry {
     // degree assortativity of the bulk co-purchase graph (same pair
     // set as q_triangles): do hub parts co-occur with other hubs?
     "q_assortativity" -> ((s, dir) => {
-      val items = rd(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 43)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = items.as("a")
-        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val pairs = coPurchasePairs(s, dir)
       Graph.degreeAssortativity(pairs, "pa", "pb")
     }),
     // keyed diff vs a deterministically perturbed second version:
@@ -1203,13 +1195,7 @@ object SparkEntry {
     // deterministic synchronous label-propagation communities on the
     // high-quantity co-purchase graph (same edge set as q_kcore)
     "q_lpa_communities" -> ((s, dir) => {
-      val items = rd(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 43)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = items.as("a")
-        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val pairs = coPurchasePairs(s, dir)
       Graph.lpaCommunities(pairs, "pa", "pb", 3)
     }),
     // exact integer-grid Lloyd k-means (k=4, 2 rounds, seeded on

@@ -678,7 +678,7 @@ object Aggregates {
       .filter(size(col("bs")).between(minBasket, maxBasket))
 
   /** All ordered index pairs (i < j) of a sorted array, as structs. */
-  private def comboPairs(bs: Column, an: String, bn: String): Column =
+  private[graft] def comboPairs(bs: Column, an: String, bn: String): Column =
     flatten(transform(bs, (x, i) =>
       transform(slice(bs, i + lit(2), size(bs)),
         y => struct(x.as(an), y.as(bn)))))

@@ -496,8 +496,9 @@ object Graph {
     * node has >= 1 neighbor by construction.
     */
   def lpaCommunities(pairs: DataFrame, aCol: String, bCol: String,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3, driverEdgeMax: Long = 200000L): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of range")
+    val spark = pairs.sparkSession
     val und = pairs.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
@@ -505,6 +506,33 @@ object Graph {
     val adj = und.select(col("u").as("x"), col("v").as("y"))
       .union(und.select(col("v").as("x"), col("u").as("y")))
       .localCheckpoint(false) // joined once per round
+    // Measured-small fast path (same adaptive gate as [[pageRank]] /
+    // [[kCore]]): 3 synchronous rounds are ~12 join/window/checkpoint
+    // jobs of pure stage latency on a few-thousand-edge graph. The
+    // driver loop applies the IDENTICAL update rule — argmax neighbor
+    // label by (count desc, label asc) over the PREVIOUS round's
+    // labels — which is integer-deterministic, so the results are
+    // bit-equal to the distributed path. The count is a hard volume
+    // gate; larger graphs run distributed.
+    if (adj.count() <= driverEdgeMax * 2) {
+      import spark.implicits._
+      val es = adj.select(col("x"), col("y")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val byNode = es.groupBy(_._1).map { case (x, nb) => x -> nb.map(_._2) }
+      var labels: Map[Long, Long] = byNode.keysIterator.map(n => n -> n).toMap
+      (1 to rounds).foreach { _ =>
+        labels = byNode.map { case (x, nbs) =>
+          val best = nbs.groupBy(labels).view
+            .map { case (l, g) => (l, g.length) }
+            .reduce((a, b) =>
+              if (a._2 != b._2) { if (a._2 > b._2) a else b }
+              else { if (a._1 < b._1) a else b })
+          x -> best._1
+        }
+      }
+      return labels.toSeq.map { case (n, l) => (n, l) }
+        .toDF("node", "community").orderBy(col("node"))
+    }
     var labels = adj.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     val w = org.apache.spark.sql.expressions.Window

@@ -2744,6 +2744,23 @@ class ExtSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(n => r(n) === 10L))
   }
 
+  test("lpaCommunities: driver fast path bit-equals the distributed path") {
+    import spark.implicits._
+    // a barbell (two triangles joined by a bridge) + a pendant chain:
+    // ties and label flow across the bridge exercise the argmax rule
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("pa", "pb").repartition(3)
+    for (rounds <- Seq(1, 2, 3)) {
+      val fast = Graph.lpaCommunities(pairs, "pa", "pb", rounds).collect()
+        .map(x => x.getAs[Long]("node") -> x.getAs[Long]("community")).toSet
+      val dist = Graph.lpaCommunities(pairs, "pa", "pb", rounds, driverEdgeMax = 0L)
+        .collect()
+        .map(x => x.getAs[Long]("node") -> x.getAs[Long]("community")).toSet
+      assert(fast === dist, s"rounds=$rounds")
+    }
+  }
+
   test("kmeansExact: two obvious 1-D blobs split on the seeded clusters") {
     import spark.implicits._
     val emb = Seq(
