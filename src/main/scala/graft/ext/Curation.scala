@@ -834,10 +834,19 @@ object Curation {
       keyCol: String = "doc_id"): DataFrame = {
     require(bucketSize > 0, s"bucketSize=$bucketSize must be positive")
     val shingles = wordShingles3(col(textCol))
+    // shingles shuffle/join as 8-byte xxhash64 fingerprints, never as
+    // strings (same policy as the Jaccard pair pipeline): a collision
+    // merges two shingles' first-seen attribution — P ~ n^2/2^65,
+    // orders of magnitude below the metric's 1e-4 output grid
     val docSh = graft.Tables.spread(docs)
-      .select(col(keyCol), col("source"), explode(shingles).as("sh"))
-    val firstDoc = docSh.groupBy(col("sh")).agg(min(col(keyCol)).as("fd"))
-    val per = docSh.join(firstDoc, "sh")
+      .select(col(keyCol), col("source"), explode(shingles).as("sh0"))
+      .select(col(keyCol), col("source"), xxhash64(col("sh0")).as("sh"))
+    // first-seen owner via an unordered window aggregate over each
+    // shingle's partition: ONE shuffle on the fingerprint, vs the
+    // groupBy+join formulation's two (aggregate exchange + join probe)
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val per = docSh
+      .withColumn("fd", min(col(keyCol)).over(wSh))
       .groupBy(col(keyCol), col("source"))
       .agg(count(lit(1)).cast("long").as("n_sh"),
         sum(when(col("fd") === col(keyCol), 1L).otherwise(0L)).cast("long").as("n_new"))
