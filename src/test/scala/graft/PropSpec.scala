@@ -462,4 +462,69 @@ class PropSpec extends SparkSpec {
       assert(pq === km)
     }
   }
+
+  test("prop: graft_dbits is strictly order-preserving and codegen agrees with eval") {
+    import spark.implicits._
+    // magnitudes across many binades, both signs, zeros and denormals —
+    // the transform must linearize ALL of them
+    val dGen: Gen[List[Double]] = Gen.listOfN(24, Gen.oneOf(
+      Gen.chooseNum(-1e12, 1e12),
+      Gen.chooseNum(-1e-3, 1e-3),
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue)))
+    cases(dGen) { xs =>
+      val df = xs.toDF("v")
+      graft.ext.expr.DoubleOrderBits.ensureRegistered(spark)
+      val got = df.selectExpr("v", "graft_dbits(v) AS b").collect()
+        .map(r => r.getDouble(0) -> r.getLong(1))
+      // order-preserving: sorting by the bit image sorts the doubles
+      // (-0.0 vs 0.0: bit image separates them adjacently, which is a
+      // valid tie order for equal doubles)
+      val byBits = got.sortBy(_._2).map(_._1)
+      assert(byBits.zip(byBits.tail).forall { case (a, b) => a <= b },
+        s"bit order violates value order: ${byBits.mkString(",")}")
+      // interpreted eval path must equal the codegen'd result
+      got.foreach { case (v, b) =>
+        val raw = java.lang.Double.doubleToLongBits(v)
+        val expect = if (raw >= 0L) raw else raw ^ Long.MaxValue
+        assert(b === expect, s"v=$v")
+      }
+    }
+  }
+
+  test("prop: weightedMedian matches a brute-force local weighted median at any shift") {
+    import spark.implicits._
+    val rowGen: Gen[List[(String, Double, Long)]] =
+      Gen.choose(1, 40).flatMap { n =>
+        Gen.listOfN(n, for {
+          g <- Gen.oneOf("A", "B")
+          v <- Gen.oneOf(Gen.chooseNum(-100.0, 100.0), Gen.oneOf(1.0, 2.0, 2.0, 3.0))
+          w <- Gen.chooseNum(1L, 9L)
+        } yield (g, v, w))
+      }
+    cases(rowGen) { rows =>
+      def local(g: String): Option[(Long, Double)] = {
+        val vs = rows.filter(_._1 == g).map(t => (t._2, t._3))
+        if (vs.isEmpty) None else {
+          val tot = vs.map(_._2).sum
+          val sorted = vs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+            .toSeq.sortBy(_._1)
+          var cum = 0L
+          val med = sorted.collectFirst {
+            case (v, w) if { cum += w; cum * 2 >= tot } => v
+          }.get
+          Some((tot, med))
+        }
+      }
+      for (shift <- Seq(30, 44, 60)) {
+        val got = ext.Aggregates.weightedMedian(
+            rows.toDF("g", "v", "w").repartition(3), "v", "w", "g", shift)
+          .collect()
+          .map(r => r.getString(0) ->
+            (r.getAs[Long]("total_weight"), r.getAs[Double]("w_median"))).toMap
+        Seq("A", "B").foreach { g =>
+          assert(got.get(g) === local(g), s"group=$g shift=$shift")
+        }
+      }
+    }
+  }
 }
