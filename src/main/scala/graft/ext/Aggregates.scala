@@ -649,24 +649,15 @@ object Aggregates {
       trunc4(col("q90") / 100.0).as("slope_p90_4"))
   }
 
-  /** Frequent brand TRIPLES by basket support — the order-3 extension
-    * of pairwise affinity (pairs miss "A and B only sell together when
-    * C is present" bundle structure). The combinatorial hazard is
-    * managed explicitly: baskets are DISTINCT (order, brand) sets, and
-    * orders with more than `maxBasket` distinct brands are dropped
-    * BEFORE pair generation — a degenerate mega-basket otherwise
-    * contributes C(n,3) rows on one join key (the same d-squared skew
-    * bomb as a hot shingle; here it's d-cubed). Generation is two
-    * self-equi-joins on the order key (co-partitioned after one
-    * exchange), a partial-first support count, and TakeOrdered top-k.
-    */
   /** Baskets as sorted distinct-brand ARRAYS: one groupBy(order) shuffle
     * (collect_set dedupes map-side), capped at `maxBasket` — the
     * explicit d-squared skew guard that makes the downstream
-    * combination explosion bounded per row. Pair/triple generation then
-    * happens MAP-SIDE with codegen'd array HOFs instead of 2-3-way
-    * self-joins on the order key (which cost an extra shuffle + sort
-    * each and rebuild every basket s^2/s^3 times through the join).
+    * combination explosion bounded per row (a degenerate mega-basket
+    * otherwise contributes C(n,2)/C(n,3) rows — the same skew bomb as
+    * a hot shingle). Pair/triple generation then happens MAP-SIDE with
+    * codegen'd array HOFs instead of 2-3-way self-joins on the order
+    * key (which cost an extra shuffle + sort each and rebuild every
+    * basket s^2/s^3 times through the join).
     */
   private def brandBaskets(lineitem: DataFrame, part: DataFrame,
       minBasket: Int, maxBasket: Int): DataFrame =
@@ -683,6 +674,13 @@ object Aggregates {
       transform(slice(bs, i + lit(2), size(bs)),
         y => struct(x.as(an), y.as(bn)))))
 
+  /** Frequent brand TRIPLES by basket support — the order-3 extension
+    * of pairwise affinity (pairs miss "A and B only sell together when
+    * C is present" bundle structure). Baskets come from
+    * [[brandBaskets]] (distinct sets, maxBasket cap); the i<j<k
+    * combinations explode map-side and a partial-first support count +
+    * TakeOrdered top-k finish the job.
+    */
   def brandTriples(lineitem: DataFrame, part: DataFrame,
       maxBasket: Int = 15, minSupport: Long = 5, k: Int = 25): DataFrame = {
     val baskets = brandBaskets(lineitem, part, 3, maxBasket)
@@ -752,21 +750,6 @@ object Aggregates {
       .limit(k)
   }
 
-  /** Laspeyres monthly price index over lineitem: how much does the
-    * BASE month's basket cost in month m, relative to what it cost in
-    * the base month — the inflation read that separates price movement
-    * from mix shift (a plain avg-price series confounds the two when
-    * cheap parts gain share). Matched-sample: each month prices only
-    * the parts it shares with the base basket.
-    *
-    * Exactness: unit prices are integer-scaled with LONG floor-division
-    * ((cents * 1e6) div qty — no doubles), basket terms are summed as
-    * decimal(38) so a 100 TB month cannot overflow, and the single
-    * final divide of two exact integers is engine-neutral.
-    * Scale shape: one (part, month) partial-first aggregate, a
-    * broadcast of the one-row base month, a join on part, and a
-    * months-sized output frame.
-    */
   /** (part, month) unit-price frame shared by the index families:
     * one partial-first aggregate; up6 is LONG floor-division — no
     * doubles anywhere.
@@ -800,6 +783,21 @@ object Aggregates {
         expr("(cents * 1000000L) div qty").as("ub6"))
   }
 
+  /** Laspeyres monthly price index over lineitem: how much does the
+    * BASE month's basket cost in month m, relative to what it cost in
+    * the base month — the inflation read that separates price movement
+    * from mix shift (a plain avg-price series confounds the two when
+    * cheap parts gain share). Matched-sample: each month prices only
+    * the parts it shares with the base basket.
+    *
+    * Exactness: unit prices are integer-scaled with LONG floor-division
+    * ((cents * 1e6) div qty — no doubles), basket terms are summed as
+    * decimal(38) so a 100 TB month cannot overflow, and the single
+    * final divide of two exact integers is engine-neutral.
+    * Scale shape: [[partMonthPrices]] (one partial-first aggregate)
+    * joined to [[baseMonthBasket]] (early-filtered scan), a join on
+    * part, and a months-sized output frame.
+    */
   def priceIndexLaspeyres(lineitem: DataFrame): DataFrame = {
     import Num.trunc4
     val pm = partMonthPrices(lineitem)
@@ -975,7 +973,10 @@ object Aggregates {
     require(shift >= 0 && shift < 64, s"shift=$shift")
     DoubleOrderBits.ensureRegistered(df.sparkSession)
     val bucketed = df
-      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      // + 0.0 folds -0.0 into +0.0 (identity elsewhere) so a boundary
+      // value never surfaces with a raw sign bit an oracle would print
+      // differently — see weightedMedian for the full note
+      .select(col(groupCol), (col(valueCol).cast("double") + lit(0.0)).as("__v"))
       .where(col("__v").isNotNull)
       .withColumn("__b",
         shiftright(call_function(DoubleOrderBits.name, col("__v")), shift))
@@ -1090,6 +1091,12 @@ object Aggregates {
     *     value's tie group, so min(v) is tie-order-independent.
     * All weight compares stay integer (2*cumw >= totw), so the result
     * is bit-identical to a full ordered scan at any partition count.
+    *
+    * Contract: weights must be NON-NEGATIVE (a negative weight makes
+    * the cumulative prefix non-monotone and the answer undefined — as
+    * it did in any ordered-scan formulation). A group whose weights
+    * sum to zero returns (total_weight 0, w_median = group min), the
+    * degenerate reading of "smallest value reaching half of nothing".
     */
   def weightedMedian(
       df: DataFrame,
@@ -1097,9 +1104,15 @@ object Aggregates {
       weightCol: String,
       groupCol: String,
       shift: Int = 44): DataFrame = {
+    require(shift >= 0 && shift < 64, s"shift=$shift")
     DoubleOrderBits.ensureRegistered(df.sparkSession)
     val bucketed = df
-      .select(col(groupCol), col(valueCol).cast("double").as("v"),
+      // + 0.0 normalizes -0.0 to +0.0 (identity on every other value,
+      // incl. NaN/inf): the bit image would otherwise split the
+      // -0.0/+0.0 tie group across buckets and min(v) could surface
+      // the raw sign bit where a grouped formulation (and an oracle)
+      // prints 0.0
+      .select(col(groupCol), (col(valueCol).cast("double") + lit(0.0)).as("v"),
         col(weightCol).cast("long").as("w"))
       .where(col("v").isNotNull)
       .withColumn("__b",
@@ -1112,13 +1125,18 @@ object Aggregates {
     val offsets = perBucket.select(col(groupCol), col("__b"), col("__bw"),
       coalesce(sum(col("__bw")).over(wOff), lit(0L)).cast("long").as("__off"),
       sum(col("__bw")).over(wAll).cast("long").as("__totw"))
-    // answer bucket: first whose inclusive prefix reaches half the total
+    // answer bucket: first whose inclusive prefix reaches half the
+    // total. The totw=0 clause keeps zero-weight groups (every bucket
+    // passes trivially); min(struct(...)) then selects the first
+    // bucket WITH its own offset/total atomically, so the aggregate
+    // can never pair one bucket's id with another's offset.
     val target = offsets
       .filter((col("__off") + col("__bw")) * 2 >= col("__totw") &&
-        col("__off") * 2 < col("__totw"))
+        (col("__off") * 2 < col("__totw") || col("__totw") === 0L))
       .groupBy(col(groupCol))
-      .agg(min(col("__b")).as("__b"), first(col("__off")).as("__off"),
-        first(col("__totw")).as("__totw"))
+      .agg(min(struct(col("__b"), col("__off"), col("__totw"))).as("__t"))
+      .select(col(groupCol), col("__t.__b").as("__b"),
+        col("__t.__off").as("__off"), col("__t.__totw").as("__totw"))
     val wB = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("v"))
     bucketed.select(col(groupCol), col("__b"), col("v"), col("w"))
       .join(broadcast(target), Seq(groupCol, "__b"))

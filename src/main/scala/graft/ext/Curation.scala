@@ -794,25 +794,6 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
-  /** N-gram novelty curve: for each document, the share of its distinct
-    * word 3-grams that appear for the FIRST time in the corpus (min
-    * doc_id owns the shingle), averaged over fixed-size doc buckets per
-    * source. This is the "is the next crawl slice still buying new
-    * content" signal — the n-gram analogue of [[vocabGrowth]]: vocab
-    * saturates in thousands of docs, but 3-gram novelty keeps
-    * discriminating because the shingle space is combinatorially
-    * larger. A flat-lining curve says the source is re-crawling itself
-    * (dedup budget), a high plateau says it keeps producing fresh text
-    * (curation budget).
-    *
-    * Scale shape: shingles are array-local (`transform` over the token
-    * array — codegen, no UDF) and deduplicated per doc BEFORE the
-    * explode; the only big shuffle is the per-shingle min-doc_id
-    * partial-first aggregate plus one join back on the shingle key.
-    * Per-doc novelty is an exact basis-point integer; the bucket
-    * average divides exact integer sums. The per-source window orders
-    * the already-aggregated |docs|-row frame, partitioned by source.
-    */
   /** Distinct word 3-gram shingles of a text column as an array-local
     * codegen expression (no UDF). `sequence(1, 0)` would DESCEND in
     * Spark, so docs under 3 tokens get an explicit empty set.
@@ -827,6 +808,26 @@ object Curation {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** N-gram novelty curve: for each document, the share of its distinct
+    * word 3-grams that appear for the FIRST time in the corpus (min
+    * doc_id owns the shingle), averaged over fixed-size doc buckets per
+    * source. This is the "is the next crawl slice still buying new
+    * content" signal — the n-gram analogue of [[vocabGrowth]]: vocab
+    * saturates in thousands of docs, but 3-gram novelty keeps
+    * discriminating because the shingle space is combinatorially
+    * larger. A flat-lining curve says the source is re-crawling itself
+    * (dedup budget), a high plateau says it keeps producing fresh text
+    * (curation budget).
+    *
+    * Scale shape: shingles are array-local (`transform` over the token
+    * array — codegen, no UDF), deduplicated per doc BEFORE the explode,
+    * and shuffle as xxhash64 fingerprints — the only big shuffle is ONE
+    * repartition on the fingerprint, where an unordered window-min
+    * assigns each shingle's first-seen doc (no aggregate+join pass).
+    * Per-doc novelty is an exact basis-point integer; the bucket
+    * average divides exact integer sums. The per-source window orders
+    * the already-aggregated |docs|-row frame, partitioned by source.
+    */
   def ngramNovelty(
       docs: DataFrame,
       bucketSize: Int = 25,

@@ -530,8 +530,7 @@ object Graph {
           x -> best._1
         }
       }
-      return labels.toSeq.map { case (n, l) => (n, l) }
-        .toDF("node", "community").orderBy(col("node"))
+      return labels.toSeq.toDF("node", "community").orderBy(col("node"))
     }
     var labels = adj.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("label"))

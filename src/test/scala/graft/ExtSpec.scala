@@ -1556,6 +1556,20 @@ class ExtSpec extends SparkSpec {
     assert(r("B") === ((10L, 10.0)))
   }
 
+  test("weightedMedian: zero-total-weight group returns (0, group min), -0.0 normalizes") {
+    import spark.implicits._
+    val df = Seq(("Z", 7.0, 0L), ("Z", 4.0, 0L),       // all-zero weights
+      ("S", -0.0, 2L), ("S", 0.0, 2L),                 // signed-zero tie
+      ("A", 1.0, 1L), ("A", 5.0, 3L)).toDF("g", "v", "w")
+    val r = Aggregates.weightedMedian(df, "v", "w", "g").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("Z") === ((0L, 4.0)))   // degenerate contract, group kept
+    assert(r("A") === ((4L, 5.0)))
+    assert(r("S")._1 === 4L)
+    // the median is zero AND serializes as +0.0, not -0.0
+    assert(java.lang.Double.doubleToLongBits(r("S")._2) === 0L)
+  }
+
   test("zipfFit: exact power law recovers its slope") {
     import spark.implicits._
     // craft term frequencies ~ r^-1: term t_r appears floor(1200/r) times
