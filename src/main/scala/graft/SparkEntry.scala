@@ -1235,6 +1235,12 @@ object SparkEntry {
     "q_weighted_median" -> ((s, dir) =>
       Aggregates.weightedMedian(rd(s, dir, "lineitem"),
         "l_extendedprice", "l_quantity", "l_returnflag")),
+    // quantity-weighted lower p90 price per return flag — the general
+    // exact-rational form of the weighted median (9/10 keeps every
+    // compare an overflow-safe integer)
+    "q_weighted_p90" -> ((s, dir) =>
+      Aggregates.weightedQuantile(rd(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_returnflag", 9L, 10L)),
     // Zipf slope of the corpus frequency spectrum (top-200 terms);
     // integer-scaled snapped logs -> order-free exact OLS moments
     "d_zipf" -> ((s, dir) => TextOps.zipfFit(rd(s, dir, "documents"))),
@@ -2000,6 +2006,15 @@ c AS (SELECT g, v, w,
   SUM(w) OVER (PARTITION BY g) AS totw FROM pv)
 SELECT g AS l_returnflag, CAST(MIN(totw) AS BIGINT) AS total_weight, MIN(v) AS w_median
 FROM c WHERE 2 * cumw >= totw GROUP BY g ORDER BY g""",
+    "q_weighted_p90" ->
+      """WITH pv AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+c AS (SELECT g, v, w,
+  SUM(w) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+  SUM(w) OVER (PARTITION BY g) AS totw FROM pv)
+SELECT g AS l_returnflag, CAST(MIN(totw) AS BIGINT) AS total_weight, MIN(v) AS w_quantile
+FROM c WHERE 10 * cumw >= 9 * totw GROUP BY g ORDER BY g""",
     "d_zipf" ->
       """WITH f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f
   FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

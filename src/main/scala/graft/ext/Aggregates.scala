@@ -1103,8 +1103,28 @@ object Aggregates {
       valueCol: String,
       weightCol: String,
       groupCol: String,
+      shift: Int = 44): DataFrame =
+    weightedQuantile(df, valueCol, weightCol, groupCol, 1L, 2L, shift)
+      .withColumnRenamed("w_quantile", "w_median")
+
+  /** Lower weighted quantile per group for an EXACT rational p =
+    * pNum/pDen: the smallest value whose cumulative weight reaches
+    * p * total — the general form of [[weightedMedian]] (p = 1/2),
+    * same bucket-prune plan, same integer-only compares
+    * (`cumw * pDen >= pNum * totw` — pick pNum/pDen small enough that
+    * pNum * totalWeight stays inside a long; p90 over quantities is
+    * 9/10, not 9000000000/10000000000).
+    */
+  def weightedQuantile(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      groupCol: String,
+      pNum: Long,
+      pDen: Long,
       shift: Int = 44): DataFrame = {
     require(shift >= 0 && shift < 64, s"shift=$shift")
+    require(pDen > 0 && pNum > 0 && pNum <= pDen, s"p=$pNum/$pDen out of (0,1]")
     DoubleOrderBits.ensureRegistered(df.sparkSession)
     val bucketed = df
       // + 0.0 normalizes -0.0 to +0.0 (identity on every other value,
@@ -1125,14 +1145,14 @@ object Aggregates {
     val offsets = perBucket.select(col(groupCol), col("__b"), col("__bw"),
       coalesce(sum(col("__bw")).over(wOff), lit(0L)).cast("long").as("__off"),
       sum(col("__bw")).over(wAll).cast("long").as("__totw"))
-    // answer bucket: first whose inclusive prefix reaches half the
-    // total. The totw=0 clause keeps zero-weight groups (every bucket
-    // passes trivially); min(struct(...)) then selects the first
-    // bucket WITH its own offset/total atomically, so the aggregate
-    // can never pair one bucket's id with another's offset.
+    // answer bucket: first whose inclusive prefix reaches p * total.
+    // The totw=0 clause keeps zero-weight groups (every bucket passes
+    // trivially); min(struct(...)) then selects the first bucket WITH
+    // its own offset/total atomically, so the aggregate can never pair
+    // one bucket's id with another's offset.
     val target = offsets
-      .filter((col("__off") + col("__bw")) * 2 >= col("__totw") &&
-        (col("__off") * 2 < col("__totw") || col("__totw") === 0L))
+      .filter((col("__off") + col("__bw")) * pDen >= col("__totw") * pNum &&
+        (col("__off") * pDen < col("__totw") * pNum || col("__totw") === 0L))
       .groupBy(col(groupCol))
       .agg(min(struct(col("__b"), col("__off"), col("__totw"))).as("__t"))
       .select(col(groupCol), col("__t.__b").as("__b"),
@@ -1142,11 +1162,11 @@ object Aggregates {
       .join(broadcast(target), Seq(groupCol, "__b"))
       .withColumn("cumw", col("__off") + sum(col("w")).over(
         wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("cumw") * 2 >= col("__totw"))
+      .filter(col("cumw") * pDen >= col("__totw") * pNum)
       .groupBy(col(groupCol))
-      .agg(min(col("v")).as("w_median"),
+      .agg(min(col("v")).as("w_quantile"),
         first(col("__totw")).cast("long").as("total_weight"))
-      .select(col(groupCol), col("total_weight"), col("w_median"))
+      .select(col(groupCol), col("total_weight"), col("w_quantile"))
       .orderBy(col(groupCol))
   }
 

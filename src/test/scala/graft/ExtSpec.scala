@@ -1570,6 +1570,21 @@ class ExtSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(r("S")._2) === 0L)
   }
 
+  test("weightedQuantile: exact-rational thresholds across the ladder, p=1 is the max") {
+    import spark.implicits._
+    // weights 1..4 on values 10..40: tot=10; lower quantile thresholds
+    // p=3/10 -> cum>=3 at v=20; p=6/10 -> cum>=6 at v=30; p=1 -> 40
+    val df = Seq(("A", 10.0, 1L), ("A", 20.0, 2L), ("A", 30.0, 3L), ("A", 40.0, 4L))
+      .toDF("g", "v", "w").repartition(3)
+    def q(n: Long, d: Long): Double =
+      Aggregates.weightedQuantile(df, "v", "w", "g", n, d).collect()
+        .head.getAs[Double]("w_quantile")
+    assert(q(3L, 10L) === 20.0)
+    assert(q(6L, 10L) === 30.0)
+    assert(q(1L, 1L) === 40.0)
+    assert(q(1L, 10L) === 10.0)
+  }
+
   test("zipfFit: exact power law recovers its slope") {
     import spark.implicits._
     // craft term frequencies ~ r^-1: term t_r appears floor(1200/r) times
