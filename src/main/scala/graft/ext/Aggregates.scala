@@ -649,97 +649,162 @@ object Aggregates {
       trunc4(col("q90") / 100.0).as("slope_p90_4"))
   }
 
-  /** Baskets as sorted distinct-brand ARRAYS: one groupBy(order) shuffle
-    * (collect_set dedupes map-side), capped at `maxBasket` — the
-    * explicit d-squared skew guard that makes the downstream
-    * combination explosion bounded per row (a degenerate mega-basket
-    * otherwise contributes C(n,2)/C(n,3) rows — the same skew bomb as
-    * a hot shingle). Pair/triple generation then happens MAP-SIDE with
-    * codegen'd array HOFs instead of 2-3-way self-joins on the order
-    * key (which cost an extra shuffle + sort each and rebuild every
-    * basket s^2/s^3 times through the join).
+  /** Shared basket frame for the market-basket family: baskets as
+    * sorted distinct-brand arrays of DENSE INTEGER CODES plus the
+    * brand dictionary that decodes them. Building this once and
+    * handing it to both [[brandTriples]] and [[basketRules]] (the
+    * query layer memoizes the localCheckpointed pair per (session,
+    * dataset) — a materialized view) removes the lineitem-join-part +
+    * groupBy(order) pipeline from every individual basket query.
+    *
+    * Plan shape, in order:
+    *  - the brand DICTIONARY is |distinct brands| rows (an enum-like
+    *    dimension by data contract — TPC-H has 25), dense-coded by a
+    *    1-partition window over the sorted distinct set; codes are
+    *    assigned in brand sort order, so CODE order == LEXICOGRAPHIC
+    *    brand order and downstream sorts/combination generation can
+    *    stay integer end-to-end;
+    *  - part joins the broadcast dictionary (genuinely tiny — this
+    *    broadcast is principled at any scale, unlike broadcasting the
+    *    full part table, which grows with SF; the lineitem-part join
+    *    itself is left to the planner/AQE to broadcast or shuffle on
+    *    measured size);
+    *  - ONE groupBy(order) shuffle builds the distinct code sets
+    *    (collect_set dedupes map-side), capped at `maxBasket` — the
+    *    explicit d-squared skew guard that bounds the downstream
+    *    combination explosion per row (a degenerate mega-basket
+    *    otherwise contributes C(n,2)/C(n,3) rows — the same skew bomb
+    *    as a hot shingle).
+    * Pair/triple generation then happens MAP-SIDE with codegen'd array
+    * HOFs over INT arrays — each combination is ONE packed int (10
+    * bits per code), so the explosion's shuffle payload and aggregate
+    * keys are fixed-width integers instead of 2-3 string pointers —
+    * instead of 2-3-way self-joins on the order key (an extra shuffle
+    * + sort each, rebuilding every basket s^2/s^3 times).
     */
-  private def brandBaskets(lineitem: DataFrame, part: DataFrame,
-      minBasket: Int, maxBasket: Int): DataFrame =
-    lineitem.select(col("l_orderkey").as("o"), col("l_partkey"))
-      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
-        col("p_brand").as("b"))), "l_partkey")
+  def brandBasketFrame(lineitem: DataFrame, part: DataFrame,
+      maxBasket: Int = 15): (DataFrame, DataFrame) = {
+    require(maxBasket >= 1 && maxBasket < 1024,
+      s"maxBasket=$maxBasket out of [1, 1023]")
+    val dim = part.select(col("p_brand").as("brand")).distinct()
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("brand"))) - 1).cast("int"))
+    val baskets = lineitem.select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand")),
+        "l_partkey")
+      .join(broadcast(dim), "brand")
       .groupBy(col("o"))
-      .agg(sort_array(collect_set(col("b"))).as("bs"))
-      .filter(size(col("bs")).between(minBasket, maxBasket))
+      .agg(sort_array(collect_set(col("code"))).as("bs"))
+      .filter(size(col("bs")) <= maxBasket)
+    (baskets, dim)
+  }
 
-  /** All ordered index pairs (i < j) of a sorted array, as structs. */
-  private[graft] def comboPairs(bs: Column, an: String, bn: String): Column =
+  /** All ordered index pairs (i < j) of a sorted INT-code array, packed
+    * as ((a+1) << 10) | (b+1) — the +1 keeps every pair key above the
+    * 0..1023 single-code range so pairs, singles, and a -1 marker can
+    * share one aggregate key space. Codes are dictionary-dense
+    * (< 1024, enforced by [[brandBasketFrame]]).
+    */
+  private[graft] def comboPairsPacked(bs: Column): Column =
     flatten(transform(bs, (x, i) =>
       transform(slice(bs, i + lit(2), size(bs)),
-        y => struct(x.as(an), y.as(bn)))))
+        y => (x + lit(1)) * lit(1024) + (y + lit(1)))))
 
   /** Frequent brand TRIPLES by basket support — the order-3 extension
     * of pairwise affinity (pairs miss "A and B only sell together when
-    * C is present" bundle structure). Baskets come from
-    * [[brandBaskets]] (distinct sets, maxBasket cap); the i<j<k
-    * combinations explode map-side and a partial-first support count +
-    * TakeOrdered top-k finish the job.
+    * C is present" bundle structure). Consumes the shared
+    * [[brandBasketFrame]]; i<j<k combinations explode map-side as ONE
+    * packed int each ((a*1024+b)*1024+c), a partial-first support
+    * count + min-support filter collapse them to <= C(|brands|,3)
+    * rows, and only those decode back to brand strings through the
+    * broadcast dictionary before the top-k TakeOrdered.
+    *
+    * Support-based candidate pruning (exact by anti-monotonicity for
+    * the count-then-filter contract: support(triple) <= support(any
+    * member brand)) drops sub-support brands from the baskets BEFORE
+    * the cubic generation, so a long-tail brand dictionary never pays
+    * the explosion for brands that cannot reach minSupport.
     */
-  def brandTriples(lineitem: DataFrame, part: DataFrame,
-      maxBasket: Int = 15, minSupport: Long = 5, k: Int = 25): DataFrame = {
-    val baskets = brandBaskets(lineitem, part, 3, maxBasket)
-    // i < j < k combinations, generated map-side from the sorted array
+  def brandTriples(baskets: DataFrame, dim: DataFrame,
+      minSupport: Long = 5, k: Int = 25): DataFrame = {
+    val pruned = pruneBelowSupport(baskets, minSupport)
+      .filter(size(col("bs")) >= 3)
     val triples = flatten(transform(col("bs"), (a, i) =>
       flatten(transform(slice(col("bs"), i + lit(2), size(col("bs"))), (b, j) =>
         transform(slice(col("bs"), i + j + lit(3), size(col("bs"))),
-          c => struct(a.as("brand_a"), b.as("brand_b"), c.as("brand_c")))))))
-    baskets.select(explode(triples).as("t"))
-      .groupBy(col("t.brand_a").as("brand_a"), col("t.brand_b").as("brand_b"),
-        col("t.brand_c").as("brand_c"))
+          c => (a * lit(1024) + b) * lit(1024) + c)))))
+    val counted = pruned.select(explode(triples).as("t"))
+      .groupBy(col("t"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
+      .select((col("t") / lit(1048576)).cast("int").as("ca"),
+        ((col("t") / lit(1024)).cast("int") % 1024).as("cb"),
+        (col("t") % 1024).cast("int").as("cc"),
+        col("n_orders"))
+    counted
+      .join(broadcast(dim.select(col("code").as("ca"), col("brand").as("brand_a"))), "ca")
+      .join(broadcast(dim.select(col("code").as("cb"), col("brand").as("brand_b"))), "cb")
+      .join(broadcast(dim.select(col("code").as("cc"), col("brand").as("brand_c"))), "cc")
+      .select(col("brand_a"), col("brand_b"), col("brand_c"), col("n_orders"))
       .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"), col("brand_c"))
       .limit(k)
+  }
+
+  /** Remove brands whose BASKET support is below minSupport from every
+    * basket before combination generation — exact for any
+    * count-then-filter consumer by anti-monotonicity. The frequent set
+    * is computed relationally off the (materialized) basket frame and
+    * folded to ONE array row (bounded by the brand dictionary — an
+    * enum by contract), cross-joined broadcast; array_intersect keeps
+    * the first argument's sort order, so baskets stay sorted.
+    */
+  private def pruneBelowSupport(baskets: DataFrame, minSupport: Long): DataFrame = {
+    val freq = baskets.select(explode(col("bs")).as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .agg(sort_array(collect_list(col("code"))).as("freq"))
+    baskets.crossJoin(broadcast(freq))
+      .select(col("o"), array_intersect(col("bs"), col("freq")).as("bs"))
+      .filter(size(col("bs")) >= 1)
   }
 
   /** Association rules over brand PAIRS: support, directional
     * confidence, and lift — the classic market-basket read
     * ([[brandTriples]] is the order-3 structure; this is the
     * decision-grade order-2 table with the probabilistic columns).
-    * Baskets are DISTINCT (order, brand) sets capped at `maxBasket`
-    * (the same d-squared skew guard), N / per-brand / per-pair counts
-    * are all exact integers from partial-first aggregates, and the
-    * two confidences + lift divide those integers as doubles only in
-    * the final projection (trunc4). Top-k by lift via TakeOrdered.
+    * Consumes the shared [[brandBasketFrame]]. N / per-brand counts
+    * come straight off the materialized frame (one cheap explode — the
+    * frame is checkpointed, so re-traversal costs no basket rebuild);
+    * pair counts explode the SUPPORT-PRUNED baskets as one packed int
+    * per pair into a partial-first aggregate. All counts are exact
+    * integers; the two confidences + lift divide them as doubles only
+    * in the final <= C(|brands|,2)-row projection (trunc4). Top-k by
+    * lift via TakeOrdered.
+    *
+    * Denominator contract: n_baskets and per-brand counts are over the
+    * UNPRUNED frame (support is relative to all baskets); pruning only
+    * skips generating pairs that cannot pass minSupport, which is
+    * exact because n_ab <= min(n_a, n_b).
     */
-  def basketRules(lineitem: DataFrame, part: DataFrame,
-      maxBasket: Int = 15, minSupport: Long = 20, k: Int = 25): DataFrame = {
+  def basketRules(baskets: DataFrame, dim: DataFrame,
+      minSupport: Long = 20, k: Int = 25): DataFrame = {
     import Num.trunc4
-    // The rule table needs THREE counts off the basket frame — basket
-    // total, per-brand, per-pair. Emitting them as one tagged explode
-    // ((null,null) marker + singles + pairs) through a SINGLE tiny
-    // (a,b) aggregate means the expensive part — the groupBy(o)
-    // collect_set and the combination explosion — executes once;
-    // the three consumers below filter the ~|brands|^2 count frame,
-    // whose identical exchange subplan ReuseExchange collapses. (The
-    // earlier 3-branch formulation re-ran the post-shuffle basket
-    // aggregation once PER consumer: exchange reuse only dedupes the
-    // shuffle files, not the final aggregate above them.)
-    val baskets = brandBaskets(lineitem, part, 1, maxBasket)
-    val nullB = lit(null).cast("string")
-    val tagged = baskets.select(explode(concat(
-      array(struct(nullB.as("a"), nullB.as("b"))),
-      transform(col("bs"), x => struct(x.as("a"), nullB.as("b"))),
-      comboPairs(col("bs"), "a", "b"))).as("p"))
-    val counts = tagged
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).cast("long").as("n"))
-    val nBaskets = counts.filter(col("a").isNull && col("b").isNull)
-      .select(col("n").as("n_baskets"))
-    val singles = counts.filter(col("a").isNotNull && col("b").isNull)
-      .select(col("a").as("b"), col("n").as("n_b"))
-    val pairs = counts.filter(col("b").isNotNull)
-      .select(col("a").as("brand_a"), col("b").as("brand_b"), col("n").as("n_ab"))
+    val nBaskets = baskets.agg(count(lit(1)).cast("long").as("n_baskets"))
+    val singles = baskets.select(explode(col("bs")).as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).cast("long").as("n_single"))
+    val pairs = pruneBelowSupport(baskets, minSupport)
+      .filter(size(col("bs")) >= 2)
+      .select(explode(comboPairsPacked(col("bs"))).as("p"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
       .filter(col("n_ab") >= minSupport)
+      .select(((col("p") / lit(1024)).cast("int") - 1).as("ca"),
+        ((col("p") % 1024).cast("int") - 1).as("cb"), col("n_ab"))
     pairs
-      .join(broadcast(singles.select(col("b").as("brand_a"), col("n_b").as("n_a"))), "brand_a")
-      .join(broadcast(singles.select(col("b").as("brand_b"), col("n_b").as("n_b"))), "brand_b")
+      .join(broadcast(singles.select(col("code").as("ca"), col("n_single").as("n_a"))), "ca")
+      .join(broadcast(singles.select(col("code").as("cb"), col("n_single").as("n_b"))), "cb")
+      .join(broadcast(dim.select(col("code").as("ca"), col("brand").as("brand_a"))), "ca")
+      .join(broadcast(dim.select(col("code").as("cb"), col("brand").as("brand_b"))), "cb")
       .crossJoin(broadcast(nBaskets))
       .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
         trunc4(col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_ab4"),
@@ -1142,9 +1207,17 @@ object Aggregates {
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col(groupCol))
+    // Every integer compare below multiplies a weight prefix (<= totw)
+    // by pDen (and totw by pNum <= pDen), so the no-overflow condition
+    // is totw <= Long.MaxValue / pDen. Enforce it LOUDLY at the one
+    // place totw materializes: silent wraparound would return a wrong
+    // quantile instead of an error.
+    val totwRaw = sum(col("__bw")).over(wAll).cast("long")
     val offsets = perBucket.select(col(groupCol), col("__b"), col("__bw"),
       coalesce(sum(col("__bw")).over(wOff), lit(0L)).cast("long").as("__off"),
-      sum(col("__bw")).over(wAll).cast("long").as("__totw"))
+      when(totwRaw > lit(Long.MaxValue / pDen), raise_error(lit(
+        s"weightedQuantile: total weight * pDen=$pDen overflows long")))
+        .otherwise(totwRaw).cast("long").as("__totw"))
     // answer bucket: first whose inclusive prefix reaches p * total.
     // The totw=0 clause keeps zero-weight groups (every bucket passes
     // trivially); min(struct(...)) then selects the first bucket WITH

@@ -875,11 +875,16 @@ object Curation {
     * [[splitAssign]]'s engine-neutral multiplicative hash, so the
     * metric is reproducible across engines and dataset versions.
     *
-    * Scale shape: one shingle explode feeds both sides; the train side
-    * collapses to a DISTINCT shingle set (partial-first), the test side
-    * to distinct (lang, shingle) pairs, and coverage is one LEFT SEMI
-    * join + two counts — shuffles carry shingle strings once each,
-    * never documents.
+    * Scale shape: ONE explode pass and ONE wide shuffle, keyed by the
+    * shingle: the per-shingle aggregate folds train membership to a
+    * bit (max) and the test side to its distinct lang set (collect_set
+    * dedupes map-side), so the shuffle carries each distinct shingle
+    * string once — never documents, and never a second pass. The
+    * per-lang counts then fall out of a tiny second aggregate over the
+    * exploded lang sets. (An earlier formulation fed the exploded frame
+    * into two DISTINCTs plus a LEFT SEMI join: exchange reuse dedupes
+    * shuffle FILES, not the three post-shuffle distinct/aggregate
+    * executions stacked above them, so the shingle pipeline ran ~3x.)
     */
   def gramCoverage(
       docs: DataFrame,
@@ -887,17 +892,18 @@ object Curation {
       keyCol: String = "doc_id"): DataFrame = {
     import Num.trunc4
     val sp = splitAssign(graft.Tables.spread(docs), keyCol)
-      .select(col(keyCol), col("lang"), col("split"),
+      // valid-split docs feed neither side: drop before the explode
+      .filter(col("split").isin("train", "test"))
+      .select(col("lang"), col("split"),
         explode(wordShingles3(col(textCol))).as("sh"))
-    val train = sp.filter(col("split") === "train").select(col("sh")).distinct()
-    val test = sp.filter(col("split") === "test")
-      .select(col("lang"), col("sh")).distinct()
-    val covered = test.join(train, Seq("sh"), "left_semi")
-      .groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n_covered"))
-    test.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n_test_shingles"))
-      .join(covered, Seq("lang"), "left")
-      .select(col("lang"), col("n_test_shingles"),
-        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+    val bySh = sp.groupBy(col("sh")).agg(
+      max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+      // collect_set skips nulls, so train-side rows contribute nothing
+      collect_set(when(col("split") === "test", col("lang"))).as("test_langs"))
+    bySh.select(col("in_train"), explode(col("test_langs")).as("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_test_shingles"),
+        sum(col("in_train")).cast("long").as("n_covered"))
       .withColumn("coverage4",
         trunc4(col("n_covered").cast("double") / col("n_test_shingles").cast("double")))
       .orderBy(col("lang"))

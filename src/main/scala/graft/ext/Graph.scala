@@ -382,9 +382,15 @@ object Graph {
     // ratios match the decimal path bit-for-bit. The count is a hard
     // volume gate; larger graphs run the relational rounds. Long-sum
     // overflow bound: values grow at worst like E^iters (star graph),
-    // so the path also requires iters <= 3 (1e6^3 < 2^63); deeper
-    // iterations use the decimal(38) relational rounds.
-    if (iters <= 3 && e.count() <= driverEdgeMax) {
+    // so the fast path requires BOTH iters <= 3 AND edges <= 1e6
+    // (1e6^3 < 2^63) — a caller-raised driverEdgeMax widens only the
+    // relational path's reach, never the long-arithmetic bound, so the
+    // overflow invariant can't be voided from the signature. Both
+    // paths round through IEEE double the same way at the single final
+    // division (long->double and decimal(38,0)->double both
+    // round-to-nearest on identical integer values), so the trunc4
+    // grid agrees even above 2^53.
+    if (iters <= 3 && e.count() <= math.min(driverEdgeMax, 1000000L)) {
       import spark.implicits._
       val es = e.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))

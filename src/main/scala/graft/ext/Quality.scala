@@ -211,53 +211,61 @@ object Quality {
       .orderBy(keyCols.map(col): _*)
   }
 
-  /** ANALYZE-style per-column statistics in ONE scan: row count, null
-    * count, exact distinct count, and (for orderable numeric /
-    * timestamp columns) min and max on a canonical numeric axis —
-    * doubles for numerics, epoch micros for timestamps, epoch days for
-    * dates, NULL for strings/binary (their min/max would drag
-    * collation and formatting differences into the contract). This is
-    * the stats table an optimizer or a data catalog ingests, and the
-    * first profiling pass any new dataset gets.
+  /** ANALYZE-style per-column statistics: row count, null count,
+    * exact distinct count, and (for orderable numeric / timestamp
+    * columns) min and max on a canonical numeric axis — doubles for
+    * numerics, epoch micros for timestamps, epoch days for dates, NULL
+    * for strings/binary (their min/max would drag collation and
+    * formatting differences into the contract). This is the stats
+    * table an optimizer or a data catalog ingests, and the first
+    * profiling pass any new dataset gets.
     *
-    * Plan shape: all 4·|columns| measures live in ONE aggregation
-    * (exact count-distincts expand the input |columns|-fold before the
-    * partial aggregate — the documented price of EXACT ndv; swap in
-    * approx_count_distinct at petabyte scale if a 2% error is
-    * acceptable). The single result row is then unpivoted to
-    * |columns| rows driver-free via an inline stack.
+    * Plan shape — ONE scan, ONE wide shuffle, and it is the 100x-scale
+    * plan: each row unpivots to (column, canonical value string,
+    * numeric axis) triples; a map-side-partial aggregate keyed by
+    * (column, value) folds duplicates to per-distinct-value counts
+    * (carrying the axis along — it is constant within the group); a
+    * tiny second aggregate per column then reads every statistic off
+    * that frame: n_rows = sum of counts, n_nulls = the null group's
+    * count, ndv = non-null group count (COUNT(DISTINCT x) ignores
+    * nulls), min/max = min/max of the axis. No per-column
+    * RewriteDistinctAggregates row expansion (the all-in-one
+    * formulation paid a |columns|-way expand to feed exact
+    * count-distincts), no value buffering, and the shuffle carries
+    * each distinct (column, value) once — exactly the plan that still
+    * works when one column holds 1e12 distincts. Floating values
+    * normalize -0.0 to +0.0 before the string render so the distinct
+    * grid matches numeric equality; every other canonical render
+    * (int / date / timestamp / shortest-round-trip double) is 1:1.
     */
   def tableStats(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val fields = df.schema.fields
-    def axis(f: StructField): Option[Column] = f.dataType match {
-      case _: NumericType => Some(col(f.name).cast("double"))
+    def axis(f: StructField): Column = f.dataType match {
+      case _: NumericType => col(f.name).cast("double")
       // NTZ (how Spark 4 surfaces parquet isAdjustedToUTC=false) casts
       // through TimestampType in the session zone — UTC by session
       // contract, so the epoch agrees with DuckDB's epoch_us
       case _: TimestampType | _: TimestampNTZType =>
-        Some(unix_micros(col(f.name).cast("timestamp")).cast("double"))
-      case _: DateType => Some(datediff(col(f.name), lit("1970-01-01")).cast("double"))
-      case _ => None
+        unix_micros(col(f.name).cast("timestamp")).cast("double")
+      case _: DateType => datediff(col(f.name), lit("1970-01-01")).cast("double")
+      case _ => lit(null).cast("double")
     }
-    val aggs = fields.flatMap { f =>
-      val c = col(f.name)
-      val ax = axis(f)
-      Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).cast("long").as(s"__nn_${f.name}"),
-        countDistinct(c).cast("long").as(s"__nd_${f.name}"),
-        ax.map(a => min(a)).getOrElse(lit(null).cast("double")).as(s"__mn_${f.name}"),
-        ax.map(a => max(a)).getOrElse(lit(null).cast("double")).as(s"__mx_${f.name}"))
+    def canon(f: StructField): Column = f.dataType match {
+      case DoubleType | FloatType => (col(f.name) + lit(0.0)).cast("string")
+      case _ => col(f.name).cast("string")
     }
-    val one = df.agg(count(lit(1)).cast("long").as("__n"), aggs.toSeq: _*)
-    val rows = fields.map { f =>
-      struct(lit(f.name).as("column"), col("__n").as("n_rows"),
-        col(s"__nn_${f.name}").as("n_nulls"), col(s"__nd_${f.name}").as("ndv"),
-        col(s"__mn_${f.name}").as("min_num"), col(s"__mx_${f.name}").as("max_num"))
-    }
-    one.select(explode(array(rows.toSeq: _*)).as("s"))
-      .select(col("s.column"), col("s.n_rows"), col("s.n_nulls"),
-        col("s.ndv"), col("s.min_num"), col("s.max_num"))
+    val byValue = df.select(explode(array(fields.map(f =>
+        struct(lit(f.name).as("c"), canon(f).as("v"), axis(f).as("ax"))).toSeq: _*)).as("p"))
+      .select(col("p.c").as("column"), col("p.v").as("__v"), col("p.ax").as("__ax"))
+      .groupBy(col("column"), col("__v"))
+      .agg(count(lit(1)).cast("long").as("__n"), min(col("__ax")).as("__ax"))
+    byValue.groupBy(col("column"))
+      .agg(sum(col("__n")).cast("long").as("n_rows"),
+        coalesce(sum(when(col("__v").isNull, col("__n"))), lit(0L))
+          .cast("long").as("n_nulls"),
+        count(when(col("__v").isNotNull, lit(1))).cast("long").as("ndv"),
+        min(col("__ax")).as("min_num"), max(col("__ax")).as("max_num"))
       .orderBy(col("column"))
   }
 }

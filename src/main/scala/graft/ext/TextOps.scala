@@ -784,16 +784,6 @@ object TextOps {
       .limit(k)
   }
 
-  /** Automated Readability Index per document (Senter & Smith 1967):
-    * ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43, using
-    * non-space characters, whitespace words, and [.!?] sentence marks
-    * (floored at 1 so unpunctuated corpora — like machine-generated
-    * text — still score on word length alone). A curation signal in the
-    * same family as the quality gate: extreme ARI flags boilerplate
-    * (short fragments) or run-on machine text. Pure per-row length
-    * arithmetic — three codegen'd counts, exact integers into two IEEE
-    * divisions, trunc4 at output; fuses into the scan, no shuffle.
-    */
   /** Byte-pair-encoding merge trainer (Sennrich et al. 2016, the
     * subword-tokenizer construction): starting from characters, the k
     * most frequent ADJACENT symbol pairs merge greedily, each merge
@@ -865,6 +855,16 @@ object TextOps {
       .orderBy(col("merge_rank"))
   }
 
+  /** Automated Readability Index per document (Senter & Smith 1967):
+    * ARI = 4.71·(chars/words) + 0.5·(words/sentences) − 21.43, using
+    * non-space characters, whitespace words, and [.!?] sentence marks
+    * (floored at 1 so unpunctuated corpora — like machine-generated
+    * text — still score on word length alone). A curation signal in the
+    * same family as the quality gate: extreme ARI flags boilerplate
+    * (short fragments) or run-on machine text. Pure per-row length
+    * arithmetic — three codegen'd counts, exact integers into two IEEE
+    * divisions, trunc4 at output; fuses into the scan, no shuffle.
+    */
   def readability(docs: DataFrame): DataFrame = {
     import graft.ext.Num.trunc4
     val text = col("text")

@@ -386,23 +386,18 @@ object Sinks {
     * TRUNCATE the whole table first; the dynamic mode scopes the
     * delete to the incoming partition values, which is also the only
     * sane semantics at 100 TB (rewriting unrelated partitions is a
-    * full-table write). The session conf is set per-write and restored
-    * — no global mutation leaks to concurrent writers.
+    * full-table write). The mode is passed as a PER-WRITE writer
+    * option (DataFrameWriter options shadow the session conf for that
+    * write only), so nothing global mutates — a concurrent overwrite
+    * on the same session keeps whatever mode it asked for.
     */
   def overwritePartitionsDynamic(
       updates: DataFrame,
       path: String,
       partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitionsDynamic: no partition columns")
-    val spark = updates.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try updates.write.mode(SaveMode.Overwrite)
+    updates.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 }

@@ -1672,7 +1672,8 @@ class ExtSpec extends SparkSpec {
     val li = Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
       (3L, 101L), (4L, 103L)).toDF("l_orderkey", "l_partkey")
     val part = Seq((101L, "X"), (102L, "Y"), (103L, "Z")).toDF("p_partkey", "p_brand")
-    val r = Aggregates.basketRules(li, part, maxBasket = 15, minSupport = 1, k = 10)
+    val (baskets, dim) = Aggregates.brandBasketFrame(li, part, maxBasket = 15)
+    val r = Aggregates.basketRules(baskets, dim, minSupport = 1, k = 10)
       .collect()
     val xy = r.find(x => x.getAs[String]("brand_a") == "X" && x.getAs[String]("brand_b") == "Y").get
     assert(xy.getAs[Long]("n_ab") === 2L && xy.getAs[Long]("n_a") === 3L && xy.getAs[Long]("n_b") === 2L)
