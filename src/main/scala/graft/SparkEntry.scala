@@ -1271,6 +1271,12 @@ object SparkEntry {
     "q_weighted_p90" -> ((s, dir) =>
       Aggregates.weightedQuantile(rd(s, dir, "lineitem"),
         "l_extendedprice", "l_quantity", "l_returnflag", 9L, 10L)),
+    // the ladder: p50/p90/p99 weighted prices per flag from ONE bucket
+    // census — per-quantile reruns would re-bucket the fact table 3x
+    "q_weighted_ladder" -> ((s, dir) =>
+      Aggregates.weightedQuantileLadder(rd(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_returnflag",
+        Seq((1L, 2L), (9L, 10L), (99L, 100L)), Seq("p50", "p90", "p99"))),
     // Zipf slope of the corpus frequency spectrum (top-200 terms);
     // integer-scaled snapped logs -> order-free exact OLS moments
     "d_zipf" -> ((s, dir) => TextOps.zipfFit(rd(s, dir, "documents"))),
@@ -1495,6 +1501,71 @@ SELECT vec_id, cluster, dist AS dist_sq6 FROM afinal ORDER BY vec_id""")
     sb.toString
   }
 
+  /** Oracle for e_ann_ivf / e_ann_ivf_idx: the whole IVF pipeline
+    * unrolled as one CTE chain over EXACT fixed-point arithmetic — q6
+    * image (floor of the 1e6-scaled normalized coordinates), Knuth
+    * multiplicative-hash init, two integer Lloyd rounds with
+    * empty-cluster carry-over, probe the nProbe nearest lists, exact
+    * integer dot scoring. Every expression mirrors
+    * [[graft.ext.Similarity.quant6]]/trainCentroids/ivfTopK op-for-op
+    * (see the determinism notes there); both the recomputed
+    * (e_ann_ivf) and the materialized-index (e_ann_ivf_idx) paths
+    * reduce to this same chain because the index persists exactly the
+    * trained centroids and assignments.
+    */
+  private val ivfSql: String = {
+    val k = 16; val rounds = 2; val nProbe = 4; val topK = 10
+    def assignCte(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, cluster FROM (
+  SELECT p.vec_id, c.cluster,
+    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+      ORDER BY SUM((p.q6 - c.c6) * (p.q6 - c.c6)), c.cluster) AS rn
+  FROM pts p JOIN $cents c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cluster) WHERE rn = 1)"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH raw AS MATERIALIZED (SELECT vec_id, pos - 1 AS dim,
+  CAST(floor(x * 1.0e6) AS BIGINT) AS r6
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding::DOUBLE[], 1) AS pos FROM embeddings)),
+nrm AS (SELECT vec_id, sqrt(CAST(SUM(r6 * r6) AS DOUBLE)) AS nrm FROM raw GROUP BY 1),
+pts AS MATERIALIZED (SELECT r.vec_id, r.dim,
+  CASE WHEN n.nrm = 0 THEN 0
+       ELSE CAST(floor(CAST(r.r6 AS DOUBLE) / n.nrm * 1.0e6) AS BIGINT) END AS q6
+  FROM raw r JOIN nrm n ON n.vec_id = r.vec_id),
+init AS MATERIALIZED (SELECT vec_id,
+  ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS cluster
+  FROM embeddings ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT $k),
+c0 AS MATERIALIZED (SELECT i.cluster, p.dim, p.q6 AS c6
+  FROM pts p JOIN init i ON i.vec_id = p.vec_id)""")
+    for (i <- 1 to rounds) {
+      sb.append(",\n" + assignCte(s"a$i", s"c${i - 1}"))
+      sb.append(s""",
+u$i AS (SELECT a.cluster, p.dim,
+  CAST(floor(CAST(SUM(p.q6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c6
+  FROM pts p JOIN a$i a ON a.vec_id = p.vec_id GROUP BY a.cluster, p.dim),
+c$i AS MATERIALIZED (SELECT c.cluster, c.dim, COALESCE(u.c6, c.c6) AS c6
+  FROM c${i - 1} c LEFT JOIN u$i u ON u.cluster = c.cluster AND u.dim = c.dim)""")
+    }
+    sb.append(",\n" + assignCte("afinal", s"c$rounds"))
+    sb.append(s""",
+qp AS MATERIALIZED (SELECT dim, q6 FROM pts WHERE vec_id = 0),
+probes AS (SELECT c.cluster
+  FROM c$rounds c JOIN qp q ON q.dim = c.dim
+  GROUP BY c.cluster
+  ORDER BY CAST(SUM((q.q6 - c.c6) * (q.q6 - c.c6)) AS BIGINT), c.cluster
+  LIMIT $nProbe)
+SELECT p.vec_id AS vec_id,
+  floor(CAST(SUM(q.q6 * p.q6) AS DOUBLE) / 1.0e8) / 10000.0 AS cos_sim
+FROM pts p
+JOIN afinal a ON a.vec_id = p.vec_id
+JOIN qp q ON q.dim = p.dim
+WHERE a.cluster IN (SELECT cluster FROM probes) AND p.vec_id <> 0
+GROUP BY p.vec_id
+ORDER BY cos_sim DESC, p.vec_id
+LIMIT $topK""")
+    sb.toString
+  }
+
   /** Oracle for e_pq: the identical unrolled Lloyd rounds as kmeansSql
     * but keyed by subspace (sub = dim div subDim) — one CTE chain
     * trains all m sub-quantizers simultaneously, exactly like the
@@ -1658,16 +1729,20 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (=> driver rows-only check):
-    * q_order_stats_approx / d_simhash64 / d_simhash_neardup /
-    * e_ann_ivf (engine-specific hashing / data-order-dependent Lloyd
-    * sums, approximate by design), m_features (opaque binary decode
+    * q_order_stats_approx / d_simhash64 / d_simhash_neardup
+    * (engine-specific hashing, approximate by design), d_bpe_merges
+    * (greedy sequential merge state), m_features (opaque binary decode
     * stub). e_ann_lsh and e_ann_pairs ARE oracle-gated despite being
     * approximate: their seeded hyperplanes are embedded as round-trip
     * double literals in generated SQL ([[Similarity.annTopKOracleSql]],
     * [[Similarity.lshCosinePairsOracleSql]]), making them
-    * bit-deterministic given the seed.
+    * bit-deterministic given the seed. The IVF family (e_ann_ivf,
+    * e_ann_ivf_idx) is oracle-gated by [[ivfSql]] since the q6
+    * fixed-point rewrite made its Lloyd rounds data-order-independent.
     */
   def oracleSql: Map[String, String] = Map(
+    "e_ann_ivf" -> ivfSql,
+    "e_ann_ivf_idx" -> ivfSql,
     "e_ann_lsh" -> Similarity.annTopKOracleSql(),
     "e_project" -> Similarity.randomProjectionOracleSql(),
     "e_dim_stats" ->
@@ -2047,6 +2122,18 @@ c AS (SELECT g, v, w,
   SUM(w) OVER (PARTITION BY g) AS totw FROM pv)
 SELECT g AS l_returnflag, CAST(MIN(totw) AS BIGINT) AS total_weight, MIN(v) AS w_quantile
 FROM c WHERE 10 * cumw >= 9 * totw GROUP BY g ORDER BY g""",
+    "q_weighted_ladder" ->
+      """WITH pv AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+c AS (SELECT g, v, w,
+  SUM(w) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+  SUM(w) OVER (PARTITION BY g) AS totw FROM pv)
+SELECT g AS l_returnflag, CAST(MIN(totw) AS BIGINT) AS total_weight,
+  MIN(CASE WHEN 2 * cumw >= totw THEN v END) AS p50,
+  MIN(CASE WHEN 10 * cumw >= 9 * totw THEN v END) AS p90,
+  MIN(CASE WHEN 100 * cumw >= 99 * totw THEN v END) AS p99
+FROM c GROUP BY g ORDER BY g""",
     "d_zipf" ->
       """WITH f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f
   FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

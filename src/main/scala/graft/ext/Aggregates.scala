@@ -1243,6 +1243,87 @@ object Aggregates {
       .orderBy(col(groupCol))
   }
 
+  /** Grouped weighted-quantile LADDER: several exact-rational quantiles
+    * (e.g. p50/p90/p99) per group from ONE pass over the input — the
+    * generalization [[weightedQuantile]] documents as its own caveat
+    * (running it per quantile re-reads and re-buckets the fact table
+    * once per p). The census (bucket + weight count) happens once; a
+    * bucket is fetched back iff it is the answer bucket of AT LEAST ONE
+    * requested quantile, and one final aggregate extracts every
+    * quantile's answer simultaneously.
+    *
+    * Correctness of the shared fetch: the bit-image bucket id is
+    * order-preserving, so every row of a LATER bucket is >= every row
+    * of an earlier one. For quantile p the filter
+    * `cumw * pDen >= totw * pNum` admits exactly the rows at or past
+    * the p-crossing; rows admitted from later (non-answer) buckets are
+    * all >= the answer bucket's qualifying rows, so
+    * `min(v | crossing)` is unchanged by their presence — per-quantile
+    * bucket isolation is unnecessary and one joined frame serves all
+    * quantiles.
+    *
+    * Same contract as [[weightedQuantile]]: non-negative integral
+    * weights, lower quantile (no interpolation), zero-total groups
+    * return the group min for every quantile. The no-overflow guard
+    * uses the largest requested pDen.
+    *
+    * Output: groupCol, total_weight, then one column per requested
+    * quantile named by `outNames`.
+    */
+  def weightedQuantileLadder(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      groupCol: String,
+      ps: Seq[(Long, Long)],
+      outNames: Seq[String],
+      shift: Int = 44): DataFrame = {
+    require(shift >= 0 && shift < 64, s"shift=$shift")
+    require(ps.nonEmpty && ps.length == outNames.length, "ps/outNames mismatch")
+    ps.foreach { case (pNum, pDen) =>
+      require(pDen > 0 && pNum > 0 && pNum <= pDen, s"p=$pNum/$pDen out of (0,1]") }
+    val maxDen = ps.map(_._2).max
+    DoubleOrderBits.ensureRegistered(df.sparkSession)
+    val bucketed = df
+      // + 0.0 folds -0.0 into +0.0 — see weightedQuantile
+      .select(col(groupCol), (col(valueCol).cast("double") + lit(0.0)).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("v").isNotNull)
+      .withColumn("__b",
+        shiftright(call_function(DoubleOrderBits.name, col("v")), shift))
+    val perBucket = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("w")).cast("long").as("__bw"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol))
+    val totwRaw = sum(col("__bw")).over(wAll).cast("long")
+    val offsets = perBucket.select(col(groupCol), col("__b"), col("__bw"),
+      coalesce(sum(col("__bw")).over(wOff), lit(0L)).cast("long").as("__off"),
+      when(totwRaw > lit(Long.MaxValue / maxDen), raise_error(lit(
+        s"weightedQuantileLadder: total weight * pDen=$maxDen overflows long")))
+        .otherwise(totwRaw).cast("long").as("__totw"))
+    // a bucket is needed iff it straddles SOME quantile's crossing
+    // (zero-total groups keep every bucket -> min(v) = group min)
+    val needed = ps.map { case (pNum, pDen) =>
+      (col("__off") + col("__bw")) * pDen >= col("__totw") * pNum &&
+        (col("__off") * pDen < col("__totw") * pNum || col("__totw") === 0L)
+    }.reduce(_ || _)
+    val targets = offsets.filter(needed)
+      .select(col(groupCol), col("__b"), col("__off"), col("__totw"))
+    val wB = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("v"))
+    val withCum = bucketed.select(col(groupCol), col("__b"), col("v"), col("w"))
+      .join(broadcast(targets), Seq(groupCol, "__b"))
+      .withColumn("cumw", col("__off") + sum(col("w")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val aggs = ps.zip(outNames).map { case ((pNum, pDen), name) =>
+      min(when(col("cumw") * pDen >= col("__totw") * pNum, col("v"))).as(name)
+    }
+    withCum.groupBy(col(groupCol))
+      .agg(first(col("__totw")).cast("long").as("total_weight"), aggs: _*)
+      .select(col(groupCol) +: col("total_weight") +: outNames.map(col): _*)
+      .orderBy(col(groupCol))
+  }
+
   /** Mann–Kendall monotonic-trend test over daily revenue: S = sum of
     * sign(y_j - y_i) over ordered day pairs, with the tie-corrected
     * normal approximation z = (S -/+ 1)/sqrt(Var S),

@@ -430,24 +430,70 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     if (n == 0) v else v.map(_ / n)
   }
 
+  /** Fixed-point image of the L2-normalized vector on a 1e-6 grid,
+    * carried as INTEGER-VALUED doubles: r6 = floor(x*1e6) per element,
+    * norm = sqrt(sum r6^2), q6 = floor(r6/norm*1e6). Every value and
+    * every sum below 2^53 is exact, so all downstream IVF arithmetic
+    * (Lloyd assignment distances, centroid means, dot-product scoring)
+    * is order-independent integer math — which is what lets the whole
+    * IVF family be oracle-checked by an unrolled SQL CTE chain instead
+    * of `no_oracle` (doubles' non-associative sums made the previous
+    * formulation data-order-dependent). The sqrt/division steps are
+    * IEEE-deterministic given identical integer inputs, and the SQL
+    * oracle states the identical expression order.
+    */
+  private[ext] def quant6(v: Array[Double]): Array[Double] = {
+    val r6 = new Array[Double](v.length)
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) {
+      val r = math.floor(v(i) * 1.0e6); r6(i) = r; ss += r * r; i += 1
+    }
+    val nrm = math.sqrt(ss)
+    if (nrm == 0.0) new Array[Double](v.length)
+    else {
+      var j = 0
+      while (j < v.length) { r6(j) = math.floor(r6(j) / nrm * 1.0e6); j += 1 }
+      r6
+    }
+  }
+
+  /** Exact squared distance between two integer-valued q6 images
+    * (diffs <= 2e6, squares <= 4e12, 64-dim sum <= 2.56e14 < 2^53 —
+    * every double op exact).
+    */
+  private[ext] def dist6(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Nearest centroid by exact squared distance; strict `<` keeps the
+    * SMALLEST index on ties — the same rule as the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY dist, cluster)`.
+    */
   private[ext] def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
-    var best = 0; var bestDot = Double.NegativeInfinity
+    var best = 0; var bestD = Double.PositiveInfinity
     var c = 0
     while (c < cs.length) {
-      val cv = cs(c)
-      var d = 0.0; var i = 0
-      while (i < v.length) { d += v(i) * cv(i); i += 1 }
-      if (d > bestDot) { bestDot = d; best = c }
+      val d = dist6(cs(c), v)
+      if (d < bestD) { bestD = d; best = c }
       c += 1
     }
     best
   }
 
-  /** Spherical k-means coarse quantizer: deterministic spread init (the
-    * numCentroids vectors with smallest xxhash64(vec_id) — a seeded
-    * pseudo-random sample without an RNG), `iters` distributed Lloyd
-    * rounds. Per round only numCentroids x dim partial sums cross the
-    * wire (aggregateByKey), nothing row-proportional.
+  /** k-means coarse quantizer over q6-normalized points: deterministic
+    * init (the numCentroids vectors with smallest Knuth multiplicative
+    * hash (vec_id * 2654435761) mod 2^32 — a seeded pseudo-random
+    * sample expressible in plain SQL, so the oracle reproduces it),
+    * `iters` distributed Lloyd rounds on EXACT integer arithmetic:
+    * assignment by integer squared distance, update by
+    * floor(sum/count) on long partial sums. Per round only
+    * numCentroids x dim partials cross the wire (aggregateByKey),
+    * nothing row-proportional; empty clusters keep their centroid.
+    * Returned centroids are integer-valued doubles (exact through
+    * parquet round-trips in [[ivfBuildIndex]]/[[ivfLoadIndex]]).
     */
   private[ext] def trainCentroids(
       embeddings: DataFrame,
@@ -455,33 +501,48 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       iters: Int): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // spread: normalize + nearest-centroid is numCentroids*dim mults
+    // spread: quantize + nearest-centroid is numCentroids*dim mults
     // per row per Lloyd round (see Tables.spread; no-op on wide scans)
     val ds = graft.Tables.spread(embeddings
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>")))
       .as[(Long, Array[Double])]
     var centroids: Array[Array[Double]] = ds
-      .select(xxhash64(col("vec_id")).as("h"), col("embedding"))
-      .orderBy(col("h")).limit(numCentroids)
-      .as[(Long, Array[Double])].collect().map(p => normalize(p._2))
+      .select(((col("vec_id") * lit(2654435761L)) % lit(4294967296L)).as("h"),
+        col("vec_id"), col("embedding"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])].collect().map(p => quant6(p._2))
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val dim = centroids.head.length
       val sums = ds.rdd
-        .map { case (_, v) => val nv = normalize(v); (nearest(bc.value, nv), nv) }
-        .aggregateByKey((new Array[Double](dim), 0L))(
+        .map { case (_, v) => val q = quant6(v); (nearest(bc.value, q), q) }
+        .aggregateByKey((new Array[Long](dim), 0L))(
           { case ((acc, n), v) =>
-            var i = 0; while (i < dim) { acc(i) += v(i); i += 1 }; (acc, n + 1) },
+            var i = 0; while (i < dim) { acc(i) += v(i).toLong; i += 1 }; (acc, n + 1) },
           { case ((a, na), (b, nb)) =>
             var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; (a, na + nb) })
         .collect().toMap
       centroids = centroids.indices.map { c =>
         sums.get(c).filter(_._2 > 0)
-          .map { case (s, n) => normalize(s.map(_ / n)) }
+          // floor(sum/count) in doubles — the oracle's
+          // floor(CAST(SUM AS DOUBLE) / CAST(COUNT AS DOUBLE)) verbatim
+          .map { case (s, n) => s.map(x => math.floor(x.toDouble / n.toDouble)) }
           .getOrElse(centroids(c)) // empty cluster keeps its centroid
       }.toArray
     }
     centroids
+  }
+
+  /** q6 dot-product score, truncated to the 1e-4 grid: q6 values are
+    * unit-scale x 1e6, so dot/1e12 ~ cosine; floor(dot/1e8)/1e4 states
+    * the exact op order the oracle repeats.
+    */
+  private[ext] def score6(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    math.floor(d / 1.0e8) / 10000.0
   }
 
   def ivfTopK(
@@ -505,25 +566,20 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       return ds.sparkSession.emptyDataFrame
         .withColumn("vec_id", lit(0L)).withColumn("cos_sim", lit(0.0)).limit(0)
     }
-    val qVec = normalize(qRows.head._2)
+    val qQ = quant6(qRows.head._2)
     val probes: Set[Int] = centroids.indices
-      .sortBy { c => -centroids(c).zip(qVec).map { case (a, b) => a * b }.sum }
+      .sortBy(c => (dist6(centroids(c), qQ), c))
       .take(nProbe).toSet
     ds.filter(_._1 != queryVecId)
       .mapPartitions { rows =>
         val cs = bcFinal.value
         rows.flatMap { case (id, v) =>
-          val nv = normalize(v)
-          if (!probes.contains(nearest(cs, nv))) None
-          else {
-            var d = 0.0; var i = 0
-            while (i < nv.length) { d += nv(i) * qVec(i); i += 1 }
-            Some((id, d))
-          }
+          val q = quant6(v)
+          if (!probes.contains(nearest(cs, q))) None
+          else Some((id, score6(q, qQ)))
         }
       }
-      .toDF("vec_id", "cos")
-      .select(col("vec_id"), Num.trunc4(col("cos")).as("cos_sim"))
+      .toDF("vec_id", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -1178,7 +1234,7 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     embeddings
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, nearest(bc.value, normalize(v))) }
+      .map { case (id, v) => (id, v, nearest(bc.value, quant6(v))) }
       .toDF("vec_id", "embedding", "cluster")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(path)
@@ -1212,7 +1268,7 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     newVectors
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, nearest(bc.value, normalize(v))) }
+      .map { case (id, v) => (id, v, nearest(bc.value, quant6(v))) }
       .toDF("vec_id", "embedding", "cluster")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cluster").parquet(path)
@@ -1247,16 +1303,20 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       k: Int,
       nProbe: Int = 4,
       excludeVecId: Option[Long] = None): DataFrame = {
-    graft.ext.expr.ArrayDotProduct.ensureRegistered(spark)
-    val qn = normalize(queryVec)
+    import spark.implicits._
+    val qQ = quant6(queryVec)
     val probes = centroids.indices
-      .sortBy { c => -centroids(c).zip(qn).map { case (a, b) => a * b }.sum }
+      .sortBy(c => (dist6(centroids(c), qQ), c))
       .take(nProbe)
-    val qLit = array(queryVec.map(lit(_)): _*)
     val idx = spark.read.parquet(path)
       .filter(col("cluster").isInCollection(probes))
+    // q6 scoring (same exact integer dot as ivfTopK / the oracle); the
+    // cluster filter stays a PARTITION filter under the typed map
     excludeVecId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
-      .select(col("vec_id"), Num.trunc4(cosine(col("embedding"), qLit)).as("cos_sim"))
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, score6(quant6(v), qQ)) })
+      .toDF("vec_id", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -1585,6 +1585,25 @@ class ExtSpec extends SparkSpec {
     assert(q(1L, 10L) === 10.0)
   }
 
+  test("weightedQuantileLadder: one pass agrees with per-quantile runs; zero-weight group") {
+    import spark.implicits._
+    val df = Seq(("A", 10.0, 1L), ("A", 20.0, 2L), ("A", 30.0, 3L), ("A", 40.0, 4L),
+      ("B", 5.0, 7L), ("B", 6.0, 1L), ("B", 7.0, 2L),
+      ("Z", 9.0, 0L), ("Z", 3.0, 0L)).toDF("g", "v", "w").repartition(3)
+    val ps = Seq((1L, 2L), (9L, 10L), (99L, 100L))
+    val names = Seq("p50", "p90", "p99")
+    val ladder = Aggregates.weightedQuantileLadder(df, "v", "w", "g", ps, names)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (((n, d), nm) <- ps.zip(names)) {
+      val single = Aggregates.weightedQuantile(df, "v", "w", "g", n, d)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("w_quantile")).toMap
+      for (g <- Seq("A", "B", "Z"))
+        assert(ladder(g).getAs[Double](nm) === single(g), s"group=$g p=$n/$d")
+    }
+    assert(ladder("Z").getAs[Long]("total_weight") === 0L)
+    assert(ladder("Z").getAs[Double]("p50") === 3.0)
+  }
+
   test("zipfFit: exact power law recovers its slope") {
     import spark.implicits._
     // craft term frequencies ~ r^-1: term t_r appears floor(1200/r) times
