@@ -32,12 +32,35 @@ object StreamingOps {
     * independent (hash aggregation); restore the session value after.
     * On a real cluster size this to the state volume, not the default.
     */
-  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConfs(spark, Map("spark.sql.shuffle.partitions" -> n.toString))(body)
+
+  /** Run `body` with session confs temporarily overridden (restored in
+    * reverse afterwards). Streaming queries latch conf values at
+    * `start()`, so the scope only needs to cover query startup.
+    */
+  private def withConfs[T](spark: SparkSession, kvs: Map[String, String])(body: => T): T = {
+    val prev = kvs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
+
+  /** Confs for a drained finite run of a query whose OUTPUT is already
+    * complete after the data batches: inner stream-stream joins and
+    * within-watermark dedup emit eagerly, so the trailing no-data
+    * micro-batch (state eviction only — 0.3-0.6s of state-store scan
+    * and commit) produces no rows and is dead work right before
+    * `stop()`. Disabling it here changes nothing about the result; a
+    * LIVE deployment keeps it on (eviction is what bounds state on an
+    * unbounded stream). Queries whose append-mode output is EMITTED by
+    * watermark finalization (windowed append, left-outer join,
+    * session timeout) must never use this.
+    */
+  private val skipNoDataBatch =
+    Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
 
   /** Hourly tumbling-window counts per event type, computed through a
     * real Structured Streaming query: file source -> windowed agg ->
@@ -207,10 +230,15 @@ object StreamingOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
     val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
-      val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
+    // complete-mode output is full after the data batches; the trailing
+    // no-data batch would only evict expired dedup keys (see
+    // skipNoDataBatch)
+    withConfs(spark, skipNoDataBatch) {
+      withStreamPartitions(spark, streamParts) {
+        val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     }
     spark.table(name).orderBy(col("event_type"))
   }
@@ -244,7 +272,10 @@ object StreamingOps {
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_ev"))
     val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    // session-window state scans (merge + finalization sweep) dominate
+    // this query and parallelize well: 8 partitions measured 1.64s vs
+    // 1.92s at the 4-partition family default (sf0.1)
+    withStreamPartitions(spark, math.max(streamParts, 8)) {
       val q = sess.writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
@@ -285,10 +316,15 @@ object StreamingOps {
         col("view_ts") <= col("click_ts"))
       .select(col("click_id"), col("view_id"))
     val name = s"graft_stream_ssjoin_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
-      val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable()
-      finally q.stop()
+    // inner joins emit every match eagerly in the data batches; the
+    // trailing no-data batch would only evict state (see
+    // skipNoDataBatch)
+    withConfs(spark, skipNoDataBatch) {
+      withStreamPartitions(spark, streamParts) {
+        val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
     }
     spark.table(name).orderBy(col("click_id"), col("view_id"))
   }
