@@ -15,15 +15,19 @@ object StreamingOps {
   private val counter = new AtomicInteger(0)
 
   /** Shuffle-partition count for the micro-batch aggregations below
-    * (overridable via SPARK_GRAFT_STREAM_PARTS). The state store opens
-    * one store per shuffle partition per micro-batch, so on small
-    * streams fewer partitions = less bookkeeping — measured sf0.1 over
-    * the 5 streaming queries: 4 parts beat 8 by ~0.3s total and 2 loses
-    * parallelism (7.0s). On a real cluster size this to state volume,
-    * not the session default.
+    * (SPARK_GRAFT_STREAM_PARTS overrides every query). The state store
+    * opens one store per shuffle partition per micro-batch, so on small
+    * streams fewer partitions = less bookkeeping — but the optimum is
+    * PER QUERY, not global (measured sf0.1, medians of 3, whole family
+    * at 2 / 4 / 16): window/dedup/join state likes 2 (st_left_join
+    * 2.03s at 2 vs 2.37 at 4 vs 5.10 at 16), `flatMapGroupsWithState`
+    * per-user state and the foreachBatch upsert like 4 (st_upsert
+    * 0.91s at 4 vs 2.26 at 2), session-window merge sweeps like 8.
+    * Each call site passes its measured default. On a real cluster
+    * size this to state volume, not the session default.
     */
-  private def streamParts: Int =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(4)
+  private def streamParts(dflt: Int): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(dflt)
 
   /** Run `body` with a reduced shuffle-partition count: the streaming
     * state store allocates one store per shuffle partition PER
@@ -33,7 +37,21 @@ object StreamingOps {
     * On a real cluster size this to the state volume, not the default.
     */
   private def withStreamPartitions[T](spark: SparkSession, n: Int)(body: => T): T =
-    withConfs(spark, Map("spark.sql.shuffle.partitions" -> n.toString))(body)
+    withConfs(spark, Map(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      // HDFSBackedStateStoreProvider retains `minBatchesToRetain` (default
+      // 100) delta versions of every store's map IN MEMORY, and providers
+      // of TERMINATED queries stay loaded until the maintenance thread
+      // (default interval 60s) notices the deactivation. A session that
+      // runs many short streaming queries back-to-back (this bench, the
+      // test suite) accumulates dozens of live state maps, and the
+      // resulting GC pressure showed up as 2-4x drift on LATER streaming
+      // queries in the same session (st_upsert 0.9s early vs 3.6s late,
+      // same code). Two versions are enough for crash recovery of a
+      // drained finite run; a production deployment sizes this to its
+      // rollback window instead.
+      "spark.sql.streaming.minBatchesToRetain" -> "2",
+      "spark.sql.streaming.stateStore.maintenanceInterval" -> "5s"))(body)
 
   /** Run `body` with session confs temporarily overridden (restored in
     * reverse afterwards). Streaming queries latch conf values at
@@ -81,7 +99,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_hourly_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(2)) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -115,7 +133,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_seasonality_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(2)) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
@@ -151,7 +169,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_hourly_wm_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(2)) {
       val q = agg.writeStream
         .outputMode("append")
         .format("memory")
@@ -190,7 +208,7 @@ object StreamingOps {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
       .filter(col("n_purchases") * 4 > col("n_events"))
     val name = s"graft_stream_mix_alert_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(2)) {
       val q = agg.writeStream
         .outputMode("append")
         .format("memory")
@@ -234,7 +252,7 @@ object StreamingOps {
     // no-data batch would only evict expired dedup keys (see
     // skipNoDataBatch)
     withConfs(spark, skipNoDataBatch) {
-      withStreamPartitions(spark, streamParts) {
+      withStreamPartitions(spark, streamParts(2)) {
         val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
         try q.processAllAvailable()
         finally q.stop()
@@ -275,7 +293,7 @@ object StreamingOps {
     // session-window state scans (merge + finalization sweep) dominate
     // this query and parallelize well: 8 partitions measured 1.64s vs
     // 1.92s at the 4-partition family default (sf0.1)
-    withStreamPartitions(spark, math.max(streamParts, 8)) {
+    withStreamPartitions(spark, streamParts(8)) {
       val q = sess.writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
@@ -320,7 +338,7 @@ object StreamingOps {
     // trailing no-data batch would only evict state (see
     // skipNoDataBatch)
     withConfs(spark, skipNoDataBatch) {
-      withStreamPartitions(spark, streamParts) {
+      withStreamPartitions(spark, streamParts(2)) {
         val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
         try q.processAllAvailable()
         finally q.stop()
@@ -349,7 +367,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).as("total_value_dec"))
     val name = s"graft_stream_enrich_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(2)) {
       val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
@@ -395,7 +413,7 @@ object StreamingOps {
     }
 
     val name = s"graft_stream_users_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(4)) {
       val q = stream
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
@@ -463,7 +481,7 @@ object StreamingOps {
     }
 
     val name = s"graft_stream_transitions_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(4)) {
       val q = stream
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
@@ -504,7 +522,7 @@ object StreamingOps {
     val stream = purchases(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(4)) {
       val q = stream.writeStream
         .option("checkpointLocation", s"$tmp/ckpt")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -561,7 +579,7 @@ object StreamingOps {
     }
 
     val name = s"graft_stream_new_users_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(2)) {
       val q = stream
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
@@ -610,7 +628,7 @@ object StreamingOps {
       "left_outer")
       .select(col("click_id"), col("view_id"))
     val name = s"graft_stream_ssleft_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(2)) {
       val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
@@ -646,7 +664,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"))
     val name = s"graft_stream_anomaly_${counter.incrementAndGet()}"
-    withStreamPartitions(spark, streamParts) {
+    withStreamPartitions(spark, streamParts(2)) {
       val q = agg.writeStream
         .outputMode("complete")
         .format("memory")
