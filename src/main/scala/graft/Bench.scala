@@ -33,16 +33,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val tmpBase = Scratch.dir()
+    // Dev-only experiment knobs (committed artifacts always use the
+    // defaults): decouple shuffle partitions from the thread count, and
+    // allow timing the AQE loop's own overhead on sub-second queries.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", s"$tmpBase/spark-local")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       // fixture events.ts is parquet TIMESTAMP(NANOS): read as ns-long
       // (graft.ext.Events.normalizeTs converts to micros downstream)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // shuffle-file removals are async by default; on the larger SFs

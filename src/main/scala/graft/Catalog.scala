@@ -110,6 +110,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  // Catalog-metadata cache: the analyzed scan relation per
+  // (session, path). `spark.read.parquet` re-lists the directory and
+  // re-reads footers for schema inference on EVERY call — work a real
+  // deployment does once at table registration (a metastore table's
+  // schema and InMemoryFileIndex are session-cached by Spark itself;
+  // DuckDB's CREATE VIEW equally binds schema once). The relation is an
+  // immutable logical plan, safe to share across queries. Keyed weakly
+  // by session so a stopped session's relations are collectable, and by
+  // path so multiple scale factors coexist. Fixture paths are
+  // immutable-by-contract (TESTDATA.md); mutable-table paths (sink
+  // round-trips) never go through Tables.read.
+  private val scanCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark refuses
     // without this (runtime-settable) legacy conf. Graft-owned sessions
@@ -117,7 +131,15 @@ object Tables {
     // externally-owned sessions (e.g. the round driver's).
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val perSession = scanCache.synchronized {
+      var m = scanCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+        scanCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
   }
 
   /** Widen a NARROW input for per-row compute-bound kernels (regex

@@ -876,15 +876,18 @@ object Curation {
     * metric is reproducible across engines and dataset versions.
     *
     * Scale shape: ONE explode pass and ONE wide shuffle, keyed by the
-    * shingle: the per-shingle aggregate folds train membership to a
-    * bit (max) and the test side to its distinct lang set (collect_set
+    * shingle's 8-byte xxhash64 fingerprint (same collision-risk budget
+    * as [[ngramNovelty]]: P ~ n^2/2^65, far below the 1e-4 output
+    * grid): the per-shingle aggregate folds train membership to a bit
+    * (max) and the test side to its distinct lang set (collect_set
     * dedupes map-side), so the shuffle carries each distinct shingle
-    * string once — never documents, and never a second pass. The
-    * per-lang counts then fall out of a tiny second aggregate over the
-    * exploded lang sets. (An earlier formulation fed the exploded frame
-    * into two DISTINCTs plus a LEFT SEMI join: exchange reuse dedupes
-    * shuffle FILES, not the three post-shuffle distinct/aggregate
-    * executions stacked above them, so the shingle pipeline ran ~3x.)
+    * once as a long — never strings, never documents, and never a
+    * second pass. The per-lang counts then fall out of a tiny second
+    * aggregate over the exploded lang sets. (An earlier formulation fed
+    * the exploded frame into two DISTINCTs plus a LEFT SEMI join:
+    * exchange reuse dedupes shuffle FILES, not the three post-shuffle
+    * distinct/aggregate executions stacked above them, so the shingle
+    * pipeline ran ~3x.)
     */
   def gramCoverage(
       docs: DataFrame,
@@ -895,7 +898,8 @@ object Curation {
       // valid-split docs feed neither side: drop before the explode
       .filter(col("split").isin("train", "test"))
       .select(col("lang"), col("split"),
-        explode(wordShingles3(col(textCol))).as("sh"))
+        explode(wordShingles3(col(textCol))).as("sh0"))
+      .select(col("lang"), col("split"), xxhash64(col("sh0")).as("sh"))
     val bySh = sp.groupBy(col("sh")).agg(
       max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
       // collect_set skips nulls, so train-side rows contribute nothing
