@@ -33,12 +33,40 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val tmpBase = Scratch.dir()
+    // Shuffle partitions sized by INPUT VOLUME, not a fixed constant —
+    // the standard production sizing rule (~64 MB of input per shuffle
+    // partition; Spark tuning guide's "few hundred MB per partition"
+    // band), floored at cpus/4 so concurrent small stages still spread
+    // over the box. At sf0.1 (~18 MB of parquet) this resolves to 8: a
+    // fixed partitions=cores setting makes every tiny post-shuffle
+    // stage pay 32 task launches to move kilobytes, and AQE's
+    // parallelism-first coalescing keeps most of them (measured: a
+    // fixed 32 costs ~12% suite-wide vs volume-sized partitions, and
+    // parallelismFirst=false recovered none of it). At sf1 the same
+    // rule grows the count back up, and at 100 TB it resolves to the
+    // hundreds of thousands a real cluster runs with. Compute-bound
+    // per-row kernels are unaffected: Tables.spread parallelizes those
+    // by defaultParallelism (=cores), not by this conf.
+    val dirBytes = try {
+      val d = new java.io.File(sfDir)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(d)
+    } catch { case _: Throwable => 0L }
+    val volumeSized =
+      math.max(cpus.toInt / 4, (dirBytes / (64L << 20)).toInt).toString
     // Dev-only experiment knobs (committed artifacts always use the
-    // defaults): decouple shuffle partitions from the thread count, and
+    // defaults): decouple shuffle partitions from the volume rule, and
     // allow timing the AQE loop's own overhead on sub-second queries.
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", volumeSized)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — arbitrary conf overrides for
+    // A/B runs (e.g. AQE coalesce policy sweeps).
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", s"$tmpBase/spark-local")
       .config("spark.sql.shuffle.partitions", shuffleParts)
@@ -54,6 +82,7 @@ object Bench {
       // the cleanup of query N's shuffles otherwise runs DURING query
       // N+1's timed reps (see the System.gc() note below)
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+    )((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up at smoke scale: JIT + codegen-compiler + shuffle

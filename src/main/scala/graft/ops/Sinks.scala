@@ -10,10 +10,24 @@ object Sinks {
     * buffer). Distributed writer; optional partition columns for
     * partition-pruned downstream reads — the single most important knob
     * for a 100 TB table that is always filtered by date/tenant.
+    *
+    * Partitioned writes go through an AQE REBALANCE on the partition
+    * columns first: without it every one of the N shuffle-map tasks
+    * holds rows of every partition value, so the writer emits up to
+    * N x |values| small files — the classic small-files defect that
+    * makes the NEXT reader's listing/footer phase the bottleneck at
+    * scale. REBALANCE is the adaptive form of `repartition(cols)`:
+    * small partition values coalesce into shared tasks, and a skewed
+    * value is SPLIT across tasks by the advisory size instead of
+    * serializing one giant task (plain repartition would bottleneck the
+    * write on the largest tenant/date).
     */
   def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): DataFrame = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    if (partitionBy.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      df.hint("rebalance", partitionBy.map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(path)
+    } else df.write.mode(SaveMode.Overwrite).parquet(path)
     df
   }
 
@@ -396,7 +410,11 @@ object Sinks {
       path: String,
       partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitionsDynamic: no partition columns")
-    updates.write.mode(SaveMode.Overwrite)
+    // same REBALANCE-before-partitionBy rationale as [[parquet]]: the
+    // daily reload should not fragment the reloaded partition
+    import org.apache.spark.sql.functions.col
+    updates.hint("rebalance", partitionBy.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*).parquet(path)
   }
