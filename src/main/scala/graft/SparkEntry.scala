@@ -1731,19 +1731,26 @@ ORDER BY COALESCE(o_orderkey, -1), COALESCE(c_custkey, -1)"""
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (=> driver rows-only check):
-    * q_order_stats_approx / d_simhash64 / d_simhash_neardup
-    * (engine-specific hashing, approximate by design), d_bpe_merges
-    * (greedy sequential merge state), m_features (opaque binary decode
-    * stub). e_ann_lsh and e_ann_pairs ARE oracle-gated despite being
-    * approximate: their seeded hyperplanes are embedded as round-trip
-    * double literals in generated SQL ([[Similarity.annTopKOracleSql]],
-    * [[Similarity.lshCosinePairsOracleSql]]), making them
-    * bit-deterministic given the seed. The IVF family (e_ann_ivf,
-    * e_ann_ivf_idx) is oracle-gated by [[ivfSql]] since the q6
-    * fixed-point rewrite made its Lloyd rounds data-order-independent.
+    * the same parquet tables. EVERY query is oracle-gated — including
+    * the approximate and sequential-state ones, which replay the
+    * engine's own hashing/looping in SQL rather than being exempted:
+    * e_ann_lsh / e_ann_pairs embed their seeded hyperplanes as
+    * round-trip double literals ([[Similarity.annTopKOracleSql]],
+    * [[Similarity.lshCosinePairsOracleSql]]); the IVF family uses
+    * [[ivfSql]]'s unrolled Lloyd rounds; d_simhash64 / d_simhash_neardup
+    * rebuild the md5-high-64 token hash from hex chars
+    * ([[Dedup.simhash64OracleSql]]); d_bpe_merges unrolls the greedy
+    * merge loop as a CTE chain ([[TextOps.bpeOracleSql]]);
+    * q_order_stats_approx is a deterministic hash-sampled estimator
+    * ([[Aggregates.orderStatsApproxOracleSql]]); m_features replays the
+    * decode stub's byte histogram ([[Multimodal.featureDigestOracleSql]]).
     */
   def oracleSql: Map[String, String] = Map(
+    "d_simhash64" -> Dedup.simhash64OracleSql(),
+    "d_simhash_neardup" -> Dedup.simhashNearDupOracleSql(),
+    "d_bpe_merges" -> TextOps.bpeOracleSql(),
+    "m_features" -> Multimodal.featureDigestOracleSql(),
+    "q_order_stats_approx" -> Aggregates.orderStatsApproxOracleSql(),
     "e_ann_ivf" -> ivfSql,
     "e_ann_ivf_idx" -> ivfSql,
     "e_ann_lsh" -> Similarity.annTopKOracleSql(),

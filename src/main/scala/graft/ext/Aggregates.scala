@@ -84,9 +84,9 @@ object Aggregates {
   }
 
   /** Exact + distinct counts per group. `countDistinct` implies a
-    * two-phase shuffle (expand); `approx_count_distinct` (HLL) is the
-    * scale path — single pass, fixed memory — exposed separately because
-    * its result is engine-specific (see SparkEntry: rows-only check).
+    * two-phase shuffle (expand); [[orderStatsApprox]] is the scale
+    * path — a deterministic hash-sampled distinct estimator exposed
+    * separately.
     */
   def orderStats(orders: DataFrame): DataFrame = {
     Int128Sum.ensureRegistered(orders.sparkSession)
@@ -99,11 +99,34 @@ object Aggregates {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Approximate distinct customers per status via a DETERMINISTIC
+    * hash-sampled estimator (the adaptive-sampling / Theta-sketch
+    * family): count exact distincts only over the keys whose md5 leads
+    * with hex '0' — a fixed 1/16 slice of the key universe — and scale
+    * by 16. Same scale shape as HLL (one pass, the distinct shuffle
+    * carries only the sampled 1/16 subuniverse, partial-aggregates
+    * map-side), but unlike `approx_count_distinct` the answer is a pure
+    * function of the key set, identical in any engine with md5 — which
+    * is what lets the DuckDB oracle check the real approximate answer
+    * instead of exempting it. Tighter accuracy <=> smaller scale-up:
+    * widen the sampled slice (e.g. 2 hex chars, 1/256) as |keys| grows.
+    */
   def orderStatsApprox(orders: DataFrame): DataFrame =
     orders
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+      .agg((count_distinct(
+        when(substring(md5(col("o_custkey").cast("string")), 1, 1) === "0", col("o_custkey")))
+        * 16).cast("long").as("approx_customers"))
       .orderBy(col("o_orderstatus"))
+
+  /** DuckDB SQL replay of [[orderStatsApprox]] — same md5-slice
+    * estimator, bit-identical by construction.
+    */
+  def orderStatsApproxOracleSql(table: String = "orders"): String =
+    s"""SELECT o_orderstatus,
+  CAST(COUNT(DISTINCT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) = '0'
+                           THEN o_custkey END) * 16 AS BIGINT) AS approx_customers
+FROM $table GROUP BY 1 ORDER BY 1"""
 
   /** Window function: rank orders within each customer, keep each
     * customer's single largest order. One shuffle on the partition key.

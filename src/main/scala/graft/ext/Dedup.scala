@@ -925,8 +925,8 @@ object Dedup {
 
   /** Portable 16-bit SimHash: per token, md5 nibbles 1..16 vote +1/-1 on
     * the corresponding bit; the sign of each bit-sum is the fingerprint
-    * bit. md5-based so Spark and DuckDB compute identical fingerprints.
-    * (The 64-bit xxhash64 variant below is the faster engine-local path.)
+    * bit. md5-based so Spark and DuckDB compute identical fingerprints,
+    * like the 64-bit variant below (same hash, 4x the bits).
     *
     * Runs through the codegen'd [[graft.ext.expr.Simhash16Expr]]: the
     * previous explode + groupBy + 16 conditional sums shuffled every
@@ -986,16 +986,18 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash fingerprint — engine-local scale path;
-    * [[simhashNearDup]] bands it into 4x16-bit blocks for pair
-    * generation (hamming<=3 guarantees a matching block).
+  /** 64-bit SimHash fingerprint; [[simhashNearDup]] bands it into
+    * 4x16-bit blocks for pair generation (hamming<=3 guarantees a
+    * matching block).
     *
     * Default path is the native codegen'd expression
     * [[graft.ext.expr.Simhash64Expr]] (`graft_simhash64`): per-token
-    * xxhash64 (seed 42) votes +-1 per bit, fingerprint bit = vote sign,
-    * computed zero-copy off the column's backing bytes INSIDE
-    * WholeStageCodegen — columnar scan input preserved, no row
-    * deserialization. [[simhash64Kernel]] is the mapPartitions
+    * md5-high-64 (first 8 digest bytes big-endian — reconstructible in
+    * any engine from the md5 hex string, so the fingerprints are an
+    * engine-independent contract and the DuckDB oracle replays them
+    * bit-for-bit) votes +-1 per bit, fingerprint bit = vote sign,
+    * computed INSIDE WholeStageCodegen — columnar scan input preserved,
+    * no row deserialization. [[simhash64Kernel]] is the mapPartitions
     * formulation of the identical hash, kept as the registration-free
     * fallback; ExtSpec pins them bit-equal.
     */
@@ -1007,8 +1009,8 @@ object Dedup {
   }
 
   /** mapPartitions fallback for [[simhash64]] — same fingerprints via
-    * the same static kernel contract (String.split(' ') tokens, XXH64
-    * seed 42); no function registration required.
+    * the same static kernel contract (split(" ", -1) tokens, md5 high
+    * 64 bits big-endian); no function registration required.
     */
   def simhash64Kernel(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -1016,15 +1018,15 @@ object Dedup {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (docId, text) =>
           val votes = new Array[Int](64)
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1)
           var i = 0
           while (i < toks.length) {
-            val w = toks(i)
-            val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-              b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+            md.reset()
+            md.update(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val h = graft.ext.expr.TextKernels.md5High64(md.digest())
             var j = 0
             while (j < 64) {
               votes(j) += (((h >>> j) & 1L).toInt << 1) - 1 // bit -> +1/-1
@@ -1041,4 +1043,55 @@ object Dedup {
       .toDF("doc_id", "simhash64")
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB SQL replay of [[simhash64]]: per token, bit j of the hash
+    * is recovered from md5 hex char `16 - j/4` (the 64-bit value is the
+    * first 16 hex chars big-endian, so nibble `j/4`-from-LSB lives at
+    * 1-based char `16 - j/4`), votes summed per (doc, bit), fingerprint
+    * assembled with signed bit-63 handling. Same replay-the-engine-hash
+    * pattern as [[graft.ext.Similarity.annTopKOracleSql]].
+    */
+  def simhash64OracleSql(table: String = "documents"): String =
+    s"""${simhash64FpCte(table)}
+SELECT doc_id, f AS simhash64 FROM fp ORDER BY doc_id"""
+
+  /** DuckDB SQL replay of [[simhashNearDup]]: fingerprints via
+    * [[simhash64OracleSql]]'s CTE, banded into the same 4x16-bit
+    * blocks, candidate pairs from block-key equality, exact hamming on
+    * candidates only — the oracle runs the SAME approximate algorithm,
+    * so it checks the real banded answer, not an all-pairs idealization.
+    */
+  def simhashNearDupOracleSql(table: String = "documents", maxHamming: Int = 3): String =
+    s"""${simhash64FpCte(table)},
+blocks AS (
+  SELECT doc_id, f, b.blk, (f >> (b.blk * 16)) & 65535 AS key
+  FROM fp, range(4) b(blk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $maxHamming
+ORDER BY doc_a, doc_b"""
+
+  /** Shared `WITH ... fp(doc_id, f)` prefix for the simhash64 oracles. */
+  private def simhash64FpCte(table: String): String =
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $table
+),
+votes AS (
+  SELECT doc_id, r.j,
+    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), 16 - (r.j // 4), 1)) - 1)
+                   >> (r.j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks, range(64) r(j)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN v >= 0 THEN
+      CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE (CAST(1 AS BIGINT) << j) END
+    ELSE 0 END) AS BIGINT) AS f
+  FROM votes GROUP BY 1
+)"""
 }

@@ -81,16 +81,51 @@ object Multimodal {
     * digest of the vector (cross-row identity) and the argmax bin (the
     * dominant byte range, i.e. the stub's "top class"). Downstream
     * consumers that need the full vector call [[extractFeatures]];
-    * result-exchange layers (and the round driver's rows-only check)
-    * get hashable columns.
+    * result-exchange layers (and the DuckDB oracle) get hashable
+    * columns. The digest is taken over the INTEGER bin counts — not the
+    * normalized floats, whose engine-specific decimal formatting would
+    * never hash-match — recovered exactly from `f = c/n` by
+    * `round(f * n)` (float32 relative error 2^-24 times counts <= a few
+    * thousand is far below 0.5). Argmax over counts == argmax over
+    * normalized floats, so [[featureDigestOracleSql]] can replay both
+    * from a plain byte histogram.
     */
   def featureDigest(docs: DataFrame, bins: Int = 16): DataFrame =
     extractFeatures(docs, bins)
       .select(
         col("doc_id"), col("n_bytes"),
-        md5(concat_ws(",", col("features").cast("array<string>"))).as("features_md5"),
+        md5(concat_ws(",",
+          transform(col("features"),
+            f => round(f.cast("double") * greatest(col("n_bytes"), lit(1L)).cast("double"))
+              .cast("long").cast("string")))).as("features_md5"),
         expr("array_position(features, array_max(features))").cast("bigint").as("argmax_bin"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB SQL replay of [[featureDigest]]: the decode stub is a
+    * per-byte histogram (bin = byte div 16 with the default 16 bins),
+    * which SQL rebuilds via `ascii(substr(text, pos, 1))` — exact on
+    * this printable-ASCII fixture, where chars == UTF-8 bytes (the same
+    * equivalence the green `m_pixel_stats` oracle already relies on).
+    * Zero bins are materialized through a `range(bins)` cross join so
+    * the digest covers all `bins` positions; `list_position(list(c),
+    * max(c))` reproduces `array_position(features, array_max(...))`
+    * first-max semantics.
+    */
+  def featureDigestOracleSql(bins: Int = 16, table: String = "documents"): String =
+    s"""WITH h AS (
+  SELECT doc_id, ascii(substr(text, pos, 1)) * $bins // 256 AS bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM $table, unnest(range(1, length(text) + 1)) t(pos)
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes, r.bin, COALESCE(h.c, 0) AS c
+  FROM $table d CROSS JOIN range($bins) r(bin)
+  LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = r.bin
+)
+SELECT doc_id, n_bytes,
+  md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin)) AS features_md5,
+  CAST(list_position(list(c ORDER BY bin), max(c)) AS BIGINT) AS argmax_bin
+FROM v GROUP BY 1, 2 ORDER BY doc_id"""
 
   /** Cross-document FRAME dedup: fingerprints occurring in more than
     * one (doc, frame) slot — the video/image dedup shape (near-identical

@@ -799,9 +799,10 @@ object TextOps {
     * ~1e5-1e6 types even for TB-scale corpora) and enforced by the hard
     * `maxVocab` gate. This is also how production tokenizer trainers
     * (SentencePiece, HF tokenizers) structure it: distributed count,
-    * local merge loop. Engine-local by nature (greedy sequential state)
-    * — declared without a SQL oracle; correctness is pinned by the
-    * constructed-corpus spec.
+    * local merge loop. The greedy sequential state is nevertheless
+    * SQL-replayable round by round — [[bpeOracleSql]] unrolls the merge
+    * loop as a bounded CTE chain — so the operator is oracle-gated in
+    * addition to the constructed-corpus spec.
     */
   def bpeMerges(
       docs: DataFrame,
@@ -853,6 +854,51 @@ object TextOps {
     }
     out.toSeq.toDF("merge_rank", "left", "right", "pair_freq")
       .orderBy(col("merge_rank"))
+  }
+
+  /** DuckDB SQL replay of [[bpeMerges]]: the merge loop unrolled as a
+    * bounded CTE chain (one `s/p/b/r` quadruple per round). Each word
+    * type is carried as a delimiter-wrapped symbol string
+    * (`<h><e><l><l><o>`); applying merge (l, r) is then ONE
+    * `replace(repr, '<l><r>', '<lr>')` — SQL `replace` substitutes
+    * non-overlapping occurrences left-to-right, which is EXACTLY the
+    * greedy scan the Scala merge loop performs (back-to-back
+    * occurrences don't share characters because each symbol carries its
+    * own delimiters, and for self-pairs like (a,a) on `aaa` both sides
+    * merge the first two and leave the third). Tie-break `ORDER BY c
+    * DESC, l, r` under DuckDB's binary collation equals the Scala
+    * `minBy (-c, a, b)` string ordering on this ASCII corpus. Safe
+    * because the fixture text contains no `<`/`>` (asserted by the
+    * round's oracle run itself: any collision would break the hash
+    * match).
+    */
+  def bpeOracleSql(merges: Int = 8, table: String = "documents"): String = {
+    val sb = new StringBuilder
+    sb ++= raw"""WITH r0 AS (
+  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS repr, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $table)
+  WHERE w <> '' GROUP BY 1
+)"""
+    for (i <- 1 to merges) {
+      val p = i - 1
+      sb ++= s""",
+s$i AS (SELECT string_split(substr(repr, 2, length(repr) - 2), '><') AS syms, f FROM r$p),
+p$i AS (
+  SELECT syms[j] AS l, syms[j + 1] AS r, CAST(SUM(f) AS BIGINT) AS c
+  FROM s$i, unnest(range(1, len(syms))) t(j)
+  GROUP BY 1, 2
+),
+b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+r$i AS (
+  SELECT replace(repr, '<' || b$i.l || '><' || b$i.r || '>',
+                 '<' || b$i.l || b$i.r || '>') AS repr, f
+  FROM r$p, b$i
+)"""
+    }
+    sb ++= (1 to merges).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS merge_rank, l AS "left", r AS "right", c AS pair_freq FROM b$i""")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
+    sb.toString
   }
 
   /** Automated Readability Index per document (Senter & Smith 1967):

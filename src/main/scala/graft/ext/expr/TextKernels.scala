@@ -6,10 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static text kernels shared by the interpreted and generated paths of
@@ -21,40 +20,47 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** 64-bit SimHash over whitespace tokens: each token's XXH64 (seed 42,
-    * bit-identical to the `xxhash64()` SQL function) votes +-1 per bit;
-    * fingerprint bit = vote sign. Zero-copy: tokens are hashed straight
-    * off the UTF8String's backing memory (a 0x20 byte never occurs
-    * inside a multi-byte UTF-8 sequence, so byte-scanning for spaces is
-    * exact).
+  /** 64-bit SimHash over whitespace tokens: each token's 64-bit hash —
+    * the first 8 md5 digest bytes read big-endian, so Spark and DuckDB
+    * compute identical values from `md5(token)` hex — votes +-1 per
+    * bit; fingerprint bit = vote sign. Token semantics are Spark's
+    * `split(text, " ", -1)` (EVERY run between spaces counts, empties
+    * included), which is also DuckDB `string_split`'s convention — the
+    * two properties that make [[graft.ext.Dedup.simhash64]] exactly
+    * replayable as a SQL oracle. (An engine-local deployment that never
+    * cross-checks against another engine could swap in XXH64 here for
+    * ~3x cheaper token hashing; the portable md5 form is the default
+    * because fingerprint bits are then an engine-independent contract.)
     */
   def simhash64(s: UTF8String): Long = {
     val votes = new Array[Int](64)
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
-    val n = s.numBytes
-    // String.split(' ') drops trailing empty tokens: scan back over
-    // trailing spaces; all-spaces (end==0, n>0) means zero tokens,
-    // while the empty string is ONE empty token.
-    var end = n
-    while (end > 0 && Platform.getByte(base, off + end - 1) == ' '.toByte) end -= 1
-    if (end == 0) {
-      if (n == 0) vote(votes, XXH64.hashUnsafeBytes(base, off, 0, 42L))
-    } else {
-      var start = 0
-      var i = 0
-      while (i <= end) {
-        if (i == end || Platform.getByte(base, off + i) == ' '.toByte) {
-          vote(votes, XXH64.hashUnsafeBytes(base, off + start, i - start, 42L))
-          start = i + 1
-        }
-        i += 1
+    val bytes = s.getBytes
+    val md = md5Local.get()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        vote(votes, md5High64(md.digest()))
+        start = i + 1
       }
+      i += 1
     }
     var fp = 0L
     var j = 0
     while (j < 64) { if (votes(j) >= 0) fp |= 1L << j; j += 1 }
     fp
+  }
+
+  /** First 8 md5 digest bytes as a big-endian long — the value DuckDB
+    * reconstructs from hex chars 1..16 of `md5(token)`.
+    */
+  @inline def md5High64(d: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
   }
 
   @inline private def vote(votes: Array[Int], h: Long): Unit = {
@@ -202,8 +208,8 @@ object Simhash64Expr {
 
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[Simhash64Expr].getName, null, name,
-    "_FUNC_(text) - 64-bit SimHash of whitespace tokens (xxhash64 token " +
-      "votes, codegen'd).", "")
+    "_FUNC_(text) - 64-bit SimHash of whitespace tokens (md5-high-64 " +
+      "token votes, codegen'd; matches the SQL md5 formulation).", "")
 
   val builder: Seq[Expression] => Expression = {
     case Seq(t) => Simhash64Expr(t)

@@ -356,10 +356,13 @@ class ExtSpec extends SparkSpec {
 
   test("simhashNearDup: banded blocking finds the close pair, not the unrelated one") {
     import spark.implicits._
-    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // one differing token in 200: vote margins are ~sqrt(200) per bit, so
+    // a single +-2 vote swing flips at most a few bits (hamming 1 under
+    // the md5-high-64 kernel; asserted <= 3 to stay robust, not exact)
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
     val df = Seq(
       (1L, base),
-      (2L, base.replace("tok40", "tok41")),  // one token differs -> tiny hamming
+      (2L, base.replace("tok200", "tok201")),  // one token differs -> tiny hamming
       (3L, (100 to 140).map(i => s"zzz$i").mkString(" "))).toDF("doc_id", "text")
     val pairs = Dedup.simhashNearDup(df, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
