@@ -53,8 +53,10 @@ object Bench {
         if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
       walk(d)
     } catch { case _: Throwable => 0L }
+    // floored at 1: cpus < 4 with a sub-64MB fixture would otherwise
+    // resolve to 0, which Spark rejects as a shuffle-partition count
     val volumeSized =
-      math.max(cpus.toInt / 4, (dirBytes / (64L << 20)).toInt).toString
+      math.max(1, math.max(cpus.toInt / 4, (dirBytes / (64L << 20)).toInt)).toString
     // Dev-only experiment knobs (committed artifacts always use the
     // defaults): decouple shuffle partitions from the volume rule, and
     // allow timing the AQE loop's own overhead on sub-second queries.

@@ -116,13 +116,17 @@ object Tables {
   // deployment does once at table registration (a metastore table's
   // schema and InMemoryFileIndex are session-cached by Spark itself;
   // DuckDB's CREATE VIEW equally binds schema once). The relation is an
-  // immutable logical plan, safe to share across queries. Keyed weakly
-  // by session so a stopped session's relations are collectable, and by
-  // path so multiple scale factors coexist. Fixture paths are
-  // immutable-by-contract (TESTDATA.md); mutable-table paths (sink
-  // round-trips) never go through Tables.read.
+  // immutable logical plan, safe to share across queries. Keyed by
+  // session (and by path so multiple scale factors coexist) and evicted
+  // EXPLICITLY when the session's context ends: weak-key semantics
+  // alone can't reclaim the entry, because each cached DataFrame
+  // strongly references its SparkSession and so pins its own key — the
+  // listener below is what actually bounds the map in multi-session
+  // processes (test suites). Fixture paths are immutable-by-contract
+  // (TESTDATA.md); mutable-table paths (sink round-trips) never go
+  // through Tables.read.
   private val scanCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+    new java.util.HashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark refuses
@@ -136,6 +140,11 @@ object Tables {
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
         scanCache.put(spark, m)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            scanCache.synchronized { scanCache.remove(spark): Unit }
+        })
       }
       m
     }

@@ -822,16 +822,19 @@ object Curation {
     * Scale shape: shingles are array-local (`transform` over the token
     * array — codegen, no UDF), deduplicated per doc BEFORE the explode,
     * and shuffle as xxhash64 fingerprints. Per-doc shingle counts come
-    * straight off the array (`size` — zero shuffle); the exploded frame
-    * feeds exactly ONE wide aggregate, `groupBy(sh).min(doc)` (hash
-    * aggregate with map-side partials — no sort, unlike a window-min,
-    * whose per-partition sort over the full |docs|×|shingles| frame
-    * measured 2-4× slower and GC-noisy). The owner frame is one row
-    * per DISTINCT shingle and collapses to |docs| rows before the
-    * join back, so the join probe is small. Per-doc novelty is an
-    * exact basis-point integer; the bucket average divides exact
-    * integer sums. The per-source window orders the already-aggregated
-    * |docs|-row frame, partitioned by source.
+    * straight off the array (`size` — zero shuffle). The exploded frame
+    * feeds `groupBy(sh).min(doc)` (hash aggregate with map-side
+    * partials — no sort, unlike a window-min, whose per-partition sort
+    * over the full |docs|×|shingles| frame measured 2-4× slower and
+    * GC-noisy), and first-seen counts then collapse by
+    * `groupBy(first_doc).count()` — every aggregation value is a
+    * BOUNDED scalar, so a corpus-wide hot shingle (boilerplate 3-gram
+    * held by every doc) costs one long of state, not a |docs|-element
+    * buffer (the collect_list formulation this replaced OOMs on exactly
+    * that key at scale). The two |docs|-row frames join on the doc key.
+    * Per-doc novelty is an exact basis-point integer; the bucket
+    * average divides exact integer sums. The per-source window orders
+    * the already-aggregated |docs|-row frame, partitioned by source.
     */
   def ngramNovelty(
       docs: DataFrame,
@@ -843,30 +846,27 @@ object Curation {
     // shingles shuffle/join as 8-byte xxhash64 fingerprints, never as
     // strings (same policy as the Jaccard pair pipeline): a collision
     // merges two shingles' first-seen attribution — P ~ n^2/2^65,
-    // orders of magnitude below the metric's 1e-4 output grid
-    // ONE shingle-generation pass (the expensive part: tokenize +
-    // 3-gram transform + per-doc distinct), then the gramCoverage
-    // one-aggregate shape: group by fingerprint carrying the holder
-    // list, re-explode, and fold per doc. Two hash shuffles, no
-    // sort-based window, no second scan of the text. The holder list
-    // per shingle is the shingle's duplication factor (small by
-    // construction — a shingle shared by the whole corpus is exactly
-    // the hot-shingle case the df-capped pipelines already bound).
+    // orders of magnitude below the metric's 1e-4 output grid.
+    // n_new per doc == |{shingles whose min holder is this doc}|, so
+    // the exploded frame needs only min-then-count — two hash
+    // aggregates whose state is one scalar per key, hot-shingle-proof.
     val docSh = graft.Tables.spread(docs)
       .select(col(keyCol), explode(shingles).as("sh0"))
       .select(col(keyCol), xxhash64(col("sh0")).as("sh"))
-    val per = docSh
+    val firstSeen = docSh
       .groupBy(col("sh"))
-      .agg(min(col(keyCol)).as("fd"), collect_list(col(keyCol)).as("ks"))
-      .select(col("fd"), explode(col("ks")).as(keyCol))
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).cast("long").as("n_sh"),
-        sum(when(col("fd") === col(keyCol), 1L).otherwise(0L))
-          .cast("long").as("n_new"))
-      // source is functionally dependent on the doc key: re-attach it
-      // from the |docs|-row projection instead of dragging the string
-      // through both wide shuffles
-      .join(docs.select(col(keyCol), col("source")), Seq(keyCol))
+      .agg(min(col(keyCol)).as("fd"))
+      .groupBy(col("fd"))
+      .agg(count(lit(1)).cast("long").as("n_new"))
+      .withColumnRenamed("fd", keyCol)
+    // n_sh straight off the per-doc distinct-shingle array — second
+    // cheap scan of text, zero shuffle; docs below 3 tokens have no
+    // shingles and stay out of the curve (as when explode dropped them)
+    val per = docs
+      .select(col(keyCol), col("source"), size(shingles).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
+      .join(firstSeen, Seq(keyCol), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
       .withColumn("bp", expr("(n_new * 10000L) div n_sh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col(keyCol))

@@ -764,7 +764,7 @@ object Dedup {
   def clusterPairsStar(
       pairs: DataFrame,
       maxIter: Int = 50,
-      driverEdgeMax: Long = 200000L): DataFrame = {
+      driverEdgeMax: Long = Graph.DriverEdgeMaxDefault): DataFrame = {
     val spark = pairs.sparkSession
     // checkpoint the input ONCE: `nodes` and `e` both derive from it, and
     // without truncation each would re-run the whole upstream pipeline

@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Default measured-volume gate for the driver fast paths (pageRank /
+    * kCore / labelPropagation): edge lists at or below this run the
+    * iteration locally, larger graphs run the relational rounds. Named
+    * (rather than a per-signature literal) so audits — tools/GateAudit —
+    * report against the SAME value the operators decide with.
+    */
+  val DriverEdgeMaxDefault: Long = 200000L
+
+  /** HITS fast-path bound. Also the HARD long-arithmetic cap: scores
+    * grow at worst like E^iters, and 1e6^3 < 2^63 keeps the exact long
+    * sums overflow-free at iters <= 3, so [[hitsBipartite]] clamps any
+    * caller-raised driverEdgeMax to this for the local path.
+    */
+  val HitsDriverEdgeMax: Long = 1000000L
+
   /** K-iteration PageRank on an UNDIRECTED pair graph (each pair
     * contributes both directions; rank flows along both). rank_0 =
     * 1/N; rank_{t+1}(v) = (1-d)/N + d * sum over in-neighbors u of
@@ -36,7 +51,7 @@ object Graph {
       bCol: String,
       iters: Int = 3,
       damping: Double = 0.85,
-      driverEdgeMax: Long = 200000L): DataFrame = {
+      driverEdgeMax: Long = DriverEdgeMaxDefault): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"iters=$iters damping=$damping out of range")
     val spark = pairs.sparkSession
@@ -257,7 +272,7 @@ object Graph {
     * paths' equality is test-pinned.
     */
   def kCore(pairs: DataFrame, aCol: String, bCol: String,
-      k: Int = 3, rounds: Int = 32, driverEdgeMax: Long = 200000L): DataFrame = {
+      k: Int = 3, rounds: Int = 32, driverEdgeMax: Long = DriverEdgeMaxDefault): DataFrame = {
     val spark = pairs.sparkSession
     var e = pairs.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
@@ -374,7 +389,7 @@ object Graph {
     */
   def hitsBipartite(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, k: Int = 20, driverEdgeMax: Long = 1000000L): DataFrame = {
+      iters: Int = 3, k: Int = 20, driverEdgeMax: Long = HitsDriverEdgeMax): DataFrame = {
     import graft.ext.Num.trunc4
     require(iters >= 1, s"iters=$iters")
     val spark = edges.sparkSession
@@ -399,7 +414,7 @@ object Graph {
     // division (long->double and decimal(38,0)->double both
     // round-to-nearest on identical integer values), so the trunc4
     // grid agrees even above 2^53.
-    if (iters <= 3 && e.count() <= math.min(driverEdgeMax, 1000000L)) {
+    if (iters <= 3 && e.count() <= math.min(driverEdgeMax, HitsDriverEdgeMax)) {
       import spark.implicits._
       val es = e.select(col("src"), col("dst")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
@@ -535,7 +550,7 @@ object Graph {
     * node has >= 1 neighbor by construction.
     */
   def lpaCommunities(pairs: DataFrame, aCol: String, bCol: String,
-      rounds: Int = 3, driverEdgeMax: Long = 200000L): DataFrame = {
+      rounds: Int = 3, driverEdgeMax: Long = DriverEdgeMaxDefault): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of range")
     val spark = pairs.sparkSession
     val und = pairs.select(

@@ -27,8 +27,8 @@ object GateAudit {
     val docs = graft.Tables.read(spark, dir, "documents")
     val pairs = graft.ext.Dedup.ngramJaccardPairs(docs).count()
     println(s"[gate] ngramJaccardPairs (d_pagerank input): $pairs pairs " +
-      s"-> ${2 * pairs} directed edges vs pageRank driverEdgeMax=200000 " +
-      s"=> ${if (2 * pairs > 200000) "DISTRIBUTED" else "driver"}")
+      s"-> ${2 * pairs} directed edges vs pageRank driverEdgeMax=${graft.ext.Graph.DriverEdgeMaxDefault} " +
+      s"=> ${if (2 * pairs > graft.ext.Graph.DriverEdgeMaxDefault) "DISTRIBUTED" else "driver"}")
 
     val hitsEdges = graft.Tables.read(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
@@ -37,13 +37,13 @@ object GateAudit {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_partkey")).distinct().count()
     println(s"[gate] distinct (cust,part) (q_hits input): $hitsEdges edges " +
-      s"vs hitsBipartite driverEdgeMax=1000000 " +
-      s"=> ${if (hitsEdges > 1000000) "DISTRIBUTED" else "driver"}")
+      s"vs hitsBipartite driverEdgeMax=${graft.ext.Graph.HitsDriverEdgeMax} " +
+      s"=> ${if (hitsEdges > graft.ext.Graph.HitsDriverEdgeMax) "DISTRIBUTED" else "driver"}")
 
     val nearDup = graft.ext.Dedup.minhashDedup(docs).count()
     println(s"[gate] minhashDedup pairs (cluster family input): $nearDup pairs " +
-      s"vs clusterPairsStar driverEdgeMax=200000 " +
-      s"=> ${if (nearDup > 200000) "DISTRIBUTED" else "driver"}")
+      s"vs clusterPairsStar driverEdgeMax=${graft.ext.Graph.DriverEdgeMaxDefault} " +
+      s"=> ${if (nearDup > graft.ext.Graph.DriverEdgeMaxDefault) "DISTRIBUTED" else "driver"}")
 
     spark.stop()
   }

@@ -3241,4 +3241,19 @@ class ExtSpec extends SparkSpec {
     // avg bp = (10000 + 0 + 10000) div 3 = 6666 -> 0.6666
     assert(r.head.getAs[Double]("novelty4") === 0.6666)
   }
+
+  test("ngram novelty: corpus-wide hot shingle (every doc identical) aggregates bounded state") {
+    import spark.implicits._
+    // the hot-shingle case: ONE shingle held by every document. The
+    // min-then-count formulation carries a single scalar per key; the
+    // collect_list formulation it replaced would have buffered all 200
+    // doc ids under one aggregation key (OOM shape at corpus scale).
+    val docs = (1L to 200L).map(i => (i, "s", "same old boilerplate"))
+      .toDF("doc_id", "source", "text")
+    val r = Curation.ngramNovelty(docs, bucketSize = 100).collect()
+    assert(r.length === 2) // 200 docs / bucket 100
+    // bucket 0 holds doc 1 (novelty 1.0) + 99 copies: avg bp = 10000 div 100
+    assert(r(0).getAs[Double]("novelty4") === 0.01)
+    assert(r(1).getAs[Double]("novelty4") === 0.0)
+  }
 }
