@@ -848,25 +848,34 @@ object Curation {
     // merges two shingles' first-seen attribution — P ~ n^2/2^65,
     // orders of magnitude below the metric's 1e-4 output grid.
     // n_new per doc == |{shingles whose min holder is this doc}|, so
-    // the exploded frame needs only min-then-count — two hash
-    // aggregates whose state is one scalar per key, hot-shingle-proof.
+    // the exploded frame needs only min-then-count; n_sh per doc is a
+    // plain count — three hash aggregates whose state is ONE scalar per
+    // key, hot-shingle-proof (the collect_list holder-list formulation
+    // this replaced buffered every doc id under a corpus-wide
+    // boilerplate shingle). The hashed (doc, sh) stream is checkpointed
+    // lazily because two aggregates fan out from it: the shingle kernel
+    // (tokenize + 3-gram transform + per-doc distinct — the expensive
+    // part) runs ONCE, and what's held is 16-byte pairs, never strings.
     val docSh = graft.Tables.spread(docs)
       .select(col(keyCol), explode(shingles).as("sh0"))
       .select(col(keyCol), xxhash64(col("sh0")).as("sh"))
+      .localCheckpoint(false)
+    val nSh = docSh
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_sh"))
     val firstSeen = docSh
       .groupBy(col("sh"))
       .agg(min(col(keyCol)).as("fd"))
       .groupBy(col("fd"))
       .agg(count(lit(1)).cast("long").as("n_new"))
       .withColumnRenamed("fd", keyCol)
-    // n_sh straight off the per-doc distinct-shingle array — second
-    // cheap scan of text, zero shuffle; docs below 3 tokens have no
-    // shingles and stay out of the curve (as when explode dropped them)
-    val per = docs
-      .select(col(keyCol), col("source"), size(shingles).cast("long").as("n_sh"))
-      .filter(col("n_sh") > 0)
+    // docs below 3 tokens have no shingles, never enter docSh, and stay
+    // out of the curve (same semantics as the original exploded frame);
+    // source re-attaches from the column-pruned |docs|-row projection
+    val per = nSh
       .join(firstSeen, Seq(keyCol), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .join(docs.select(col(keyCol), col("source")), Seq(keyCol))
       .withColumn("bp", expr("(n_new * 10000L) div n_sh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col(keyCol))

@@ -296,8 +296,17 @@ object Dedup {
   def containmentPairs(
       docs: DataFrame,
       n: Int = 3,
+      minContainment: Double = 0.5): DataFrame =
+    containmentFromShingles(shingleHashes(docs, n), minContainment)
+
+  /** [[containmentPairs]] over an already-built hashed-shingle frame —
+    * the seam that lets a materialized (doc_id, shingle-hash) index
+    * feed every scorer in the family without re-running the tokenize
+    * kernel per consumer.
+    */
+  def containmentFromShingles(
+      sh: DataFrame,
       minContainment: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     intersectionCounts(sh)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
@@ -528,6 +537,11 @@ object Dedup {
     // duplicated crawl, so a forced broadcast would be an unbounded
     // driver/executor ceiling; AQE still converts to broadcast at
     // runtime whenever the side is actually small.
+    // NOT checkpointed: pairJaccard references the frame twice (sizes +
+    // intersection), but the candidate set is small post-LSH and the
+    // double kernel evaluation measured CHEAPER than materializing the
+    // frame (0.93s vs 1.40s at sf0.1 — the checkpoint's blocking job +
+    // lost pipelining outweigh one extra pass over candidates)
     val shCand = shingleHashes(docs.join(candDocs, Seq("doc_id"), "left_semi"), n)
     pairJaccard(shCand, minJaccard)
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
@@ -562,8 +576,16 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       rowsPerBand: Int = 4,
-      minJaccard: Double = 0.9): DataFrame = {
-    val clusters = nearDupClusters(docs, n, numHashes, rowsPerBand, minJaccard)
+      minJaccard: Double = 0.9): DataFrame =
+    keepListFromClusters(nearDupClusters(docs, n, numHashes, rowsPerBand, minJaccard), docs)
+
+  /** The decision layer of [[dedupKeepList]] over an ALREADY-COMPUTED
+    * cluster assignment — split out so a materialized near-dup pair /
+    * cluster table (the artifact a production dedup stage persists once
+    * per corpus snapshot) can feed it without re-running the MinHash
+    * pipeline.
+    */
+  def keepListFromClusters(clusters: DataFrame, docs: DataFrame): DataFrame = {
     val sized = clusters.join(
       docs.select(col("doc_id").cast("long").as("doc_id"), col("n_chars")), "doc_id")
     val w = org.apache.spark.sql.expressions.Window
