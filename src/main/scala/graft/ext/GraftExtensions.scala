@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.ext.expr.{ArrayDotProduct, Int128Sum, KernelRewriteRule, RepCountsExpr, Simhash16Expr, Simhash64Expr, TokenEntropyExpr, WordSetHits}
+import graft.ext.expr.{ArrayDotProduct, CompactResultSortRule, Int128Sum, KernelRewriteRule, RepCountsExpr, Simhash16Expr, Simhash64Expr, TokenEntropyExpr, WordSetHits}
 
 /** SparkSessionExtensions entry point: wire graft's native functions
   * into any session via
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plan-level rewrite: declarative size(filter(split, IN-set)) ->
     // the codegen'd graft_word_hits kernel (see KernelRewriteRule)
     ext.injectOptimizerRule(_ => KernelRewriteRule)
+    // plan-level rewrite: result-delivery global sort -> one-partition
+    // local sort when shuffle partitions are volume-sized small
+    // (see CompactResultSortRule — never fires at cluster scale)
+    ext.injectOptimizerRule(_ => CompactResultSortRule)
   }
 }
