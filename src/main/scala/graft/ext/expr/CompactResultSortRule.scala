@@ -21,14 +21,24 @@ import org.apache.spark.sql.internal.SQLConf
   * sampling pass) and sorts it locally: an identical total order,
   * produced by one shuffle and zero extra jobs.
   *
-  * Scale honesty — the rule is keyed to the SAME volume signal that
-  * sizes shuffle partitions (Bench sizes
-  * `spark.sql.shuffle.partitions` at ~64 MB of input per partition):
-  * it fires only when the session's shuffle-partition count is <= 16,
-  * i.e. when the ENTIRE input is ~1 GB or less, so any frame reaching a
-  * final sort is single-task sized by construction. On a real cluster
-  * (thousands of shuffle partitions) the rule never fires and large
-  * sorted outputs keep the parallel range-partitioned sort.
+  * Scale honesty — two independent gates, both required:
+  *  - SESSION: the session's shuffle-partition count must be <= 16
+  *    (Bench sizes `spark.sql.shuffle.partitions` at ~64 MB of input
+  *    per partition, so <= 16 means the ENTIRE input is ~1 GB or
+  *    less). On a real cluster (thousands of shuffle partitions) the
+  *    rule never fires and large sorted outputs keep the parallel
+  *    range-partitioned sort.
+  *  - PER PLAN: the sort child's estimated `stats.sizeInBytes` must be
+  *    <= `spark.graft.compactSortMaxBytes` (default 8 MB — estimates
+  *    derive from COMPRESSED scan bytes, so 8 MB of estimate is tens
+  *    of MB of rows: comfortably one sort task, far above any
+  *    result-delivery frame). This keeps wide map-side frames — an
+  *    unpivot Expand of the fact table sorts millions of rows, where
+  *    the parallel range sort beats a one-task local sort even after
+  *    paying the sampling re-execution (measured: t12_unpivot 1.4s
+  *    range-parallel vs 2.3s gathered at sf0.1) — on the
+  *    planner-chosen shape, while result-sized aggregates (whose
+  *    width-ratio-scaled estimates are small) take the compact path.
   *
   * Matched conservatively: only the outermost Sort, reached from the
   * plan root through row-preserving, order-preserving wrappers
@@ -59,7 +69,7 @@ object CompactResultSortRule extends Rule[LogicalPlan] {
     * planner-chosen shape.
     */
   private def rewriteRoot(plan: LogicalPlan): LogicalPlan = plan match {
-    case s @ Sort(_, true, child, _) if !alreadyCompact(child) =>
+    case s @ Sort(_, true, child, _) if !alreadyCompact(child) && resultSized(child) =>
       s.copy(global = false,
         child = Repartition(numPartitions = 1, shuffle = true, child = child))
     case p: Project => p.copy(child = rewriteRoot(p.child))
@@ -71,5 +81,18 @@ object CompactResultSortRule extends Rule[LogicalPlan] {
   private def alreadyCompact(child: LogicalPlan): Boolean = child match {
     case Repartition(1, _, _) => true
     case _ => false
+  }
+
+  /** Size-estimate gate: only gather frames whose logical stats say
+    * "one sort task" (see the scale-honesty note above for why 8 MB of
+    * COMPRESSED-byte-derived estimate is the right order). Estimates
+    * can under-read exploded frames — the cost of a miss is a single
+    * oversized local sort, bounded by the session gate's ~1 GB total
+    * input, and the conf is the escape hatch.
+    */
+  private def resultSized(child: LogicalPlan): Boolean = {
+    val maxBytes = BigInt(SQLConf.get
+      .getConfString("spark.graft.compactSortMaxBytes", (8L << 20).toString))
+    child.stats.sizeInBytes <= maxBytes
   }
 }

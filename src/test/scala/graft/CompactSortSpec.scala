@@ -41,6 +41,19 @@ class CompactSortSpec extends SparkSpec {
     assert(topk.count() == 5)
   }
 
+  test("large-frame final sorts keep the parallel range sort") {
+    // an unpivot-style Expand over the fact table sorts millions of
+    // rows at bench scale — the stats gate must leave it range-parted
+    spark.conf.set("spark.graft.compactSortMaxBytes", "1024")
+    try {
+      val big = t("lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val p = planOf(big)
+      assert(p.contains("rangepartitioning"),
+        s"stats gate must skip large frames, plan:\n${p.take(800)}")
+    } finally spark.conf.unset("spark.graft.compactSortMaxBytes")
+  }
+
   test("mid-plan sorts and large-partition sessions are untouched") {
     // the rule only ever fires when shuffle partitions <= 16 — at
     // cluster scale (volume-sized partitions in the hundreds+) the
