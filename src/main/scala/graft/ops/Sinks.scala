@@ -335,6 +335,17 @@ object Sinks {
   /** K3 — JDBC write (reference: simple_etl.py:390-404,
     * `to_sql(if_exists='replace')` => overwrite). Exercised end-to-end
     * against embedded Derby (s5_jdbc_roundtrip query, OpsSpec).
+    *
+    * MySQL dialect delta (the reference pins mysql-connector-python,
+    * requirements.txt + simple_etl.py:101,115,400): Spark's JDBC
+    * writer resolves per-URL dialects through its JdbcDialects
+    * registry — a `jdbc:mysql:` URL gets backtick identifier quoting,
+    * TEXT/BLOB type mapping, and boolean handling from the built-in
+    * MySQLDialect with no code change here; only the driver jar on the
+    * classpath differs. `if_exists='replace'` maps to Overwrite
+    * exactly as for Derby (DROP + CREATE, dialect-generated DDL).
+    * Asserted in JdbcDialectSpec (registry + quoting), since no MySQL
+    * server exists in this environment.
     */
   def jdbc(df: DataFrame, url: String, table: String, props: Map[String, String] = Map.empty): DataFrame = {
     val base = df.write.mode(SaveMode.Overwrite).format("jdbc")
