@@ -495,14 +495,48 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     * Returned centroids are integer-valued doubles (exact through
     * parquet round-trips in [[ivfBuildIndex]]/[[ivfLoadIndex]]).
     */
-  private[ext] def trainCentroids(
+  private[graft] def trainCentroids(
       embeddings: DataFrame,
       numCentroids: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int,
+      driverVecMax: Long = KmeansDriverVecMax): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // spread: quantize + nearest-centroid is numCentroids*dim mults
     // per row per Lloyd round (see Tables.spread; no-op on wide scans)
+    // Measured-small driver fast path (same gate family as
+    // [[kmeansExact]]): each Lloyd iter below is a full distributed
+    // job (rdd map + aggregateByKey + collect) — pure scheduling
+    // overhead when the vectors fit the driver. Arithmetic is
+    // identical: same Knuth-hash seed order, same quant6 grid, same
+    // nearest tie-break, exact long sums (order-free) and the same
+    // floor(sum/count) update — so the trained centroids are
+    // bit-equal (pinned in ExtSpec).
+    if (embeddings.count() <= driverVecMax) {
+      val rows = collectVecs(embeddings)
+      if (rows.nonEmpty) {
+        var cents = rows
+          .map(p => ((p._1 * 2654435761L) % 4294967296L, p._1, p._2))
+          .sortBy(t => (t._1, t._2)).take(numCentroids).map(t => quant6(t._3))
+        val dim = cents.head.length
+        for (_ <- 0 until iters) {
+          val sums = scala.collection.mutable.Map[Int, (Array[Long], Long)]()
+          rows.foreach { case (_, v) =>
+            val q = quant6(v)
+            val c = nearest(cents, q)
+            val (acc, n) = sums.getOrElseUpdate(c, (new Array[Long](dim), 0L))
+            var i = 0; while (i < dim) { acc(i) += q(i).toLong; i += 1 }
+            sums(c) = (acc, n + 1)
+          }
+          cents = cents.indices.map { c =>
+            sums.get(c).filter(_._2 > 0)
+              .map { case (s, n) => s.map(x => math.floor(x.toDouble / n.toDouble)) }
+              .getOrElse(cents(c))
+          }.toArray
+        }
+        return cents
+      }
+    }
     val ds = graft.Tables.spread(embeddings
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>")))
       .as[(Long, Array[Double])]
@@ -1556,8 +1590,102 @@ FROM e ORDER BY vec_id"""
     * mini-batching or the IVF trainer's sampled Lloyd is the path (this
     * op is the exact small-k calibration/verification tool).
     */
-  def kmeansExact(embeddings: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+  /** Gate for the Lloyd driver fast path: vector count at or below this
+    * (measured by count(), never assumed) runs the rounds in local
+    * arrays; above it the relational rounds stand. 100k vecs × 64 dims
+    * on the long grid is ~51 MB — comfortably driver-sized; the
+    * distributed path is the honest shape beyond that.
+    */
+  val KmeansDriverVecMax: Long = 100000L
+
+  /** Driver replica of the relational Lloyd rounds shared by
+    * [[kmeansExact]] (m = 1) and [[pqEncode]]: the SAME 1e-6 grid
+    * (floor(x·1e6) longs), the same vec_id<k seeding, the same
+    * (dist, cluster) argmin tie-break, the same floor(sum/count)
+    * centroid update on exact long sums — addition order can't matter,
+    * so outputs are bit-identical to the relational path (pinned in
+    * ExtSpec). Returns the final assignment: (vec_id, sub, cluster,
+    * distSq6) rows, one per (vec, sub) that had any centroid to join.
+    */
+  private def lloydDriver(
+      rows: Array[(Long, Array[Double])],
+      m: Int, subDim: Int, k: Int, rounds: Int): Array[(Long, Int, Long, Long)] = {
+    val x6 = rows.map { case (_, a) => a.map(v => math.floor(v * 1.0e6).toLong) }
+    // per sub: cluster id (the seed vec_id) -> centroid slice
+    var cents: Array[Map[Long, Array[Long]]] = {
+      val seedIdx = rows.indices.filter(i => rows(i)._1 < k)
+      Array.tabulate(m) { s =>
+        seedIdx.map { i =>
+          rows(i)._1 ->
+            java.util.Arrays.copyOfRange(x6(i), s * subDim, (s + 1) * subDim)
+        }.toMap
+      }
+    }
+    // argmin over (dist, cluster) — the relational row_number tie-break
+    def assignOne(i: Int, s: Int): Option[(Long, Long)] = {
+      var bestC = Long.MaxValue; var bestD = Long.MaxValue; var found = false
+      cents(s).foreach { case (c, cs) =>
+        var d = 0L; var j = 0
+        while (j < subDim) {
+          val diff = x6(i)(s * subDim + j) - cs(j); d += diff * diff; j += 1
+        }
+        if (!found || d < bestD || (d == bestD && c < bestC)) {
+          found = true; bestD = d; bestC = c
+        }
+      }
+      if (found) Some((bestC, bestD)) else None
+    }
+    for (_ <- 1 to rounds) {
+      // members per (sub, cluster), then floor-divide mean per dim
+      val next = Array.fill(m)(Map.empty[Long, Array[Long]])
+      val counts = Array.fill(m)(Map.empty[Long, Long])
+      for (s <- 0 until m; i <- rows.indices) assignOne(i, s).foreach { case (c, _) =>
+        val sums = next(s).getOrElse(c, new Array[Long](subDim))
+        var j = 0
+        while (j < subDim) { sums(j) += x6(i)(s * subDim + j); j += 1 }
+        next(s) = next(s).updated(c, sums)
+        counts(s) = counts(s).updated(c, counts(s).getOrElse(c, 0L) + 1L)
+      }
+      cents = Array.tabulate(m) { s =>
+        next(s).map { case (c, sums) =>
+          val nC = counts(s)(c).toDouble
+          c -> sums.map(v => math.floor(v.toDouble / nC).toLong)
+        }
+      }
+    }
+    (for (i <- rows.indices; s <- 0 until m; a <- assignOne(i, s))
+      yield (rows(i)._1, s, a._1, a._2)).toArray
+  }
+
+  /** Collect the embedding frame for the driver path (gate already
+    * measured): same projection the relational `pts` frame explodes.
+    */
+  private def collectVecs(embeddings: DataFrame): Array[(Long, Array[Double])] =
+    embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  def kmeansExact(embeddings: DataFrame, k: Int = 4, rounds: Int = 2,
+      driverVecMax: Long = KmeansDriverVecMax): DataFrame = {
     require(k >= 2 && rounds >= 1, s"k=$k rounds=$rounds out of range")
+    // Measured-small fast path (same adaptive-gate pattern as
+    // Graph.kCore / hitsBipartite): the relational rounds cost
+    // rounds × (broadcast join + agg + window) stage chains — pure
+    // scheduling overhead when the point set fits the driver. Identical
+    // integer arithmetic, bit-equal output (ExtSpec pins it).
+    if (embeddings.count() <= driverVecMax) {
+      val rows = collectVecs(embeddings)
+      if (rows.nonEmpty) {
+        val dim = rows(0)._2.length
+        if (rows.forall(_._2.length == dim)) {
+          val out = lloydDriver(rows, 1, dim, k, rounds)
+            .map { case (v, _, c, d) => (v, c, d) }.sortBy(_._1)
+          import embeddings.sparkSession.implicits._
+          return out.toSeq.toDF("vec_id", "cluster", "dist_sq6")
+        }
+      }
+    }
     val pts = embeddings
       .select(col("vec_id").cast("long").as("vec_id"),
         posexplode(col("embedding").cast("array<double>")))
@@ -1618,10 +1746,39 @@ FROM e ORDER BY vec_id"""
       m: Int = 4,
       dim: Int = 64,
       k: Int = 8,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2,
+      driverVecMax: Long = KmeansDriverVecMax): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(k >= 2 && rounds >= 1, s"k=$k rounds=$rounds out of range")
     val subDim = dim / m
+    // Measured-small driver fast path — see [[kmeansExact]]; the m
+    // sub-quantizers train in the same local arrays, and the output
+    // (codes + total distortion) is bit-equal to the relational rounds
+    // (ExtSpec pins it). A vec missing from SOME sub's surviving
+    // centroid set keeps null in that code column, exactly like the
+    // relational max(when(...)) pivot.
+    if (embeddings.count() <= driverVecMax) {
+      val rows = collectVecs(embeddings)
+      if (rows.nonEmpty && rows.forall(_._2.length == dim)) {
+        val asg = lloydDriver(rows, m, subDim, k, rounds)
+        val byVec = asg.groupBy(_._1)
+        val out = byVec.toSeq.sortBy(_._1).map { case (v, rs) =>
+          val codes = Array.fill[java.lang.Long](m)(null)
+          var dist = 0L
+          rs.foreach { case (_, s, c, d) => codes(s) = c; dist += d }
+          org.apache.spark.sql.Row.fromSeq(v +: (codes.toSeq :+ dist))
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false) +:
+          ((0 until m).map(s => org.apache.spark.sql.types.StructField(s"code$s",
+            org.apache.spark.sql.types.LongType, nullable = true)) :+
+          org.apache.spark.sql.types.StructField("dist_sq6",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        import scala.jdk.CollectionConverters._
+        return embeddings.sparkSession.createDataFrame(out.asJava, schema)
+      }
+    }
     val pts = embeddings
       .select(col("vec_id").cast("long").as("vec_id"),
         posexplode(col("embedding").cast("array<double>")))

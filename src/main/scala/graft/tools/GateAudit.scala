@@ -45,6 +45,11 @@ object GateAudit {
       s"vs clusterPairsStar driverEdgeMax=${graft.ext.Graph.DriverEdgeMaxDefault} " +
       s"=> ${if (nearDup > graft.ext.Graph.DriverEdgeMaxDefault) "DISTRIBUTED" else "driver"}")
 
+    val vecs = graft.Tables.read(spark, dir, "embeddings").count()
+    println(s"[gate] embeddings (e_kmeans/e_pq input): $vecs vecs " +
+      s"vs KmeansDriverVecMax=${graft.ext.Similarity.KmeansDriverVecMax} " +
+      s"=> ${if (vecs > graft.ext.Similarity.KmeansDriverVecMax) "DISTRIBUTED" else "driver"}")
+
     spark.stop()
   }
 }

@@ -3256,4 +3256,30 @@ class ExtSpec extends SparkSpec {
     assert(r(0).getAs[Double]("novelty4") === 0.01)
     assert(r(1).getAs[Double]("novelty4") === 0.0)
   }
+
+  test("kmeansExact: driver fast path is bit-equal to the relational rounds") {
+    val emb = t("embeddings")
+    val driver = Similarity.kmeansExact(emb, k = 4, rounds = 2).collect().map(_.toSeq)
+    val dist = Similarity.kmeansExact(emb, k = 4, rounds = 2, driverVecMax = 0L)
+      .collect().map(_.toSeq)
+    assert(driver.length > 0)
+    assert(driver.toSeq === dist.toSeq)
+  }
+
+  test("pqEncode: driver fast path is bit-equal to the relational rounds") {
+    val emb = t("embeddings")
+    val driver = Similarity.pqEncode(emb).collect().map(_.toSeq)
+    val dist = Similarity.pqEncode(emb, driverVecMax = 0L).collect().map(_.toSeq)
+    assert(driver.length > 0)
+    assert(driver.toSeq === dist.toSeq)
+  }
+
+  test("trainCentroids: driver fast path is bit-equal to the distributed iters") {
+    val emb = t("embeddings")
+    val driver = Similarity.trainCentroids(emb, numCentroids = 8, iters = 2)
+    val dist = Similarity.trainCentroids(emb, numCentroids = 8, iters = 2,
+      driverVecMax = 0L)
+    assert(driver.length === 8)
+    assert(driver.map(_.toSeq).toSeq === dist.map(_.toSeq).toSeq)
+  }
 }
