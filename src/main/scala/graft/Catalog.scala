@@ -116,17 +116,18 @@ object Tables {
   // deployment does once at table registration (a metastore table's
   // schema and InMemoryFileIndex are session-cached by Spark itself;
   // DuckDB's CREATE VIEW equally binds schema once). The relation is an
-  // immutable logical plan, safe to share across queries. Keyed by
-  // session (and by path so multiple scale factors coexist) and evicted
-  // EXPLICITLY when the session's context ends: weak-key semantics
-  // alone can't reclaim the entry, because each cached DataFrame
-  // strongly references its SparkSession and so pins its own key — the
-  // listener below is what actually bounds the map in multi-session
-  // processes (test suites). Fixture paths are immutable-by-contract
-  // (TESTDATA.md); mutable-table paths (sink round-trips) never go
-  // through Tables.read.
-  private val scanCache =
-    new java.util.HashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  // immutable logical plan, safe to share across queries. A
+  // [[SessionMemo]] keyed by (session identity, path) — so multiple
+  // scale factors coexist — evicted when the session's context ends
+  // (weak-key semantics alone can't reclaim an entry, because each
+  // cached DataFrame strongly references its SparkSession and so pins
+  // its own key) AND LRU-capped so sessions discarded while their
+  // context lives (`newSession` per test) can't grow the map
+  // unboundedly; an evicted entry just re-reads footers on next use.
+  // Fixture paths are immutable-by-contract (TESTDATA.md);
+  // mutable-table paths (sink round-trips) never go through
+  // Tables.read.
+  private val scanCache = new SessionMemo[DataFrame](maxEntries = 256)(_ => ())
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark refuses
@@ -135,20 +136,8 @@ object Tables {
     // externally-owned sessions (e.g. the round driver's).
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val perSession = scanCache.synchronized {
-      var m = scanCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-        scanCache.put(spark, m)
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            scanCache.synchronized { scanCache.remove(spark): Unit }
-        })
-      }
-      m
-    }
-    perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
+    val path = s"$dir/$name.parquet"
+    scanCache.get(spark, path)(spark.read.parquet(path))
   }
 
   /** Widen a NARROW input for per-row compute-bound kernels (regex

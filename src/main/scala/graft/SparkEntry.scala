@@ -47,11 +47,15 @@ object SparkEntry {
     * unpersist (e.g. the bench's between-query block hygiene) would
     * leave a dead frame — a persisted plan just recomputes, and the
     * storageLevel check below re-pins it whenever something cleared
-    * the cache. (The cache key is session-scoped; blocks die with the
-    * session.)
+    * the cache. (All four artifact caches below are [[SessionMemo]]s:
+    * keyed by session identity, unpersisted + dropped when the
+    * session's context ends, LRU-capped against discarded-but-live
+    * sessions.)
     */
   private val basketFrameCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+    new SessionMemo[(DataFrame, DataFrame)](maxEntries = 16)({ case (b, d) =>
+      b.unpersist(blocking = false); d.unpersist(blocking = false): Unit
+    })
 
   /** Memoized MATERIALIZED VIEW of the near-dup PAIR table
     * ([[Dedup.minhashDedup]]'s verified J>=0.9 pairs) shared by the
@@ -74,34 +78,29 @@ object SparkEntry {
     * [[basketFrame]].
     */
   private val shingleFrameCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    new SessionMemo[DataFrame](maxEntries = 16)(_.unpersist(blocking = false): Unit)
   private def shingleFrame(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val p = shingleFrameCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir,
-      _ => Dedup.shingleHashes(rd(s, dir, "documents")))
+    val p = shingleFrameCache.get(s, dir)(Dedup.shingleHashes(rd(s, dir, "documents")))
     if (p.storageLevel == StorageLevel.NONE) p.persist(StorageLevel.MEMORY_AND_DISK)
     p
   }
 
   private val nearDupPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    new SessionMemo[DataFrame](maxEntries = 16)(_.unpersist(blocking = false): Unit)
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val p = nearDupPairsCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir,
-      _ => Dedup.minhashDedup(rd(s, dir, "documents")))
+    val p = nearDupPairsCache.get(s, dir)(Dedup.minhashDedup(rd(s, dir, "documents")))
     if (p.storageLevel == StorageLevel.NONE) p.persist(StorageLevel.MEMORY_AND_DISK)
     p
   }
   private def basketFrame(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val (b, d) = basketFrameCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ => {
+    val (b, d) = basketFrameCache.get(s, dir) {
         val (b0, d0) = Aggregates.brandBasketFrame(
           rd(s, dir, "lineitem"), rd(s, dir, "part"))
         (b0, d0)
-      })
+      }
     if (b.storageLevel == StorageLevel.NONE) b.persist(StorageLevel.MEMORY_AND_DISK)
     if (d.storageLevel == StorageLevel.NONE) d.persist(StorageLevel.MEMORY_AND_DISK)
     (b, d)
@@ -126,11 +125,10 @@ object SparkEntry {
     * (the storageLevel check re-pins it).
     */
   private val coPurchaseCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    new SessionMemo[DataFrame](maxEntries = 16)(_.unpersist(blocking = false): Unit)
   private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val p = coPurchaseCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ => {
+    val p = coPurchaseCache.get(s, dir) {
         val items = rd(s, dir, "lineitem")
           .filter(col("l_quantity") >= 43)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -138,7 +136,7 @@ object SparkEntry {
         items.as("a")
           .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("pa"), col("b.p").as("pb"))
-      })
+      }
     if (p.storageLevel == StorageLevel.NONE) p.persist(StorageLevel.MEMORY_AND_DISK)
     p
   }

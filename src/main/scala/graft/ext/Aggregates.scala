@@ -110,6 +110,18 @@ object Aggregates {
     * is what lets the DuckDB oracle check the real approximate answer
     * instead of exempting it. Tighter accuracy <=> smaller scale-up:
     * widen the sampled slice (e.g. 2 hex chars, 1/256) as |keys| grows.
+    *
+    * ERROR BOUND (n-dependent — unlike HLL's flat ~2%): with n distinct
+    * keys per group, the sampled count m ~ Binomial(n, 1/16), so the
+    * estimate 16*m has mean n and relative standard error
+    * sqrt(15/n) — ~4% at n=10_000, ~12% at n=1_000, and unusable below
+    * n≈256 (quantized to multiples of 16; a group with n<16 can return
+    * 0). For small-cardinality groups use the exact twin
+    * [[orderStats]] instead — below ~1_000 distincts per group the
+    * exact `countDistinct` shuffle is trivially cheap, which is
+    * precisely the regime where this estimator's error blows up; the
+    * two methods are published side by side for exactly that
+    * adaptive choice.
     */
   def orderStatsApprox(orders: DataFrame): DataFrame =
     orders

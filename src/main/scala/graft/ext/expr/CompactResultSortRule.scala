@@ -91,8 +91,11 @@ object CompactResultSortRule extends Rule[LogicalPlan] {
     * input, and the conf is the escape hatch.
     */
   private def resultSized(child: LogicalPlan): Boolean = {
-    val maxBytes = BigInt(SQLConf.get
-      .getConfString("spark.graft.compactSortMaxBytes", (8L << 20).toString))
+    // a malformed user-set value degrades to the default gate instead of
+    // throwing inside the optimizer (which would fail every query)
+    val maxBytes = scala.util.Try(BigInt(SQLConf.get
+      .getConfString("spark.graft.compactSortMaxBytes", (8L << 20).toString)))
+      .getOrElse(BigInt(8L << 20))
     child.stats.sizeInBytes <= maxBytes
   }
 }

@@ -54,6 +54,17 @@ class CompactSortSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.compactSortMaxBytes")
   }
 
+  test("malformed compactSortMaxBytes degrades to the default gate, never throws") {
+    spark.conf.set("spark.graft.compactSortMaxBytes", "not-a-number")
+    try {
+      // planning must succeed, and the small frame still takes the
+      // compact path (the default 8 MB gate applies)
+      val p = planOf(t("nation").orderBy(col("n_nationkey")))
+      assert(!p.contains("rangepartitioning"),
+        s"default gate should apply under a bad conf value, plan:\n${p.take(800)}")
+    } finally spark.conf.unset("spark.graft.compactSortMaxBytes")
+  }
+
   test("mid-plan sorts and large-partition sessions are untouched") {
     // the rule only ever fires when shuffle partitions <= 16 — at
     // cluster scale (volume-sized partitions in the hundreds+) the
