@@ -267,7 +267,16 @@ object Dedup {
   private def intersectionCounts(shJ: DataFrame): DataFrame = {
     val spark = shJ.sparkSession
     import spark.implicits._
-    shJ.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+    // USER-pinned clustering on s: the posting-list pair kernel below
+    // is COMPUTE-dense (quadratic in posting length) at tiny byte
+    // volume, so AQE's bytes-targeted coalescing would serialize it
+    // onto one task; a user repartition is exempt and satisfies the
+    // aggregate's distribution (see Relational.intervalJoin for the
+    // width rule — at cluster scale it is the planner's own width).
+    shJ.repartition(
+        math.max(spark.sparkContext.defaultParallelism,
+          spark.sessionState.conf.numShufflePartitions), col("s"))
+      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
       .select(col("ds")).as[Seq[Long]]
       .mapPartitions { lists =>
         lists.flatMap { ds =>
@@ -510,7 +519,14 @@ object Dedup {
     // shuffles it twice).
     val spark = docs.sparkSession
     import spark.implicits._
-    val cand = bands.groupBy(col("band"), col("bucket"))
+    val cand = bands
+      // same compute-dense-reduce pin as intersectionCounts: the pair
+      // kernel is quadratic in bucket occupancy at tiny byte volume
+      .repartition(
+        math.max(spark.sparkContext.defaultParallelism,
+          spark.sessionState.conf.numShufflePartitions),
+        col("band"), col("bucket"))
+      .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .select(col("ds")).as[Seq[Long]]
       .mapPartitions { lists =>

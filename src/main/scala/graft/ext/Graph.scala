@@ -613,11 +613,44 @@ object Graph {
     * (and once a frontier is empty every later hop is too).
     */
   def bfsReach(
-      pairs: DataFrame, aCol: String, bCol: String, maxHops: Int = 3): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxHops: Int = 3,
+      driverEdgeMax: Long = DriverEdgeMaxDefault): DataFrame = {
     require(maxHops >= 1, s"maxHops=$maxHops")
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(false)
+    // Measured-small fast path (same adaptive gate as [[pageRank]] /
+    // [[kCore]] / [[lpaCommunities]]): 3 relational hop rounds are ~10
+    // join/anti-join/checkpoint jobs of pure stage latency on a
+    // few-thousand-edge near-dup graph. The driver loop applies the
+    // IDENTICAL rule — hub = max degree (ties: min node), hop sets via
+    // frontier expansion minus the reached set — integer set algebra,
+    // so the counts are bit-equal to the distributed path. The count is
+    // a hard volume gate; larger graphs run the relational rounds.
+    if (und.count() <= driverEdgeMax * 2) {
+      import spark.implicits._
+      val es = und.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      if (es.isEmpty) return spark.emptyDataset[(Long, Long)]
+        .toDF("hop", "n_nodes")
+      val adj = es.groupBy(_._1).map { case (u, nb) => u -> nb.map(_._2) }
+      val hub = adj.view.map { case (u, nb) => (u, nb.length) }
+        .reduce((a, b) =>
+          if (a._2 != b._2) { if (a._2 > b._2) a else b }
+          else { if (a._1 < b._1) a else b })._1
+      var reached = Map[Long, Long](hub -> 0L)
+      var frontier = Set(hub)
+      (1 to maxHops).foreach { h =>
+        val nxt = frontier.flatMap(u => adj.getOrElse(u, Array.empty[Long]))
+          .filterNot(reached.contains)
+        reached ++= nxt.iterator.map(_ -> h.toLong)
+        frontier = nxt
+      }
+      return reached.groupBy(_._2).view
+        .map { case (hop, g) => (hop, g.size.toLong) }.toSeq
+        .toDF("hop", "n_nodes").orderBy(col("hop"))
+    }
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val src = deg.orderBy(col("d").desc, col("u")).limit(1)
       .select(col("u").as("node"))

@@ -923,7 +923,31 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     // worst candidate on top: smaller cos first, then larger dst
     val worstFirst: Ordering[(Long, Double)] =
       Ordering.by { case (d, t) => (-t, d) }
-    val grouped = replicated.groupByKey(_._1).flatMapGroups { (key, it) =>
+    // The block-pair sweep is COMPUTE-dense (per-group brute-force dot
+    // products) at tiny byte volume, so a groupByKey exchange gets
+    // merged onto one task by AQE's bytes-targeted coalescing,
+    // serializing all B(B+1)/2 sweeps (measured e_knn_graph 1.2s
+    // coalesced vs 0.76s wide at sf0.1). A USER repartition on the
+    // group key is exempt from coalescing and clusters identically;
+    // the per-key grouping then happens inside mapPartitions (hash
+    // buffering — also drops MapGroups' per-partition sort). Width =
+    // max(cores, configured shuffle partitions): at cluster scale that
+    // is the planner's own width, so nothing changes there.
+    val wide = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    val grouped = replicated.toDF("key", "g", "id", "v")
+      .repartition(wide, col("key"))
+      .as[(Int, Int, Long, Array[Double])]
+      .mapPartitions { rows =>
+      val byKey = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Double])]]
+      rows.foreach { case (key, g, id, v) =>
+        byKey.getOrElseUpdate(key.toLong,
+          scala.collection.mutable.ArrayBuffer.empty) += ((g, id, v))
+      }
+      byKey.iterator.flatMap { case (keyL, rs) =>
+        val key = keyL.toInt
+        val it = rs.iterator.map { case (g, id, v) => (key, g, id, v) }
       val blkI = key / B
       val blkJ = key % B
       val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
@@ -984,6 +1008,7 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
       }
       heaps.iterator.flatMap { case (src, pq) =>
         pq.iterator.map { case (dst, t) => (src, dst, t) }
+      }
       }
     }
     grouped.toDF("src", "dst", "c4")

@@ -328,8 +328,17 @@ object TextOps {
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
     val nDocs = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
     val tf = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val pairs = dt.as("a")
-      .join(dt.as("b"),
+    // The per-document term self-join is COMPUTE-dense (quadratic in
+    // per-doc vocabulary) at tiny byte volume — AQE's bytes-targeted
+    // coalescing would serialize it onto one task; a USER repartition
+    // on the join key is exempt, satisfies the join's distribution
+    // (no extra exchange), and at cluster scale resolves to the
+    // planner's own width (see Relational.intervalJoin).
+    val wide = math.max(dt.sparkSession.sparkContext.defaultParallelism,
+      dt.sparkSession.sessionState.conf.numShufflePartitions)
+    val dtW = dt.repartition(wide, col("doc_id"))
+    val pairs = dtW.as("a")
+      .join(dtW.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
       .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
       .agg(count(lit(1)).as("c_ab"))
@@ -756,11 +765,21 @@ object TextOps {
     require(stopwords.nonEmpty, "need a stopword set to delimit phrases")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = graft.Tables.spread(docs)
+    val runs0 = graft.Tables.spread(docs)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
       .filter(!col("w").isin(stopwords: _*))
       .withColumn("grp", col("pos") - row_number().over(w))
       .localCheckpoint(false) // feeds phrase build AND member join
+    // Pin the (doc_id, grp) clustering wide with a USER repartition:
+    // the phrase build (collect_list + array_sort + concat_ws per run)
+    // is string-compute-dense at tiny byte volume, so AQE's coalescing
+    // would serialize it; the same distribution then serves the
+    // phrase aggregate AND the member join with no further exchange
+    // (see Relational.intervalJoin for the width rule).
+    val runs = runs0.repartition(
+      math.max(runs0.sparkSession.sparkContext.defaultParallelism,
+        runs0.sparkSession.sessionState.conf.numShufflePartitions),
+      col("doc_id"), col("grp"))
     val phrases = runs
       .groupBy(col("doc_id"), col("grp"))
       .agg(
@@ -774,7 +793,12 @@ object TextOps {
       .groupBy(col("w"))
       .agg(expr("(sum(len) * 1000000L) div count(1)").cast("long").as("score6"))
     members
-      .join(wordScore, Seq("w"))
+      // broadcast: (word, score) is VOCABULARY-bounded (Heaps' law,
+      // ~1e5-1e6 types at any corpus size — same bound the BPE trainer
+      // rests on), and the shuffled alternative re-clusters members by
+      // w and then BACK by (doc_id, grp) — two corpus-sized exchanges
+      // to join a dictionary
+      .join(broadcast(wordScore), Seq("w"))
       .groupBy(col("doc_id"), col("grp"), col("phrase"))
       .agg(sum(col("score6")).cast("long").as("pscore6"))
       .groupBy(col("phrase"))

@@ -3120,6 +3120,20 @@ class ExtSpec extends SparkSpec {
     assert(r === Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("bfs reach: driver fast path == distributed rounds (driverEdgeMax = 0 forces dist)") {
+    import spark.implicits._
+    // two components + a branch: hub is node 2 (deg 3); component {9,10}
+    // stays unreachable, hop 3 discovers nothing -> no row
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 5L), (9L, 10L))
+      .toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getAs[Long]("hop") -> x.getAs[Long]("n_nodes")).toMap
+    val fast = asMap(Graph.bfsReach(pairs, "a", "b", 3))
+    val dist = asMap(Graph.bfsReach(pairs, "a", "b", 3, driverEdgeMax = 0L))
+    assert(fast === Map(0L -> 1L, 1L -> 3L, 2L -> 1L))
+    assert(fast === dist)
+  }
+
   test("rfc4180 csv: comma, quote and newline round-trip") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-csvml-t").toString + "/t"
