@@ -28,17 +28,29 @@ import org.apache.spark.sql.internal.SQLConf
   *    less). On a real cluster (thousands of shuffle partitions) the
   *    rule never fires and large sorted outputs keep the parallel
   *    range-partitioned sort.
-  *  - PER PLAN: the sort child's estimated `stats.sizeInBytes` must be
-  *    <= `spark.graft.compactSortMaxBytes` (default 8 MB — estimates
-  *    derive from COMPRESSED scan bytes, so 8 MB of estimate is tens
-  *    of MB of rows: comfortably one sort task, far above any
-  *    result-delivery frame). This keeps wide map-side frames — an
-  *    unpivot Expand of the fact table sorts millions of rows, where
-  *    the parallel range sort beats a one-task local sort even after
-  *    paying the sampling re-execution (measured: t12_unpivot 1.4s
-  *    range-parallel vs 2.3s gathered at sf0.1) — on the
-  *    planner-chosen shape, while result-sized aggregates (whose
-  *    width-ratio-scaled estimates are small) take the compact path.
+  *  - PER PLAN: the sort child must be GROUP-SIZED — descending
+  *    through cardinality-preserving wrappers (Project / Filter /
+  *    Window / SubqueryAlias / repartitions), every cardinality ROOT
+  *    must be an Aggregate, a Limit, or a literal relation (joins and
+  *    unions of group-sized inputs stay group-sized). A final sort
+  *    over such a subtree is a report: one row per group of something.
+  *    Row-sized subtrees — a scan, a per-row projection or window over
+  *    facts, an Expand/Generate — keep the planner's parallel range
+  *    sort (measured: t12_unpivot 1.4s range-parallel vs 2.3s
+  *    gathered; q_zscore 1.01s range vs 1.21s gathered, sf0.1).
+  *
+  *    The previous gate compared `stats.sizeInBytes` to a byte bound,
+  *    but at this layer the estimates are junk in BOTH directions
+  *    (measured at sf0.1: 4.4 MB for a 600k-row per-event frame that
+  *    then sorted on one task; 1.4e25 bytes for a 250-row final
+  *    aggregate behind a fact join, which then paid a pointless
+  *    sampling job). Plan SHAPE is the signal that actually separates
+  *    report-delivery sorts from data-sized sorts. The byte bound
+  *    survives only where it is reliable — see [[smallScan]]. Within
+  *    the firing regime the session gate still bounds a shape-gate
+  *    miss: total input is ~1 GB, so the worst case is one oversized
+  *    local sort, and `spark.graft.compactSort=false` is the escape
+  *    hatch.
   *
   * Matched conservatively: only the outermost Sort, reached from the
   * plan root through row-preserving, order-preserving wrappers
@@ -69,7 +81,8 @@ object CompactResultSortRule extends Rule[LogicalPlan] {
     * planner-chosen shape.
     */
   private def rewriteRoot(plan: LogicalPlan): LogicalPlan = plan match {
-    case s @ Sort(_, true, child, _) if !alreadyCompact(child) && resultSized(child) =>
+    case s @ Sort(_, true, child, _)
+        if !alreadyCompact(child) && (groupSized(child) || smallScan(child)) =>
       s.copy(global = false,
         child = Repartition(numPartitions = 1, shuffle = true, child = child))
     case p: Project => p.copy(child = rewriteRoot(p.child))
@@ -83,19 +96,51 @@ object CompactResultSortRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Size-estimate gate: only gather frames whose logical stats say
-    * "one sort task" (see the scale-honesty note above for why 8 MB of
-    * COMPRESSED-byte-derived estimate is the right order). Estimates
-    * can under-read exploded frames — the cost of a miss is a single
-    * oversized local sort, bounded by the session gate's ~1 GB total
-    * input, and the conf is the escape hatch.
+  /** Shape gate: true iff every cardinality root under `p` is an
+    * Aggregate, a Limit, or a literal relation — i.e. the frame is one
+    * row per GROUP of something, not one row per INPUT row (see the
+    * scale-honesty note above for why plan shape beats the size
+    * estimates here). Conservative by construction: any node this
+    * match does not recognize — Expand, Generate, scans, Range,
+    * row-preserving maps over facts — is row-sized, so novel operators
+    * default to the planner's parallel range sort.
     */
-  private def resultSized(child: LogicalPlan): Boolean = {
-    // a malformed user-set value degrades to the default gate instead of
-    // throwing inside the optimizer (which would fail every query)
+  private def groupSized(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case _: GlobalLimit | _: LocalLimit => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case _: Distinct | _: Deduplicate => true
+    case j: Join => groupSized(j.left) && groupSized(j.right)
+    case u: Union => u.children.forall(groupSized)
+    case n @ (_: Project | _: Filter | _: Window | _: Sort |
+        _: SubqueryAlias | _: RepartitionOperation) =>
+      groupSized(n.children.head)
+    case _ => false
+  }
+
+  /** Secondary admission: a NARROW CHAIN — Project / Filter /
+    * SubqueryAlias / repartition wrappers over a single leaf relation —
+    * whose `stats.sizeInBytes` is within
+    * `spark.graft.compactSortMaxBytes` (default 8 MB). For such chains
+    * the estimate derives directly from file sizes, so unlike the
+    * join- and window-bearing plans above it is trustworthy: this
+    * re-admits dimension-table scans (sort a 25-row nation report)
+    * without re-opening the door to per-row frames hiding behind an
+    * under-read (those all carry a Join, Window, or Expand and fail
+    * the chain test).
+    */
+  private def smallScan(p: LogicalPlan): Boolean = {
+    def narrowChain(q: LogicalPlan): Boolean = q match {
+      case _: LeafNode => true
+      case n @ (_: Project | _: Filter | _: SubqueryAlias |
+          _: RepartitionOperation) => narrowChain(n.children.head)
+      case _ => false
+    }
+    // a malformed user-set value degrades to the default gate instead
+    // of throwing inside the optimizer (which would fail every query)
     val maxBytes = scala.util.Try(BigInt(SQLConf.get
       .getConfString("spark.graft.compactSortMaxBytes", (8L << 20).toString)))
       .getOrElse(BigInt(8L << 20))
-    child.stats.sizeInBytes <= maxBytes
+    narrowChain(p) && p.stats.sizeInBytes <= maxBytes
   }
 }

@@ -29,8 +29,10 @@ object SortGateProbe {
         else "compact/other"
       println(s"[gate] $name  sortChildStats=[$sizes]  shape=$shape")
     }
-    Seq("t12_unpivot", "d_tfidf", "d_drift", "d_readability",
-      "q_table_stats", "d_winnowing", "q1_agg").foreach(probe)
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("t12_unpivot", "d_tfidf", "d_drift", "d_readability",
+        "q_table_stats", "d_winnowing", "q1_agg")
+    names.foreach(probe)
     spark.stop()
   }
 }

@@ -42,8 +42,8 @@ class CompactSortSpec extends SparkSpec {
   }
 
   test("large-frame final sorts keep the parallel range sort") {
-    // an unpivot-style Expand over the fact table sorts millions of
-    // rows at bench scale — the stats gate must leave it range-parted
+    // a fact-table scan is a narrow chain, so the byte bound decides —
+    // over the bound it must keep the planner's range-parted sort
     spark.conf.set("spark.graft.compactSortMaxBytes", "1024")
     try {
       val big = t("lineitem")
@@ -52,6 +52,35 @@ class CompactSortSpec extends SparkSpec {
       assert(p.contains("rangepartitioning"),
         s"stats gate must skip large frames, plan:\n${p.take(800)}")
     } finally spark.conf.unset("spark.graft.compactSortMaxBytes")
+  }
+
+  test("row-sized finals (window/join over facts) keep the range sort") {
+    import org.apache.spark.sql.expressions.Window
+    // per-row frame behind a window: the old byte gate under-read this
+    // shape (q_zscore class) — the shape gate must leave it range-parted
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val perRow = t("orders")
+      .withColumn("rk", row_number().over(w))
+      .orderBy(col("o_orderkey"))
+    assert(planOf(perRow).contains("rangepartitioning"),
+      "window-over-facts final must keep the parallel range sort")
+    // row-sized join output: same
+    val joined = t("orders").join(t("customer"),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_orderkey"))
+    assert(planOf(joined).contains("rangepartitioning"),
+      "fact-join final must keep the parallel range sort")
+  }
+
+  test("group-sized finals compact even when byte estimates are huge") {
+    // join of two aggregates: size estimates multiply into junk, but
+    // the frame is group-sized — the shape gate must compact it
+    val a = t("orders").groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")).as("s1"))
+    val b = t("orders").groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val rpt = a.join(b, "o_orderstatus").orderBy(col("o_orderstatus"))
+    val p = planOf(rpt)
+    assert(!p.contains("rangepartitioning"),
+      s"aggregate-join report must take the compact sort, plan:\n${p.take(800)}")
   }
 
   test("malformed compactSortMaxBytes degrades to the default gate, never throws") {
