@@ -30,6 +30,25 @@ object Graph {
     */
   val HitsDriverEdgeMax: Long = 1000000L
 
+  /** ONE-JOB volume gate for the driver fast paths: collect at most
+    * `max`+1 rows and return them iff the frame fits. Strictly
+    * dominates the previous count()-then-collect() gate at BOTH ends
+    * of the scale: a fitting frame pays ONE job instead of two
+    * (the count of a lazily-checkpointed edge list is a full
+    * materialization pass), and an oversized frame stops after
+    * `max`+1 rows — CollectLimit reads partitions incrementally —
+    * instead of counting billions of edges just to learn "too big".
+    * The gate stays HARD: length is checked on the collected rows
+    * themselves, so no estimate can smuggle an oversized graph onto
+    * the driver.
+    */
+  private[ext] def probeCollect(
+      df: DataFrame, max: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (max < 0L || max >= Int.MaxValue.toLong) return None
+    val rows = df.limit(max.toInt + 1).collect()
+    if (rows.length <= max) Some(rows) else None
+  }
+
   /** K-iteration PageRank on an UNDIRECTED pair graph (each pair
     * contributes both directions; rank flows along both). rank_0 =
     * 1/N; rank_{t+1}(v) = (1-d)/N + d * sum over in-neighbors u of
@@ -83,11 +102,13 @@ object Graph {
     // the per-node inflow sum order differs, which is exactly the
     // summation noise the epsilon-compensated truncation below was
     // built to absorb (PropSpec pins it across partitionings). The
-    // count is a hard volume gate; larger graphs run distributed.
-    if (edgesW.count() <= driverEdgeMax) {
+    // one-job [[probeCollect]] is a hard volume gate; larger graphs
+    // run distributed.
+    val prProbe = probeCollect(edgesW.select(col("src").cast("long"),
+      col("dst").cast("long"), col("deg").cast("long")), driverEdgeMax)
+    if (prProbe.isDefined) {
       import spark.implicits._
-      val es = edgesW.select(col("src").cast("long"), col("dst").cast("long"),
-        col("deg").cast("long")).collect()
+      val es = prProbe.get
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val nodeIds = es.map(_._1).distinct.sorted
       val idx = nodeIds.zipWithIndex.toMap
@@ -414,9 +435,13 @@ object Graph {
     // division (long->double and decimal(38,0)->double both
     // round-to-nearest on identical integer values), so the trunc4
     // grid agrees even above 2^53.
-    if (iters <= 3 && e.count() <= math.min(driverEdgeMax, HitsDriverEdgeMax)) {
+    val hitsProbe = if (iters <= 3)
+      probeCollect(e.select(col("src"), col("dst")),
+        math.min(driverEdgeMax, HitsDriverEdgeMax))
+    else None
+    if (hitsProbe.isDefined) {
       import spark.implicits._
-      val es = e.select(col("src"), col("dst")).collect()
+      val es = hitsProbe.get
         .map(r => (r.getLong(0), r.getLong(1)))
       val srcIds = es.map(_._1).distinct.sorted
       val dstIds = es.map(_._2).distinct.sorted
@@ -566,11 +591,12 @@ object Graph {
     // driver loop applies the IDENTICAL update rule — argmax neighbor
     // label by (count desc, label asc) over the PREVIOUS round's
     // labels — which is integer-deterministic, so the results are
-    // bit-equal to the distributed path. The count is a hard volume
-    // gate; larger graphs run distributed.
-    if (adj.count() <= driverEdgeMax * 2) {
+    // bit-equal to the distributed path. The one-job [[probeCollect]]
+    // is a hard volume gate; larger graphs run distributed.
+    val lpaProbe = probeCollect(adj.select(col("x"), col("y")), driverEdgeMax * 2)
+    if (lpaProbe.isDefined) {
       import spark.implicits._
-      val es = adj.select(col("x"), col("y")).collect()
+      val es = lpaProbe.get
         .map(r => (r.getLong(0), r.getLong(1)))
       val byNode = es.groupBy(_._1).map { case (x, nb) => x -> nb.map(_._2) }
       var labels: Map[Long, Long] = byNode.keysIterator.map(n => n -> n).toMap
@@ -626,11 +652,13 @@ object Graph {
     // few-thousand-edge near-dup graph. The driver loop applies the
     // IDENTICAL rule — hub = max degree (ties: min node), hop sets via
     // frontier expansion minus the reached set — integer set algebra,
-    // so the counts are bit-equal to the distributed path. The count is
-    // a hard volume gate; larger graphs run the relational rounds.
-    if (und.count() <= driverEdgeMax * 2) {
+    // so the counts are bit-equal to the distributed path. The one-job
+    // [[probeCollect]] is a hard volume gate; larger graphs run the
+    // relational rounds.
+    val bfsProbe = probeCollect(und.select(col("u"), col("v")), driverEdgeMax * 2)
+    if (bfsProbe.isDefined) {
       import spark.implicits._
-      val es = und.select(col("u"), col("v")).collect()
+      val es = bfsProbe.get
         .map(r => (r.getLong(0), r.getLong(1)))
       if (es.isEmpty) return spark.emptyDataset[(Long, Long)]
         .toDF("hop", "n_nodes")
