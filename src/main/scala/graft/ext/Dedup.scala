@@ -267,15 +267,10 @@ object Dedup {
   private def intersectionCounts(shJ: DataFrame): DataFrame = {
     val spark = shJ.sparkSession
     import spark.implicits._
-    // USER-pinned clustering on s: the posting-list pair kernel below
-    // is COMPUTE-dense (quadratic in posting length) at tiny byte
-    // volume, so AQE's bytes-targeted coalescing would serialize it
-    // onto one task; a user repartition is exempt and satisfies the
-    // aggregate's distribution (see Relational.intervalJoin for the
-    // width rule — at cluster scale it is the planner's own width).
-    shJ.repartition(
-        math.max(spark.sparkContext.defaultParallelism,
-          spark.sessionState.conf.numShufflePartitions), col("s"))
+    // pinned wide: the posting-list pair kernel below is COMPUTE-dense
+    // (quadratic in posting length) at tiny byte volume — see
+    // graft.ops.Shuffles.pinWide
+    graft.ops.Shuffles.pinWide(shJ, col("s"))
       .groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
       .select(col("ds")).as[Seq[Long]]
       .mapPartitions { lists =>
@@ -519,13 +514,13 @@ object Dedup {
     // shuffles it twice).
     val spark = docs.sparkSession
     import spark.implicits._
+    // NO pinWide here (unlike intersectionCounts): LSH bucket occupancy
+    // is bounded by design (the bands exist precisely to keep buckets
+    // small), so the pair kernel is cheap per bucket and the aggregate's
+    // own exchange is the right shape — a user repartition measurably
+    // hurt the pipeline (interleaved A/B at sf0.1: d_minhash_lsh 0.99s
+    // unpinned vs 1.25s pinned, tools/PinToggleProbe).
     val cand = bands
-      // same compute-dense-reduce pin as intersectionCounts: the pair
-      // kernel is quadratic in bucket occupancy at tiny byte volume
-      .repartition(
-        math.max(spark.sparkContext.defaultParallelism,
-          spark.sessionState.conf.numShufflePartitions),
-        col("band"), col("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .select(col("ds")).as[Seq[Long]]

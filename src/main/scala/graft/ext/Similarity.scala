@@ -930,13 +930,10 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     // coalesced vs 0.76s wide at sf0.1). A USER repartition on the
     // group key is exempt from coalescing and clusters identically;
     // the per-key grouping then happens inside mapPartitions (hash
-    // buffering — also drops MapGroups' per-partition sort). Width =
-    // max(cores, configured shuffle partitions): at cluster scale that
-    // is the planner's own width, so nothing changes there.
-    val wide = math.max(spark.sparkContext.defaultParallelism,
-      spark.sessionState.conf.numShufflePartitions)
-    val grouped = replicated.toDF("key", "g", "id", "v")
-      .repartition(wide, col("key"))
+    // buffering — also drops MapGroups' per-partition sort). Width
+    // rule: graft.ops.Shuffles.pinWide.
+    val grouped = graft.ops.Shuffles.pinWide(
+        replicated.toDF("key", "g", "id", "v"), col("key"))
       .as[(Int, Int, Long, Array[Double])]
       .mapPartitions { rows =>
       val byKey = scala.collection.mutable.LongMap

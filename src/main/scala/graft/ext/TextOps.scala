@@ -328,17 +328,13 @@ object TextOps {
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
     val nDocs = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
     val tf = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // The per-document term self-join is COMPUTE-dense (quadratic in
-    // per-doc vocabulary) at tiny byte volume — AQE's bytes-targeted
-    // coalescing would serialize it onto one task; a USER repartition
-    // on the join key is exempt, satisfies the join's distribution
-    // (no extra exchange), and at cluster scale resolves to the
-    // planner's own width (see Relational.intervalJoin).
-    val wide = math.max(dt.sparkSession.sparkContext.defaultParallelism,
-      dt.sparkSession.sessionState.conf.numShufflePartitions)
-    val dtW = dt.repartition(wide, col("doc_id"))
-    val pairs = dtW.as("a")
-      .join(dtW.as("b"),
+    // NO pinWide on the self-join: unlike the posting-list kernels, the
+    // per-doc term frame is small enough that AQE converts this to a
+    // broadcast-hash self-join (zero shuffle) — a user repartition just
+    // adds a wasted exchange in front of it (interleaved A/B at sf0.1:
+    // 0.48s unpinned vs 0.83s pinned, tools/PinToggleProbe).
+    val pairs = dt.as("a")
+      .join(dt.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
       .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
       .agg(count(lit(1)).as("c_ab"))
@@ -775,11 +771,8 @@ object TextOps {
     // is string-compute-dense at tiny byte volume, so AQE's coalescing
     // would serialize it; the same distribution then serves the
     // phrase aggregate AND the member join with no further exchange
-    // (see Relational.intervalJoin for the width rule).
-    val runs = runs0.repartition(
-      math.max(runs0.sparkSession.sparkContext.defaultParallelism,
-        runs0.sparkSession.sessionState.conf.numShufflePartitions),
-      col("doc_id"), col("grp"))
+    // (width rule: graft.ops.Shuffles.pinWide).
+    val runs = graft.ops.Shuffles.pinWide(runs0, col("doc_id"), col("grp"))
     val phrases = runs
       .groupBy(col("doc_id"), col("grp"))
       .agg(

@@ -222,20 +222,17 @@ object Relational {
       keys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, expr, greatest, sequence}
     require(binUs > 0, s"binUs=$binUs must be positive")
-    val spark = left.sparkSession
-    val wide = math.max(spark.sparkContext.defaultParallelism,
-      spark.sessionState.conf.numShufflePartitions)
-    val l = left
+    val l = Shuffles.pinWide(left
       .withColumn("__lsbin", expr(s"$lStart div ${binUs}L"))
       .withColumn("__lbin", explode(sequence(
-        expr(s"$lStart div ${binUs}L"), expr(s"$lEnd div ${binUs}L"))))
-      .repartition(wide, col("__lbin"))
+        expr(s"$lStart div ${binUs}L"), expr(s"$lEnd div ${binUs}L")))),
+      col("__lbin"))
     val r0 = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"__rk_$k"))
-    val r = r0
+    val r = Shuffles.pinWide(r0
       .withColumn("__rsbin", expr(s"$rStart div ${binUs}L"))
       .withColumn("__rbin", explode(sequence(
-        expr(s"$rStart div ${binUs}L"), expr(s"$rEnd div ${binUs}L"))))
-      .repartition(wide, col("__rbin"))
+        expr(s"$rStart div ${binUs}L"), expr(s"$rEnd div ${binUs}L")))),
+      col("__rbin"))
     val base = l("__lbin") === r("__rbin") &&
       l(lEnd) >= r(rStart) && r(rEnd) >= l(lStart) &&
       l("__lbin") === greatest(l("__lsbin"), r("__rsbin"))
