@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** graft.ops.Shuffles.pinWide: the scale contract is that the pin only
+  * ever EXCLUDES the small-volume degenerate coalesce — it must resolve
+  * to the planner's own width on cluster-sized sessions, preserve the
+  * data exactly, and disappear entirely under its conf gate.
+  */
+class ShufflesSpec extends SparkSpec {
+
+  private def numParts(df: org.apache.spark.sql.DataFrame): Int =
+    df.rdd.getNumPartitions
+
+  test("pinWide resolves to max(cores, configured shuffle partitions)") {
+    val base = t("orders").select(col("o_orderkey"), col("o_custkey"))
+    // test session: local[4] cores, 4 shuffle partitions -> width 4
+    assert(numParts(ops.Shuffles.pinWide(base, col("o_custkey"))) == 4)
+    // cluster-sized session conf: 64 shuffle partitions -> the pin IS
+    // the planner's own width, nothing changes at scale
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try assert(numParts(ops.Shuffles.pinWide(base, col("o_custkey"))) == 64)
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  test("pinWide preserves rows and clusters by the key") {
+    val base = t("orders").select(col("o_orderkey"), col("o_custkey"))
+    val pinned = ops.Shuffles.pinWide(base, col("o_custkey"))
+    assert(pinned.count() == base.count())
+    // same key never lands in two partitions (hash clustering)
+    val spread = pinned
+      .groupBy(col("o_custkey"), spark_partition_id().as("p")).count()
+      .groupBy(col("o_custkey")).count().filter(col("count") > 1).count()
+    assert(spread == 0L, "a key must map to exactly one partition")
+  }
+
+  test("spark.graft.pinWide=false drops the pin entirely") {
+    val base = t("orders").select(col("o_orderkey"), col("o_custkey"))
+    spark.conf.set("spark.graft.pinWide", "false")
+    try {
+      val df = ops.Shuffles.pinWide(base, col("o_custkey"))
+      assert(df.queryExecution.logical eq base.queryExecution.logical,
+        "gate off must return the input plan unchanged")
+    } finally spark.conf.unset("spark.graft.pinWide")
+  }
+}
