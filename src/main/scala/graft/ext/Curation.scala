@@ -900,39 +900,83 @@ object Curation {
     * [[splitAssign]]'s engine-neutral multiplicative hash, so the
     * metric is reproducible across engines and dataset versions.
     *
-    * Scale shape: ONE explode pass and ONE wide shuffle, keyed by the
-    * shingle's 8-byte xxhash64 fingerprint (same collision-risk budget
-    * as [[ngramNovelty]]: P ~ n^2/2^65, far below the 1e-4 output
-    * grid): the per-shingle aggregate folds train membership to a bit
-    * (max) and the test side to its distinct lang set (collect_set
-    * dedupes map-side), so the shuffle carries each distinct shingle
-    * once as a long — never strings, never documents, and never a
-    * second pass. The per-lang counts then fall out of a tiny second
-    * aggregate over the exploded lang sets. (An earlier formulation fed
-    * the exploded frame into two DISTINCTs plus a LEFT SEMI join:
-    * exchange reuse dedupes shuffle FILES, not the three post-shuffle
-    * distinct/aggregate executions stacked above them, so the shingle
-    * pipeline ran ~3x.)
+    * Scale shape: ONE explode pass, keyed by the shingle's 8-byte
+    * xxhash64 fingerprint (same collision-risk budget as
+    * [[ngramNovelty]]: P ~ n^2/2^65, far below the 1e-4 output grid).
+    * The wide aggregate groups by (sh, test-lang-or-null) with a single
+    * int-max state — a pure Tungsten hash aggregate with map-side
+    * partials. The earlier per-shingle `collect_set(lang)` formulation
+    * was QUIESCED-fast but catastrophically load-fragile (r7 driver
+    * reps [1.8s, 51.0s, 20.2s] vs 0.7s clean): collect_set is a
+    * TypedImperativeAggregate, so it planned as ObjectHashAggregate,
+    * whose in-memory map falls back to SORT-BASED aggregation past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128 keys) — with millions of distinct shingle hashes
+    * every run external-sorted the whole exploded frame, which degrades
+    * violently under memory pressure / CPU steal. Folding the lang into
+    * the GROUP KEY instead keeps the dedup in codegen'd hash-agg space;
+    * the distinct (sh, lang) pairs then checkpoint as compact rows
+    * (shingle kernel runs ONCE — no planner roulette re-running the
+    * explode per branch) and a long-keyed left join marks coverage.
+    * Measured interleaved on/off in one JVM (tools/GramToggleProbe,
+    * sf0.1, medians of 4): hash-agg 0.32s vs collect_set 0.82s
+    * quiesced; under 24 spinning background threads 0.40s (reps
+    * 0.34-0.56) vs 1.69s (1.55-2.02); under 48 threads 0.71s vs
+    * 2.19s — faster clean AND 4x flatter under load. (An even
+    * earlier formulation fed the exploded frame into two DISTINCTs
+    * plus a LEFT SEMI join: exchange reuse dedupes shuffle FILES, not
+    * the three post-shuffle aggregate executions stacked above them,
+    * so the shingle pipeline ran ~3x.)
+    *
+    * `spark.graft.gramCoverage.legacy=true` restores the collect_set
+    * shape — the A/B lever tools/GramToggleProbe measures with.
     */
   def gramCoverage(
       docs: DataFrame,
       textCol: String = "text",
       keyCol: String = "doc_id"): DataFrame = {
     import Num.trunc4
+    val legacy = docs.sparkSession.sessionState.conf
+      .getConfString("spark.graft.gramCoverage.legacy", "false") == "true"
     val sp = splitAssign(graft.Tables.spread(docs), keyCol)
       // valid-split docs feed neither side: drop before the explode
       .filter(col("split").isin("train", "test"))
       .select(col("lang"), col("split"),
         explode(wordShingles3(col(textCol))).as("sh0"))
       .select(col("lang"), col("split"), xxhash64(col("sh0")).as("sh"))
-    val bySh = sp.groupBy(col("sh")).agg(
-      max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
-      // collect_set skips nulls, so train-side rows contribute nothing
-      collect_set(when(col("split") === "test", col("lang"))).as("test_langs"))
-    bySh.select(col("in_train"), explode(col("test_langs")).as("lang"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).cast("long").as("n_test_shingles"),
-        sum(col("in_train")).cast("long").as("n_covered"))
+    val perLang =
+      if (legacy) {
+        val bySh = sp.groupBy(col("sh")).agg(
+          max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+          // collect_set skips nulls, so train-side rows contribute nothing
+          collect_set(when(col("split") === "test", col("lang"))).as("test_langs"))
+        bySh.select(col("in_train"), explode(col("test_langs")).as("lang"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_test_shingles"),
+            sum(col("in_train")).cast("long").as("n_covered"))
+      } else {
+        // tl: the lang for test rows, null for train rows (and for
+        // null-lang test rows, which the legacy collect_set also
+        // skipped — the tr bit keeps them from masquerading as train)
+        val g = sp
+          .select(col("sh"),
+            when(col("split") === "test", col("lang")).as("tl"),
+            when(col("split") === "train", 1).otherwise(0).as("tr"))
+          .groupBy(col("sh"), col("tl"))
+          .agg(max(col("tr")).as("tr"))
+          // two branches read this: without the checkpoint, predicate
+          // pushdown splits the exchange and the explode runs per branch
+          .localCheckpoint(false)
+        val trainSh = g.filter(col("tl").isNull && col("tr") === 1)
+          .select(col("sh"), lit(1).as("in_train"))
+        g.filter(col("tl").isNotNull)
+          .select(col("sh"), col("tl").as("lang"))
+          .join(trainSh, Seq("sh"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_test_shingles"),
+            sum(coalesce(col("in_train"), lit(0))).cast("long").as("n_covered"))
+      }
+    perLang
       .withColumn("coverage4",
         trunc4(col("n_covered").cast("double") / col("n_test_shingles").cast("double")))
       .orderBy(col("lang"))

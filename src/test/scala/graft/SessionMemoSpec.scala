@@ -59,6 +59,32 @@ class SessionMemoSpec extends SparkSpec {
     assert(memo.get(spark, "b")(4) == 4, "b was evicted and rebuilds")
   }
 
+  test("evict + reuse never registers a duplicate context hook") {
+    val memo = new SessionMemo[String](maxEntries = 8)(_ => ())
+    memo.get(spark, "a")("v")
+    assert(memo.hookedCount == 1)
+    memo.evictSession(spark)
+    memo.get(spark, "a")("v2") // reuse after eviction
+    assert(memo.hookedCount == 1,
+      "the hook is per-CONTEXT: session eviction must not re-register")
+    val other = spark.newSession() // same context — still one hook
+    memo.get(other, "a")("v3")
+    assert(memo.hookedCount == 1)
+    memo.evictSession(spark); memo.evictSession(other)
+  }
+
+  test("a failed build is dropped so later calls retry") {
+    var attempts = 0
+    val memo = new SessionMemo[String](maxEntries = 8)(_ => ())
+    val e = intercept[RuntimeException] {
+      memo.get(spark, "k") { attempts += 1; sys.error("cold-read failed") }
+    }
+    assert(e.getMessage == "cold-read failed")
+    assert(memo.get(spark, "k") { attempts += 1; "ok" } == "ok")
+    assert(attempts == 2, "the poisoned entry must not be replayed")
+    memo.evictSession(spark)
+  }
+
   test("end-to-end: a persisted artifact frame is unpersisted on eviction") {
     val memo = new SessionMemo[org.apache.spark.sql.DataFrame](maxEntries = 4)(
       _.unpersist(blocking = true): Unit)
