@@ -932,6 +932,20 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     // the per-key grouping then happens inside mapPartitions (hash
     // buffering — also drops MapGroups' per-partition sort). Width
     // rule: graft.ops.Shuffles.pinWide.
+    //
+    // Per-partition memory bound (round-7 advisory asked for it
+    // explicitly): the byKey map buffers every group co-resident on
+    // the partition — at most ceil(B(B+1)/2 / W) of the B(B+1)/2
+    // groups (keys are dense ints, hash-spread over W >= cores
+    // partitions), each holding ~2n/B replicated vectors, so peak heap
+    // is that small multiple of the single-group working set the sweep
+    // itself must hold (left/right block arrays). The real memory
+    // contract is therefore the same one the BLOCK DESIGN already
+    // imposes — a group (2n/B vectors) must fit an executor — and the
+    // caller scales numBlocks with n, not this buffering. Streaming
+    // one group at a time would need sortWithinPartitions(key), i.e.
+    // re-paying the per-partition sort of the full vector payload that
+    // this rewrite measurably removed, to shave a <= 2-3x constant.
     val grouped = graft.ops.Shuffles.pinWide(
         replicated.toDF("key", "g", "id", "v"), col("key"))
       .as[(Int, Int, Long, Array[Double])]

@@ -82,7 +82,8 @@ object CompactResultSortRule extends Rule[LogicalPlan] {
     */
   private def rewriteRoot(plan: LogicalPlan): LogicalPlan = plan match {
     case s @ Sort(_, true, child, _)
-        if !alreadyCompact(child) && (groupSized(child) || smallScan(child)) =>
+        if !alreadyCompact(child) &&
+          ((groupSized(child) && leavesWithinBackstop(child)) || smallScan(child)) =>
       s.copy(global = false,
         child = Repartition(numPartitions = 1, shuffle = true, child = child))
     case p: Project => p.copy(child = rewriteRoot(p.child))
@@ -116,6 +117,27 @@ object CompactResultSortRule extends Rule[LogicalPlan] {
         _: SubqueryAlias | _: RepartitionOperation) =>
       groupSized(n.children.head)
     case _ => false
+  }
+
+  /** Byte BACKSTOP on the shape gate (round-7 advisory): shape alone
+    * admits ANY Aggregate, including a high-cardinality one (per-key
+    * groups over a huge fact), whose gathered single-task sort would
+    * be pathological. Whole-plan `stats.sizeInBytes` cannot veto it —
+    * at this layer those estimates are junk in both directions (see
+    * the scale-honesty note). What IS trustworthy is the LEAF relation
+    * sizes (file-size-derived), and an aggregate's output is bounded
+    * by its input: if every byte entering the plan sums under the
+    * ceiling (default 1 GiB — generous: within the <=16-partition
+    * session gate the volume rule implies ~1 GB of input anyway, so
+    * this only vetoes externally-configured small-partition sessions
+    * over big data), the gathered result is bounded too. Shape selects
+    * the candidate set; leaf bytes veto pathological group counts.
+    */
+  private def leavesWithinBackstop(p: LogicalPlan): Boolean = {
+    val ceiling = scala.util.Try(BigInt(SQLConf.get
+      .getConfString("spark.graft.compactSortLeafMaxBytes", (1L << 30).toString)))
+      .getOrElse(BigInt(1L << 30))
+    p.collectLeaves().map(_.stats.sizeInBytes).sum <= ceiling
   }
 
   /** Secondary admission: a NARROW CHAIN — Project / Filter /

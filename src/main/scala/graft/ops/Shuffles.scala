@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Shuffle-shape helpers shared by the compute-dense reduce kernels. */
 object Shuffles {
@@ -14,8 +15,20 @@ object Shuffles {
     * A user repartition on the same keys satisfies the downstream
     * aggregate/join's required distribution — no extra exchange — and
     * is exempt from coalescing. Width = max(cores, configured shuffle
-    * partitions): on a real cluster that IS the planner's own width,
-    * so only the small-volume degenerate coalesce is excluded.
+    * partitions).
+    *
+    * The pin fires ONLY in the small-volume regime it was measured in
+    * (round-7 advisory): when the optimizer's size estimate for the
+    * input already reaches width × the AQE advisory partition size,
+    * the planner itself keeps the exchange wide — the pin would only
+    * bypass AQE coalescing of a genuinely large shuffle, and on a
+    * cluster whose configured partitions are below its core count it
+    * would silently widen past the planner's width. Above the
+    * threshold the input is returned untouched. (Estimates after
+    * explodes/joins are crude, but the failure mode is benign in both
+    * directions: an overestimate skips the pin — planner default — and
+    * an underestimate pins a shuffle AQE would have coalesced, which
+    * is at worst the pre-gate behavior.)
     *
     * `spark.graft.pinWide=false` drops the pin (the kernel's own
     * exchange takes over, AQE coalescing included) — the escape hatch,
@@ -23,11 +36,17 @@ object Shuffles {
     */
   def pinWide(df: DataFrame, keys: Column*): DataFrame = {
     val spark = df.sparkSession
-    val on = spark.sessionState.conf
-      .getConfString("spark.graft.pinWide", "true") == "true"
+    val conf = spark.sessionState.conf
+    val on = conf.getConfString("spark.graft.pinWide", "true") == "true"
     if (!on) df
-    else df.repartition(
-      math.max(spark.sparkContext.defaultParallelism,
-        spark.sessionState.conf.numShufflePartitions), keys: _*)
+    else {
+      val width = math.max(spark.sparkContext.defaultParallelism,
+        conf.numShufflePartitions)
+      val advisory = conf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+      val smallVolume =
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <
+          BigInt(width) * advisory
+      if (smallVolume) df.repartition(width, keys: _*) else df
+    }
   }
 }

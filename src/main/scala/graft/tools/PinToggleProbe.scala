@@ -35,7 +35,7 @@ object PinToggleProbe {
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     for (n <- names) {
       run(n, on = true); run(n, on = false) // warm both plans
-      val pairs = (1 to 3).map(_ => (run(n, on = true), run(n, on = false)))
+      val pairs = (1 to sys.env.getOrElse("PIN_REPS","3").toInt).map(_ => (run(n, on = true), run(n, on = false)))
       System.gc()
       println(f"[pin] $n%-22s on=${med(pairs.map(_._1))}%.3f off=${med(pairs.map(_._2))}%.3f")
     }

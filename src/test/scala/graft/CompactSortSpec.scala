@@ -83,6 +83,20 @@ class CompactSortSpec extends SparkSpec {
       s"aggregate-join report must take the compact sort, plan:\n${p.take(800)}")
   }
 
+  test("leaf-byte backstop vetoes group-sized shapes over big inputs") {
+    // a per-key aggregate is group-sized by SHAPE, but if the leaves
+    // feeding it exceed the backstop ceiling the gathered single-task
+    // sort could be pathological — the rule must leave it range-parted
+    spark.conf.set("spark.graft.compactSortLeafMaxBytes", "1024")
+    try {
+      val perKey = t("orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("s"))
+        .orderBy(col("o_custkey"))
+      assert(planOf(perKey).contains("rangepartitioning"),
+        "leaf-byte backstop must veto aggregates over big inputs")
+    } finally spark.conf.unset("spark.graft.compactSortLeafMaxBytes")
+  }
+
   test("malformed compactSortMaxBytes degrades to the default gate, never throws") {
     spark.conf.set("spark.graft.compactSortMaxBytes", "not-a-number")
     try {

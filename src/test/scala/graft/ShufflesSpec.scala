@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** graft.ops.Shuffles.pinWide: the scale contract is that the pin only
-  * ever EXCLUDES the small-volume degenerate coalesce — it must resolve
-  * to the planner's own width on cluster-sized sessions, preserve the
+  * ever EXCLUDES the small-volume degenerate coalesce — it must fire
+  * only below the size threshold (width x advisory partition size),
+  * leave genuinely large inputs to the planner + AQE, preserve the
   * data exactly, and disappear entirely under its conf gate.
   */
 class ShufflesSpec extends SparkSpec {
@@ -32,6 +33,16 @@ class ShufflesSpec extends SparkSpec {
       .groupBy(col("o_custkey"), spark_partition_id().as("p")).count()
       .groupBy(col("o_custkey")).count().filter(col("count") > 1).count()
     assert(spread == 0L, "a key must map to exactly one partition")
+  }
+
+  test("pinWide leaves genuinely large inputs to the planner (scale contract)") {
+    // ~80 GB size estimate (Range leaf stats), never executed: above
+    // width x advisoryPartitionSize the pin must NOT fire — on a real
+    // cluster it would bypass AQE coalescing / widen past the planner.
+    val big = spark.range(10000000000L).toDF("id")
+    val df = ops.Shuffles.pinWide(big, col("id"))
+    assert(df.queryExecution.logical eq big.queryExecution.logical,
+      "a large input must be returned unchanged")
   }
 
   test("spark.graft.pinWide=false drops the pin entirely") {
