@@ -369,7 +369,11 @@ object SparkEntry {
     // logical type; min/max aggregates keep the check order-free.
     "k18_avro_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_avro").toString + "/orders"
-      AvroIO.write(rd(s, dir, "orders").select(
+      // spread: the fixture scan is one row group, so without it ONE
+      // task pays the whole deflate-6 encode (measured 0.55s of the
+      // 1.12s median); a cluster-wide scan is already >= cores splits
+      // and spread is a no-op there (Tables.spread contract)
+      AvroIO.write(Tables.spread(rd(s, dir, "orders")).select(
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), to_date(col("o_orderdate")).as("o_day")), tmp)
       AvroIO.read(s, tmp)
@@ -394,6 +398,9 @@ object SparkEntry {
     // join + groupBy on that key — at scale this whole pipeline runs
     // with ZERO shuffle (bucket co-location; asserted in OpsSpec).
     "k4_bucketed_join" -> ((s, dir) => {
+      // NO spread on the bucketed-write inputs: measured SLOWER (0.92s
+      // -> 2.26s median) — 32 input tasks x 8 buckets multiply the
+      // file count and the bucketed read pays the listing/open cost
       val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       val bo = Sinks.bucketedParquet(o, "graft_bkt_orders", Seq("o_custkey"), 8)
@@ -1222,10 +1229,17 @@ object SparkEntry {
     // the mechanism is identical at any grain)
     "k_dynamic_overwrite" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_dynow").toString + "/orders"
+      // NO spread here: measured SLOWER (1.11s -> 1.66s median) — the
+      // year-partitioned write multiplies files per partition dir and
+      // the read-back pays the listing
       val orders = rd(s, dir, "orders")
         .withColumn("oy", date_format(col("o_orderdate"), "yyyy"))
       Sinks.parquet(orders, tmp, Seq("oy"))
-      val y0 = orders.agg(min(col("oy")).as("y")).head().getString(0)
+      // min-year probe reads the raw scan (no reason to pay the spread
+      // shuffle for a one-column min)
+      val y0 = rd(s, dir, "orders")
+        .agg(min(date_format(col("o_orderdate"), "yyyy")).as("y"))
+        .head().getString(0)
       Sinks.overwritePartitionsDynamic(
         orders.filter(col("oy") === y0)
           .withColumn("o_totalprice", col("o_totalprice") * 2),

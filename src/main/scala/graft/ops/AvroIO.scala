@@ -129,28 +129,41 @@ object AvroIO {
     df
   }
 
-  /** Read a directory of Avro container files into a DataFrame. */
+  /** Read a directory of Avro container files into a DataFrame — one
+    * task per container file, mirroring the write layout. (The earlier
+    * `binaryFiles` formulation sat on CombineFileInputFormat, which
+    * PACKS small files into few byte-sized splits regardless of the
+    * minPartitions hint — a directory of 32 per-partition files
+    * decoded on ONE task, 0.61s vs ~0.1s spread at sf0.1 — and its
+    * schema probe was a cluster job reading a whole file.) The writer
+    * schema comes from a driver-side header read of the first file:
+    * zero jobs before the scan itself.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.sparkContext.binaryFiles(path + "/*.avro")
-    val headBytes = files.map(_._2.toArray()).first()
-    val writerSchema = schemaOf(headBytes)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new Path(path, "*.avro"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"no .avro container files under $path")
+    val writerSchema = {
+      val in = fs.open(new Path(files.head))
+      val ds = new org.apache.avro.file.DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try ds.getSchema finally ds.close()
+    }
     val sparkT = sparkSchema(writerSchema)
     val json = writerSchema.toString
-    val rdd = files.flatMap { case (_, stream) =>
+    val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
       val schema = new Schema.Parser().parse(json)
-      val r = new DataFileReader[GenericRecord](
-        new SeekableByteArrayInput(stream.toArray()),
+      val p = new Path(f)
+      val r = new org.apache.avro.file.DataFileStream[GenericRecord](
+        p.getFileSystem(new Configuration()).open(p),
         new GenericDatumReader[GenericRecord](schema))
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => r.close())
       val fields = sparkSchema(schema).fields
       r.iterator().asScala.map(rec => toRow(rec, fields))
     }
     spark.createDataFrame(rdd, sparkT)
-  }
-
-  private def schemaOf(bytes: Array[Byte]): Schema = {
-    val r = new DataFileReader[GenericRecord](
-      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
-    try r.getSchema finally r.close()
   }
 
   private def toRecord(row: Row, sparkT: StructType, schema: Schema): GenericRecord = {
