@@ -3200,6 +3200,17 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("gram coverage: hash-agg shape equals the legacy collect_set shape") {
+    // the r8 load-robust reformulation must be row-identical to the
+    // collect_set original it replaced (the A/B lever's correctness leg)
+    def run() = Curation.gramCoverage(t("documents", "sf0.01")).collect().toSeq
+    val hashAgg = run()
+    spark.conf.set("spark.graft.gramCoverage.legacy", "true")
+    val legacy = try run()
+      finally spark.conf.unset("spark.graft.gramCoverage.legacy")
+    assert(hashAgg === legacy)
+  }
+
   test("shard balance: partitions all docs into range") {
     val docs = t("documents")
     val r = Curation.shardBalance(docs).collect()
