@@ -68,7 +68,7 @@ object Bench {
       .split(";").filter(_.contains("=")).map { kv =>
         val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim)
       }
-    val spark = extraConf.foldLeft(SparkSession.builder()
+    val spark = (Scratch.localFsConfs.toSeq ++ extraConf).foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", s"$tmpBase/spark-local")
       .config("spark.sql.shuffle.partitions", shuffleParts)

@@ -8,9 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val tmpBase = Scratch.dir()
-    val spark = SparkSession.builder()
+    val spark = Scratch.localFsConfs.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.local.dir", s"$tmpBase/spark-local")
+      .config("spark.local.dir", s"$tmpBase/spark-local"))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // ANSI off: null-on-bad-cast semantics, matching the reference's

@@ -18,7 +18,7 @@ object LoadedRepsProbe {
     val burn = if (args.length > 1) args(1).toInt else 16
     val names = if (args.length > 2) args.drop(2).toSeq
       else Seq("d_gram_coverage", "d_ngram_novelty", "d_curate_final")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.Scratch.localFsConfs.foldLeft(SparkSession.builder().master("local[32]"))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -13,7 +13,7 @@ object PlanCostProbe {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_hhi", "q1_pricing_summary", "q_tpch_q18", "q_session_overlap",
         "q_price_index", "d_minhash_lsh", "t9_join_inner", "q_window_range")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.Scratch.localFsConfs.foldLeft(SparkSession.builder().master("local[32]"))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

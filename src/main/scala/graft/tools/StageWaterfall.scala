@@ -13,7 +13,7 @@ import scala.collection.mutable.ArrayBuffer
 object StageWaterfall {
   def main(args: Array[String]): Unit = {
     val dir = args(0); val name = args(1)
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.Scratch.localFsConfs.foldLeft(SparkSession.builder().master("local[32]"))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -14,9 +14,9 @@ object StreamProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tmpBase = graft.Scratch.dir()
-    val spark = SparkSession.builder()
+    val spark = graft.Scratch.localFsConfs.foldLeft(SparkSession.builder()
       .master("local[32]")
-      .config("spark.local.dir", s"$tmpBase/spark-local")
+      .config("spark.local.dir", s"$tmpBase/spark-local"))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
