@@ -1032,16 +1032,17 @@ object SparkEntry {
     // pipeline actually materializes, composed from the three
     // independently-oracle-checked sub-pipelines
     "d_curate_final" -> ((s, dir) => {
-      // spread ONCE at the composition root, then LAZILY checkpoint:
-      // three sub-pipelines fan out from this frame (gate projection,
+      // spread ONCE at the composition root, then persist: three
+      // sub-pipelines fan out from this frame (gate projection,
       // minhash near-dup, contamination shingles), and without the
-      // checkpoint each branch re-scans the parquet and re-pays the
-      // spread shuffle — exchange reuse cannot unify them because the
-      // branches diverge before their first exchange. The corpus frame
-      // is materialized once and every branch reads cached blocks
-      // (measured 2.56s -> see commit; same win class as the pageRank
-      // pair-pipeline checkpoint).
-      val docs = Tables.spread(rd(s, dir, "documents")).localCheckpoint(false)
+      // shared materialization each branch re-scans the parquet and
+      // re-pays the spread shuffle — exchange reuse cannot unify them
+      // because the branches diverge before their first exchange
+      // (measured 2.56s -> see commit). persist, not localCheckpoint:
+      // same one-materialization guarantee, but lazy at plan-build
+      // time (a lazy localCheckpoint still pays an eager toRdd
+      // analysis+optimization pre-pass on every call).
+      val docs = Tables.spread(rd(s, dir, "documents")).persist()
       val gate = Curation.qualityGate(docs).select(col("doc_id"), col("keep").as("gate_keep"))
       val dups = Dedup.clusterPairsStar(nearDupPairs(s, dir))
         .filter(col("doc_id") =!= col("cluster_id"))

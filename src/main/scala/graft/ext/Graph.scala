@@ -45,8 +45,28 @@ object Graph {
   private[ext] def probeCollect(
       df: DataFrame, max: Long): Option[Array[org.apache.spark.sql.Row]] = {
     if (max < 0L || max >= Int.MaxValue.toLong) return None
-    val rows = df.limit(max.toInt + 1).collect()
-    if (rows.length <= max) Some(rows) else None
+    // One-JOB probe, literally: executeTake starts at
+    // spark.sql.limit.initialNumPartitions (default 1) result
+    // partitions and rescans in limitScaleUpFactor waves until the
+    // limit fills, so a SUCCESSFUL probe (the whole frame fits) pays
+    // 2-3 result-stage round trips instead of one. Pinning the initial
+    // wave to cover every partition makes success a single job; a
+    // FAILING probe (graph larger than the gate) now scans all
+    // partitions where it might have stopped after one — a bounded
+    // extra pass that the minutes-long distributed path it precedes
+    // amortizes away. Restored in finally: the pin must not leak into
+    // the caller's top-k limits.
+    val spark = df.sparkSession
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4096")
+    try {
+      val rows = df.limit(max.toInt + 1).collect()
+      if (rows.length <= max) Some(rows) else None
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** K-iteration PageRank on an UNDIRECTED pair graph (each pair
@@ -74,26 +94,17 @@ object Graph {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"iters=$iters damping=$damping out of range")
     val spark = pairs.sparkSession
-    // Checkpoint the PAIR PIPELINE itself before anything fans out from
-    // it: the undirected expansion references `pairs` twice and the
-    // degree fold references the expansion again, so without this the
-    // (possibly expensive — ngramJaccardPairs at sf1 is ~4.5s) upstream
-    // pipeline re-executes once per reference whenever exchange reuse
-    // fails to unify the branches (measured d_pagerank 15.7s -> ~7s at
-    // sf1, identical output). The pair set is small by construction
-    // (near-dup graphs), so holding it is cheap.
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(false)
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // fold degree onto the edge once: each round then divides by a
-    // column already co-located with the edge row. The weighted edge
-    // list is referenced by every round (and deg/nodes by the seed):
-    // LAZY localCheckpoint materializes the possibly-expensive pair
-    // pipeline exactly once on first use instead of re-running it per
-    // reference (same policy as Dedup's contraction loop; lazy keeps
-    // plan BUILDING action-free)
-    val edgesW = edges.join(deg, "src").localCheckpoint(false)
+    // Probe the RAW PAIR frame, not the weighted edge pipeline: the
+    // undirected expansion + degree fold reference the pair pipeline
+    // four times, so probing downstream of them either re-executes the
+    // (possibly expensive — ngramJaccardPairs at sf1 is ~4.5s) pipeline
+    // per reference or needs the checkpoint back, whose eager toRdd
+    // pre-pass + cache write are pure cost on the driver path. The
+    // driver loop expands directions and counts degrees itself —
+    // integer arithmetic it does in microseconds. Gate equivalence:
+    // the old gate bounded the expanded edge list (2|pairs|) by
+    // driverEdgeMax; bounding |pairs| by driverEdgeMax/2 admits
+    // exactly the same graphs.
     // Measured-small fast path (same adaptive gate as [[kCore]] /
     // Dedup.clusterPairsStar): a near-dup centrality graph is typically
     // a few thousand pairs; 3 rounds of join+agg+checkpoint jobs on it
@@ -104,25 +115,51 @@ object Graph {
     // built to absorb (PropSpec pins it across partitionings). The
     // one-job [[probeCollect]] is a hard volume gate; larger graphs
     // run distributed.
-    val prProbe = probeCollect(edgesW.select(col("src").cast("long"),
-      col("dst").cast("long"), col("deg").cast("long")), driverEdgeMax)
+    val prProbe = probeCollect(pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")), driverEdgeMax / 2)
     if (prProbe.isDefined) {
       import spark.implicits._
-      val es = prProbe.get
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // undirected expansion, driver-side (same as the relational
+      // union): each pair contributes both directions
+      val es = prProbe.get.flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Seq((a, b), (b, a))
+      }
       val nodeIds = es.map(_._1).distinct.sorted
       val idx = nodeIds.zipWithIndex.toMap
       val nn = nodeIds.length
+      // out-degree per source — identical to the relational degree fold
+      val degOf = new Array[Long](nn)
+      es.foreach { case (s, _) => degOf(idx(s)) += 1L }
       var rank = Array.fill(nn)(1.0 / nn)
       (1 to iters).foreach { _ =>
         val inflow = new Array[Double](nn)
-        es.foreach { case (s, d, dg) => inflow(idx(d)) += rank(idx(s)) / dg }
+        es.foreach { case (s, d) => inflow(idx(d)) += rank(idx(s)) / degOf(idx(s)) }
         rank = Array.tabulate(nn)(i => (1.0 - damping) / nn + damping * inflow(i))
       }
       return nodeIds.zipWithIndex.map { case (node, i) =>
         (node, math.floor(rank(i) * nn * 10000.0 + 1e-6) / 10000.0)
       }.toSeq.toDF("node", "rank_x_n").orderBy(col("node"))
     }
+    // Relational path: the pair pipeline and the weighted edge list are
+    // each referenced by every round; LAZY localCheckpoints materialize
+    // them once (measured d_pagerank 15.7s -> ~7s at sf1 when added —
+    // exchange reuse does not reliably unify the fan-out).
+    def pipeline(ckpt: DataFrame => DataFrame): DataFrame = {
+      val p = ckpt(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+      val edges = p.select(col("a").as("src"), col("b").as("dst"))
+        .union(p.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // fold degree onto the edge once: each round then divides by a
+      // column already co-located with the edge row
+      ckpt(edges.join(deg, "src"))
+    }
+    // Relational path: rebuild with LAZY localCheckpoints — the pair
+    // pipeline (possibly expensive: ngramJaccardPairs at sf1 is ~4.5s)
+    // and the weighted edge list are each referenced by every round,
+    // and exchange reuse does not reliably unify the fan-out (measured
+    // d_pagerank 15.7s -> ~7s at sf1 when checkpointing was added).
+    val edgesW = pipeline(_.localCheckpoint(false))
     // node set re-derived FROM the checkpoint so the seed never re-runs
     // the pair pipeline
     val nodes = edgesW.select(col("src").as("node")).distinct()
@@ -191,12 +228,15 @@ object Graph {
     // ties break on node id; u < v by construction, so a tie keeps u->v
     val fwd = col("du") < col("dv") || col("du") === col("dv")
     // referenced three times below (two wedge legs + the closing join):
-    // lazy localCheckpoint materializes the upstream pair pipeline once
+    // persist (not localCheckpoint) materializes the upstream pair
+    // pipeline once while staying LAZY at plan-build time — a lazy
+    // localCheckpoint still pays an eager toRdd pre-pass (full
+    // analysis+optimization of the subtree, ~0.15s) on every call
     val dir = ew.select(
         when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"),
         when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
-      .localCheckpoint(false)
+      .persist()
     val wedges = dir.select(col("src"), col("dst").as("x"), col("ddeg").as("xd"))
       .join(dir.select(col("src"), col("dst").as("y"), col("ddeg").as("yd")), Seq("src"))
       .filter(col("xd") < col("yd") || (col("xd") === col("yd") && col("x") < col("y")))
@@ -232,7 +272,7 @@ object Graph {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") < col("v"))
       .distinct()
-      .localCheckpoint(false) // referenced by degrees, wedges and the closing join
+      .persist() // referenced by degrees, wedges and the closing join (lazy-plan: see triangles)
     val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val ew = e
@@ -243,7 +283,7 @@ object Graph {
         when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"),
         when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
-      .localCheckpoint(false)
+      .persist()
     val wedges = dir.select(col("src"), col("dst").as("x"), col("ddeg").as("xd"))
       .join(dir.select(col("src"), col("dst").as("y"), col("ddeg").as("yd")), Seq("src"))
       .filter(col("xd") < col("yd") || (col("xd") === col("yd") && col("x") < col("y")))
@@ -295,18 +335,20 @@ object Graph {
   def kCore(pairs: DataFrame, aCol: String, bCol: String,
       k: Int = 3, rounds: Int = 32, driverEdgeMax: Long = DriverEdgeMaxDefault): DataFrame = {
     val spark = pairs.sparkSession
-    var e = pairs.select(
+    // Probe the UN-checkpointed canonical edge set: the driver path
+    // collects it exactly once, so the old checkpoint-then-count gate
+    // paid an eager toRdd plan pass, a cache write, and a separate
+    // count job it never needed (probeCollect is one job and IS the
+    // census). The relational peel re-checkpoints below.
+    val eRaw = pairs.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") < col("v"))
       .distinct()
-      .localCheckpoint(false)
-    var prev = -1L
-    var n = e.count()
-    var r = 0
-    if (n <= driverEdgeMax) {
+    val kcProbe = probeCollect(eRaw, driverEdgeMax)
+    if (kcProbe.isDefined) {
       import spark.implicits._
-      var edges = e.collect().map(row => (row.getLong(0), row.getLong(1)))
+      var edges = kcProbe.get.map(row => (row.getLong(0), row.getLong(1)))
       var rr = 0
       var changed = true
       while (rr < rounds && changed) {
@@ -327,6 +369,10 @@ object Graph {
       return coreDeg.toSeq.sortBy(_._1).toDF("node", "core_degree")
         .orderBy(col("node"))
     }
+    var e = eRaw.localCheckpoint(false)
+    var prev = -1L
+    var n = e.count()
+    var r = 0
     while (r < rounds && n != prev) {
       prev = n
       val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
@@ -365,7 +411,7 @@ object Graph {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") < col("v"))
       .distinct()
-      .localCheckpoint(false) // adjacency, degrees and the anti join reuse it
+      .persist() // adjacency, degrees and the anti join reuse it (lazy-plan: see triangles)
     val adj = e.select(col("u").as("x"), col("v").as("y"))
       .union(e.select(col("v").as("x"), col("u").as("y")))
     val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -414,9 +460,17 @@ object Graph {
     import graft.ext.Num.trunc4
     require(iters >= 1, s"iters=$iters")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // Neither distinct'd nor checkpointed yet: the driver fast path
+    // below probes the PROJECTED edge stream — for the usual
+    // fact-join edge build that plan is scan + broadcast-join +
+    // project with NO shuffle at all, so the probe is one map-only
+    // job and dedup happens driver-side on packed index pairs.
+    // Gating on the pre-distinct row count is strictly conservative
+    // for the long-overflow invariant (raw count >= distinct count).
+    // The relational path distincts + checkpoints after the probe
+    // declines.
+    val eProj = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint(false)
     // Measured-small fast path (same adaptive gate as [[pageRank]] /
     // [[kCore]]): the iteration alternates join keys every half-round,
     // so the distributed form pays ~2·iters edge-stream shuffles plus
@@ -436,32 +490,64 @@ object Graph {
     // round-to-nearest on identical integer values), so the trunc4
     // grid agrees even above 2^53.
     val hitsProbe = if (iters <= 3)
-      probeCollect(e.select(col("src"), col("dst")),
-        math.min(driverEdgeMax, HitsDriverEdgeMax))
+      probeCollect(eProj, math.min(driverEdgeMax, HitsDriverEdgeMax))
     else None
     if (hitsProbe.isDefined) {
       import spark.implicits._
-      val es = hitsProbe.get
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val srcIds = es.map(_._1).distinct.sorted
-      val dstIds = es.map(_._2).distinct.sorted
-      val sIdx = srcIds.zipWithIndex.toMap
-      val dIdx = dstIds.zipWithIndex.toMap
-      val sOf = es.map(p => sIdx(p._1))
-      val dOf = es.map(p => dIdx(p._2))
-      var a = new Array[Long](dstIds.length)
-      var h = new Array[Long](srcIds.length)
+      val raw = hitsProbe.get
+      val n = raw.length
+      val srcA = new Array[Long](n); val dstA = new Array[Long](n)
       var i = 0
-      while (i < es.length) { a(dOf(i)) += 1L; i += 1 } // round 1: in-degree
+      while (i < n) { srcA(i) = raw(i).getLong(0); dstA(i) = raw(i).getLong(1); i += 1 }
+      // sorted-distinct id arrays; binarySearch replaces the boxed
+      // Long->Int maps (2 lookups x |E| dominated the old driver gap)
+      def sortedDistinct(xs: Array[Long]): Array[Long] = {
+        val c = xs.clone(); java.util.Arrays.sort(c)
+        var w = 0; var r = 0
+        while (r < c.length) {
+          if (w == 0 || c(w - 1) != c(r)) { c(w) = c(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(c, w)
+      }
+      val srcIds = sortedDistinct(srcA)
+      val dstIds = sortedDistinct(dstA)
+      // pack (srcIdx, dstIdx) into one long, sort, and let the sweep
+      // loops skip adjacent duplicates — the driver-side `distinct()`
+      // without a shuffle or a boxed hash set. Index widths are
+      // |nodes| <= |E| <= 1e6 < 2^31, so the pack is lossless.
+      val packed = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val si = java.util.Arrays.binarySearch(srcIds, srcA(i))
+        val di = java.util.Arrays.binarySearch(dstIds, dstA(i))
+        packed(i) = (si.toLong << 32) | (di.toLong & 0xffffffffL)
+        i += 1
+      }
+      java.util.Arrays.sort(packed)
+      var m = 0 // distinct edge count after in-place dedup
+      i = 0
+      while (i < n) {
+        if (m == 0 || packed(m - 1) != packed(i)) { packed(m) = packed(i); m += 1 }
+        i += 1
+      }
+      val a = new Array[Long](dstIds.length)
+      val h = new Array[Long](srcIds.length)
+      i = 0
+      while (i < m) { a((packed(i) & 0xffffffffL).toInt) += 1L; i += 1 } // round 1: in-degree
       def hubsFromAuths(): Unit = {
         java.util.Arrays.fill(h, 0L)
         var j = 0
-        while (j < es.length) { h(sOf(j)) += a(dOf(j)); j += 1 }
+        while (j < m) {
+          h((packed(j) >>> 32).toInt) += a((packed(j) & 0xffffffffL).toInt); j += 1
+        }
       }
       def authsFromHubs(): Unit = {
         java.util.Arrays.fill(a, 0L)
         var j = 0
-        while (j < es.length) { a(dOf(j)) += h(sOf(j)); j += 1 }
+        while (j < m) {
+          a((packed(j) & 0xffffffffL).toInt) += h((packed(j) >>> 32).toInt); j += 1
+        }
       }
       hubsFromAuths()
       (2 to iters).foreach { _ => authsFromHubs(); hubsFromAuths() }
@@ -472,6 +558,7 @@ object Graph {
         .sortBy { case (node, s) => (-s, node) }
         .take(k).toSeq.toDF("node", "authority4")
     }
+    val e = eProj.distinct().localCheckpoint(false)
     // Round 1 folded: every hub seeds at h = 1, so the first authority
     // pass is just the in-degree — two stages (distinct + join) saved.
     // Each half-round is LAZILY checkpointed: round t's plan otherwise
@@ -582,9 +669,12 @@ object Graph {
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") < col("v")).distinct()
-    val adj = und.select(col("u").as("x"), col("v").as("y"))
+    // un-checkpointed for the probe (driver path reads it exactly once;
+    // a checkpoint would cost an eager toRdd plan pass + a cache write
+    // there); the relational path checkpoints below, where the frame
+    // really is joined once per round
+    val adjRaw = und.select(col("u").as("x"), col("v").as("y"))
       .union(und.select(col("v").as("x"), col("u").as("y")))
-      .localCheckpoint(false) // joined once per round
     // Measured-small fast path (same adaptive gate as [[pageRank]] /
     // [[kCore]]): 3 synchronous rounds are ~12 join/window/checkpoint
     // jobs of pure stage latency on a few-thousand-edge graph. The
@@ -593,7 +683,7 @@ object Graph {
     // labels — which is integer-deterministic, so the results are
     // bit-equal to the distributed path. The one-job [[probeCollect]]
     // is a hard volume gate; larger graphs run distributed.
-    val lpaProbe = probeCollect(adj.select(col("x"), col("y")), driverEdgeMax * 2)
+    val lpaProbe = probeCollect(adjRaw.select(col("x"), col("y")), driverEdgeMax * 2)
     if (lpaProbe.isDefined) {
       import spark.implicits._
       val es = lpaProbe.get
@@ -612,6 +702,7 @@ object Graph {
       }
       return labels.toSeq.toDF("node", "community").orderBy(col("node"))
     }
+    val adj = adjRaw.localCheckpoint(false) // joined once per round
     var labels = adj.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     val w = org.apache.spark.sql.expressions.Window
@@ -644,8 +735,11 @@ object Graph {
     require(maxHops >= 1, s"maxHops=$maxHops")
     val spark = pairs.sparkSession
     val fwd = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val und = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(false)
+    // un-checkpointed for the probe; the relational path checkpoints
+    // below (driver path reads the frame once — the old pre-probe
+    // checkpoint paid an eager toRdd plan pass + cache write for it)
+    val undRaw = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
     // Measured-small fast path (same adaptive gate as [[pageRank]] /
     // [[kCore]] / [[lpaCommunities]]): 3 relational hop rounds are ~10
     // join/anti-join/checkpoint jobs of pure stage latency on a
@@ -655,7 +749,7 @@ object Graph {
     // so the counts are bit-equal to the distributed path. The one-job
     // [[probeCollect]] is a hard volume gate; larger graphs run the
     // relational rounds.
-    val bfsProbe = probeCollect(und.select(col("u"), col("v")), driverEdgeMax * 2)
+    val bfsProbe = probeCollect(undRaw.select(col("u"), col("v")), driverEdgeMax * 2)
     if (bfsProbe.isDefined) {
       import spark.implicits._
       val es = bfsProbe.get
@@ -679,6 +773,7 @@ object Graph {
         .map { case (hop, g) => (hop, g.size.toLong) }.toSeq
         .toDF("hop", "n_nodes").orderBy(col("hop"))
     }
+    val und = undRaw.localCheckpoint(false)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val src = deg.orderBy(col("d").desc, col("u")).limit(1)
       .select(col("u").as("node"))

@@ -761,11 +761,21 @@ object TextOps {
     require(stopwords.nonEmpty, "need a stopword set to delimit phrases")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // persist, NOT localCheckpoint: `runs` appears 4x in the final tree
+    // (phrase build, member join, and members' two consumers), so it
+    // must materialize once. localCheckpoint guarantees that but its
+    // eager toRdd pre-pass re-plans the explode+window subtree on
+    // EVERY call (~0.17s — planning was most of this query's wall
+    // time); a bare un-cached frame plans cheaper still but AQE's
+    // runtime stage-reuse does not reliably unify the 4 pruned copies
+    // (observed plan: Window x4, ReusedExchange x0). persist is lazy at
+    // plan time and the cache manager rewrites all 4 references to the
+    // one shared in-memory relation.
     val runs0 = graft.Tables.spread(docs)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
       .filter(!col("w").isin(stopwords: _*))
       .withColumn("grp", col("pos") - row_number().over(w))
-      .localCheckpoint(false) // feeds phrase build AND member join
+      .persist()
     // Pin the (doc_id, grp) clustering wide with a USER repartition:
     // the phrase build (collect_list + array_sort + concat_ws per run)
     // is string-compute-dense at tiny byte volume, so AQE's coalescing
