@@ -1240,11 +1240,13 @@ object SparkEntry {
       val orders = rd(s, dir, "orders")
         .withColumn("oy", date_format(col("o_orderdate"), "yyyy"))
       Sinks.parquet(orders, tmp, Seq("oy"))
-      // min-year probe reads the raw scan (no reason to pay the spread
-      // shuffle for a one-column min)
-      val y0 = rd(s, dir, "orders")
-        .agg(min(date_format(col("o_orderdate"), "yyyy")).as("y"))
-        .head().getString(0)
+      // min-year probe: the partitioned write just materialized every
+      // year as an oy=YYYY directory, so the minimum is a directory
+      // LISTING, not another full scan+aggregate job (years are plain
+      // digits — lexicographic min IS the numeric min)
+      val y0 = new java.io.File(tmp).listFiles()
+        .map(_.getName).filter(_.startsWith("oy="))
+        .map(_.stripPrefix("oy=")).min
       Sinks.overwritePartitionsDynamic(
         orders.filter(col("oy") === y0)
           .withColumn("o_totalprice", col("o_totalprice") * 2),

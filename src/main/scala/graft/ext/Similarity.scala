@@ -805,6 +805,13 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
         trunc4(avg(col("c4"))).as("mean_cos4"),
         min(col("c4")).as("min_cos4"),
         max(col("c4")).as("max_cos4"),
+        // percentile's boxed buffer stays: a two-pass variant (persist
+        // the c4 grid, moment agg + primitive-array median via
+        // exactPercentilesSmall) measured SLOWER interleaved at sf0.1
+        // (~0.9s -> ~1.3s medians) — at ~2M pairs the ONE extra cache
+        // write + second pass over it costs more than the boxed
+        // percentile merge it replaced; the single fused aggregate over
+        // the sweep is the right shape at calibration volumes
         trunc4(expr("percentile(c4, 0.5)")).as("med_cos4"))
   }
 

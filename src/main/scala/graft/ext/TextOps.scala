@@ -324,8 +324,13 @@ object TextOps {
     */
   def termLift(docs: DataFrame, minSupport: Long = 20, k: Int = 30): DataFrame = {
     import graft.ext.Num.trunc4
+    // persisted: FOUR consumers reference this frame (the doc count,
+    // the df aggregate, and both sides of the broadcast self-join), and
+    // with no exchange between them nothing else dedupes the
+    // tokenize+distinct+explode kernel — unpersisted it ran 4x per rep
     val dt = graft.Tables.spread(docs)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .persist()
     val nDocs = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
     val tf = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // NO pinWide on the self-join: unlike the posting-list kernels, the

@@ -502,35 +502,45 @@ object Tpch {
   /** Q21 "suppliers who kept orders waiting": for finished orders, count
     * per supplier the lines shipped late (>lateDays past the order date,
     * the fixture's lateness stand-in) on multi-supplier orders where NO
-    * other supplier shipped late — the spec's EXISTS / NOT EXISTS pair,
-    * expressed as a hash semi join then a hash anti join on l_orderkey
-    * with the supplier-inequality (and lateness, for the anti side)
-    * residuals. Supplier names broadcast at the end, top-100 via
+    * other supplier shipped late.
+    *
+    * The spec's EXISTS / NOT EXISTS pair is folded into ONE per-order
+    * aggregate instead of the literal semi-join + anti-join replay:
+    * per (order, supplier) count the late lines, then per order read
+    * off the supplier count and the late-supplier count — a row
+    * contributes exactly when its supplier is late (n_late > 0), the
+    * order has another supplier (n_supp >= 2: the EXISTS), and nobody
+    * else is late (n_late_supp == 1: the NOT EXISTS). Identical rows by
+    * construction, but the literal shape scanned lineitem three times
+    * and shuffled it twice (semi + anti, measured 1.0s vs DuckDB's
+    * 0.28 at sf0.1); this one scans once and shuffles once — the
+    * explicit repartition on l_orderkey satisfies the (order, supplier)
+    * aggregate AND the per-order windows, so no second exchange — and
+    * nothing is broadcast that scales with the fact table (the windows
+    * replace the |orders|-sized side a broadcast formulation would
+    * need). Supplier names broadcast at the end, top-100 via
     * TakeOrderedAndProject.
     */
   def q21WaitingSuppliers(
       supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
       lateDays: Int = 90, k: Int = 100): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")
-    val l1 = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val wo = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(orders.filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(late)
-    val l2 = lineitem.select(col("l_orderkey").as("l2_orderkey"),
-      col("l_suppkey").as("l2_suppkey"))
-    val l3 = lineitem.select(col("l_orderkey").as("l3_orderkey"),
-      col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
-    l1.join(l2, col("l_orderkey") === col("l2_orderkey") &&
-        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
-      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
-        col("l3_suppkey") =!= col("l_suppkey") &&
-        col("l3_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
-        "left_anti")
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(late, 1L).otherwise(0L)).cast("long").as("n_late"))
+      .withColumn("n_supp", count(lit(1)).over(wo))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).over(wo))
+      .filter(col("n_late") > 0 && col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(k)
   }
