@@ -647,16 +647,25 @@ object Dedup {
     * with their overlap count: the plagiarism/near-dup detector that
     * scales where full shingle comparison can't.
     *
-    * Portability: the hash is the md5 hex string itself (engines agree
-    * byte-for-byte), and "minimum" is its lexicographic order — so the
-    * SELECTION (which depends on hash ORDER, unlike the equality-only
-    * pipelines above) is identical in any engine. Trailing partial
-    * windows are included (each position takes the min over itself and
-    * up to w-1 followers) — a documented variant, consistent across
-    * engines. Scale shape: explode + window-min per doc (calendar of
-    * positions, partition = doc), distinct, and a posting-list
-    * self-join on the fingerprint — candidates meet only on shared
-    * fingerprints, never all-pairs.
+    * Portability: the hash is md5 (engines agree byte-for-byte) and
+    * "minimum" is the hex string's lexicographic order — which equals
+    * UNSIGNED BYTE order of the raw digest, so the SELECTION (which
+    * depends on hash ORDER, unlike the equality-only pipelines above)
+    * is identical in any engine. Trailing partial windows are included
+    * (each position takes the min over itself and up to w-1
+    * followers) — a documented variant, consistent across engines.
+    *
+    * Scale shape: selection is a per-doc mapPartitions kernel
+    * (tokenize, k-gram md5, sliding byte-order min, HashSet dedupe) —
+    * winnowing is doc-LOCAL by definition, so the earlier declarative
+    * explode + per-doc window-min + distinct paid three shuffles of
+    * 32-char hex strings for what one kernel pass computes in place
+    * (measured 0.93s loaded vs DuckDB's 0.39 at sf0.1). Selected
+    * fingerprints leave the kernel as the digest's first 8 bytes
+    * (collision budget P ~ m^2/2^65, the same as every hashed-shingle
+    * pipeline here), so the posting-list self-join — candidates meet
+    * only on shared fingerprints, never all-pairs — shuffles 8-byte
+    * keys, not hex strings.
     */
   def winnowingPairs(
       docs: DataFrame,
@@ -664,21 +673,51 @@ object Dedup {
       w: Int = 4,
       minShared: Long = 3,
       topK: Int = 25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
-      split(col("text"), " ").as("ws"))
-    val grams = toks
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("ws")) - (k - 1))).as("i"),
-        col("ws"))
-      .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("ws"), col("i"), lit(k)), " ")).as("h"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val selected = grams
-      .select(col("doc_id"), min(col("h")).over(byDoc).as("fp"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val selected = graft.Tables.spread(
+        docs.select(col("doc_id").cast("long").as("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (docId, text) =>
+          val ws = text.split(' ')
+          if (ws.length < k) Iterator.empty
+          else {
+            val n = ws.length - (k - 1)
+            val hs = new Array[Array[Byte]](n)
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i < n) {
+              sb.setLength(0)
+              var g = 0
+              while (g < k) {
+                if (g > 0) sb.append(' '); sb.append(ws(i + g)); g += 1
+              }
+              md.reset()
+              hs(i) = md.digest(
+                sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              i += 1
+            }
+            val seen = new java.util.HashSet[Long]()
+            val out = List.newBuilder[(Long, Long)]
+            i = 0
+            while (i < n) {
+              var m = hs(i)
+              val end = math.min(i + w, n)
+              var j = i + 1
+              while (j < end) {
+                if (java.util.Arrays.compareUnsigned(hs(j), m) < 0) m = hs(j)
+                j += 1
+              }
+              val h64 = java.nio.ByteBuffer.wrap(m).getLong
+              if (seen.add(h64)) out += ((docId, h64))
+              i += 1
+            }
+            out.result()
+          }
+        }
+      }.toDF("doc_id", "fp")
     val a = selected.select(col("doc_id").as("doc_a"), col("fp"))
     val b = selected.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
