@@ -749,7 +749,7 @@ object SparkEntry {
     // per-language lexical richness: TTR + hapax share
     "d_lexical" -> ((s, dir) => TextOps.lexicalProfile(rd(s, dir, "documents"))),
     // Zipf's-law fit over the top-100 terms (grid-snapped ln inputs)
-    "d_zipf" -> ((s, dir) => TextOps.zipfSlope(rd(s, dir, "documents"), 100)),
+    "d_zipf_slope" -> ((s, dir) => TextOps.zipfSlope(rd(s, dir, "documents"), 100)),
     // lag-1..7 autocorrelation of daily revenue (exact integer moments)
     "q_autocorr" -> ((s, dir) => Aggregates.revenueAutocorr(rd(s, dir, "orders"), 7)),
     // per-brand Pareto frontier: cheapest price per size tier
@@ -1244,9 +1244,12 @@ object SparkEntry {
       // year as an oy=YYYY directory, so the minimum is a directory
       // LISTING, not another full scan+aggregate job (years are plain
       // digits — lexicographic min IS the numeric min)
-      val y0 = new java.io.File(tmp).listFiles()
+      val partDirs = Option(new java.io.File(tmp).listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .map(_.getName).filter(_.startsWith("oy="))
-        .map(_.stripPrefix("oy=")).min
+      require(partDirs.nonEmpty,
+        s"k_dynamic_overwrite: no oy= partition directories under $tmp — partitioned write failed?")
+      val y0 = partDirs.map(_.stripPrefix("oy=")).min
       Sinks.overwritePartitionsDynamic(
         orders.filter(col("oy") === y0)
           .withColumn("o_totalprice", col("o_totalprice") * 2),
@@ -1353,7 +1356,7 @@ object SparkEntry {
         Seq((1L, 2L), (9L, 10L), (99L, 100L)), Seq("p50", "p90", "p99"))),
     // Zipf slope of the corpus frequency spectrum (top-200 terms);
     // integer-scaled snapped logs -> order-free exact OLS moments
-    "d_zipf" -> ((s, dir) => TextOps.zipfFit(rd(s, dir, "documents"))),
+    "d_zipf_fit" -> ((s, dir) => TextOps.zipfFit(rd(s, dir, "documents"))),
     // SCD2 history build from a change log: consecutive-duplicate
     // collapse + validity stamping (k12 is the merge; this is the
     // from-scratch history reconstruction)
@@ -2215,7 +2218,7 @@ SELECT g AS l_returnflag, CAST(MIN(totw) AS BIGINT) AS total_weight,
   MIN(CASE WHEN 10 * cumw >= 9 * totw THEN v END) AS p90,
   MIN(CASE WHEN 100 * cumw >= 99 * totw THEN v END) AS p99
 FROM c GROUP BY g ORDER BY g""",
-    "d_zipf" ->
+    "d_zipf_fit" ->
       """WITH f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f
   FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
   GROUP BY term ORDER BY f DESC, term LIMIT 200),
@@ -3792,7 +3795,7 @@ SELECT l_orderkey, l_linenumber, metric, value FROM (
   UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM b
   UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM b)
 ORDER BY l_orderkey, l_linenumber, metric, value""",
-    "d_zipf" ->
+    "d_zipf_slope" ->
       """WITH tc AS (SELECT w AS term, COUNT(*) AS n
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1
   ORDER BY n DESC, term LIMIT 100),
@@ -3883,6 +3886,7 @@ SELECT l.l_returnflag, COUNT(*) AS n,
   floor(CAST(SUM(CASE WHEN l.l_extendedprice < f.lo_fence OR l.l_extendedprice > f.hi_fence
                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100 * 10000) / 10000.0 AS outlier_pct4
 FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+WHERE l.l_extendedprice IS NOT NULL
 GROUP BY 1 ORDER BY 1""",
     "q_winsorize" ->
       """WITH f AS (SELECT l_returnflag,
@@ -3900,6 +3904,7 @@ SELECT l.l_returnflag, COUNT(*) AS n,
           + CAST(SUM(CASE WHEN l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS DOUBLE) * MIN(f.hi))
         / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000.0 AS winsor_mean4
 FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+WHERE l.l_extendedprice IS NOT NULL
 GROUP BY 1 ORDER BY 1""",
     "q_benford" -> {
       // the same JVM-computed constants Spark uses, embedded as

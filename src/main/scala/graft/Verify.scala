@@ -37,6 +37,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same between-query cache hygiene as Bench: several operators
+      // persist() an intermediate their returned plan still references
+      // (so they cannot unpersist in-function); across 300+ queries
+      // those blocks would otherwise accumulate into GC pressure.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

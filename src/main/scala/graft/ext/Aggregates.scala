@@ -754,10 +754,22 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     require(order == 2 || order == 3, s"order=$order")
     val spark = baskets.sparkSession
     import spark.implicits._
+    // Kernel-side contract check: the Int combo-count arithmetic and the
+    // 10-bit packing are only safe because brandBasketFrame caps basket
+    // size < 1024; a null or over-long array reaching this kernel from a
+    // new call site would otherwise surface as a NegativeArraySizeException
+    // (or silent key collisions) with no hint of the cause.
+    def checked(bs: Array[Int]): Array[Int] = {
+      require(bs != null, "packedCombos: null basket array")
+      require(bs.length < 1024,
+        s"packedCombos: basket size ${bs.length} breaks the 10-bit code packing (cap baskets < 1024 upstream)")
+      bs
+    }
     val ds = baskets.select(col("bs")).as[Array[Int]]
     val combos =
       if (order == 2) ds.mapPartitions { it =>
-        it.flatMap { bs =>
+        it.flatMap { bs0 =>
+          val bs = checked(bs0)
           val n = bs.length
           val out = new Array[Int](n * (n - 1) / 2)
           var m = 0; var i = 0
@@ -770,7 +782,8 @@ FROM $table GROUP BY 1 ORDER BY 1"""
           out.iterator
         }
       } else ds.mapPartitions { it =>
-        it.flatMap { bs =>
+        it.flatMap { bs0 =>
+          val bs = checked(bs0)
           val n = bs.length
           val out = new Array[Int](n * (n - 1) * (n - 2) / 6)
           var m = 0; var i = 0
@@ -940,6 +953,9 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     */
   def priceIndexLaspeyres(lineitem: DataFrame): DataFrame = {
     import Num.trunc4
+    // persist outlives this call (the returned lazy plan reads it
+    // twice); Bench/Verify drop it between queries, library callers own
+    // session cache hygiene (spark.catalog.clearCache or unpersist-all)
     val pm = partMonthPrices(lineitem).persist()
     val baseQ = baseMonthBasket(pm)
     pm.join(baseQ, "part")
@@ -1835,6 +1851,12 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     * clipped tails contribute count x fence — two exact integers times
     * one double — so no double is ever accumulated across rows. Output
     * per group: n, clip counts, raw mean, winsorized mean (trunc4).
+    *
+    * Null contract: rows with a null `valueCol` are EXCLUDED from every
+    * statistic, `n` included — the same population the percentile pass
+    * sees (the oracle SQL carries a matching IS NOT NULL filter). A
+    * null can contribute neither a cents term nor a clip count, so
+    * counting it in `n` would deflate both means.
     */
   def winsorizedMean(
       df: DataFrame,
@@ -1854,7 +1876,7 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     val proj = df
       .select(col(groupCol), (col(valueCol).cast("double") + lit(0.0)).as("__v"))
       .where(col("__v").isNotNull)
-      .persist()
+      .persist() // lifetime: see priceIndexLaspeyres (harness drops it per query)
     // declarative sort-based exact percentiles — the built-in percentile
     // aggregate's hash-map merge was ~10x the cost of this whole query
     val fences = groupedExactPercentiles(proj, "__v", groupCol,
@@ -1888,6 +1910,11 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     * not the table. Fences are identical IEEE
     * arithmetic on identically-interpolated percentiles in both
     * engines, so the outlier comparison is deterministic.
+    *
+    * Null contract: rows with a null `valueCol` are EXCLUDED from `n`
+    * and the shares — same population as the fence percentiles (the
+    * oracle SQL carries a matching IS NOT NULL filter); a null is
+    * neither inside nor outside a fence.
     */
   def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     import Num.trunc4
@@ -1896,7 +1923,7 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     val proj = df
       .select(col(groupCol), (col(valueCol).cast("double") + lit(0.0)).as("__v"))
       .where(col("__v").isNotNull)
-      .persist()
+      .persist() // lifetime: see priceIndexLaspeyres (harness drops it per query)
     val q = groupedExactPercentiles(proj, "__v", groupCol,
         Seq(0.25, 0.75), Seq("q1", "q3"))
       .select(col(groupCol),
@@ -2459,6 +2486,7 @@ FROM $table GROUP BY 1 ORDER BY 1"""
     */
   def priceIndexFisher(lineitem: DataFrame): DataFrame = {
     import Num.trunc4
+    // persist lifetime: see priceIndexLaspeyres
     val pm = partMonthPrices(lineitem).persist()
     val baseQ = baseMonthBasket(pm)
     def dec(c: Column) = c.cast("decimal(19,0)")

@@ -134,7 +134,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (docId, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // -1: keep trailing empties (Spark split / DuckDB string_split semantics)
           if (toks.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[String]()
@@ -226,7 +226,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (docId, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // -1: keep trailing empties (Spark split / DuckDB string_split semantics)
           if (toks.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[Long]()
@@ -450,7 +450,7 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (docId, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // -1: keep trailing empties (Spark split / DuckDB string_split semantics)
           if (toks.length < n) Iterator.empty
           else {
             val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -681,7 +681,7 @@ object Dedup {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (docId, text) =>
-          val ws = text.split(' ')
+          val ws = text.split(" ", -1) // -1: keep trailing empties (Spark split / DuckDB string_split semantics)
           if (ws.length < k) Iterator.empty
           else {
             val n = ws.length - (k - 1)
@@ -957,9 +957,18 @@ object Dedup {
     * instead of O(n^2). Scoring uses the early-abandon threshold form
     * of levenshtein (abandons a pair's DP as soon as the running
     * minimum exceeds `maxDist` — O(maxDist * len) not O(len^2)).
-    * Skewed blocks (a corpus where half the titles start with "the")
-    * are the df-cap situation: pre-filter hot block keys like
-    * [[jaccardPairs]]' dfCap before scaling this up.
+    *
+    * Skew defense: the block key is COMPOUND — (first token, title
+    * length band) — so a corpus where half the titles start with "the"
+    * does not collapse onto one quadratic task. The band is lossless:
+    * edit_dist <= maxDist forces |len(a)-len(b)| <= maxDist, so with
+    * band = len div (maxDist+1) every qualifying pair sits in equal or
+    * adjacent bands; leg A emits {band-1, band, band+1} and leg B its
+    * own band, which matches each qualifying A-row/B-row combination on
+    * EXACTLY one key (k = B's band) — no duplicates, no misses, and
+    * band-distance >= 2 pairs (length gap >= maxDist+2 > maxDist) are
+    * correctly never scored. The result set is bit-identical to the
+    * single-key formulation; only the partitioning changes.
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -970,11 +979,16 @@ object Dedup {
     // of every document just to keep 6 (was the dominant cost of this
     // query — two full-text splits per doc, one per join leg)
     val title = substring_index(col("text"), " ", titleTokens)
+    val bandW = maxDist + 1
     val t = docs.select(col("doc_id").cast("long").as("doc_id"), title.as("title"))
-      .withColumn("blk", substring_index(col("title"), " ", 1))
-    val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("title_a"))
-    val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("title").as("title_b"))
-    a.join(b, "blk")
+      .withColumn("tok1", substring_index(col("title"), " ", 1))
+      .withColumn("band", floor(char_length(col("title")) / bandW).cast("int"))
+    val a = t.select(col("tok1"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("k"),
+      col("doc_id").as("doc_a"), col("title").as("title_a"))
+    val b = t.select(col("tok1"), col("band").as("k"),
+      col("doc_id").as("doc_b"), col("title").as("title_b"))
+    a.join(b, Seq("tok1", "k"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("edit_dist",
         levenshtein(col("title_a"), col("title_b"), maxDist).cast("bigint"))

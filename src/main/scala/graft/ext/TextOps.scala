@@ -854,9 +854,15 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
-    val vocab = wordFreq.collect().map(r => (r.getString(0), r.getLong(1)))
+    // Probe-gated collect (same pattern as Graph.probeCollect): pull at
+    // most maxVocab+1 rows, so a corpus whose vocabulary blows the cap
+    // fails the require BEFORE the driver materializes the full word
+    // list, not after (or instead of) an OOM.
+    val capPlus1 = (math.min(maxVocab, Int.MaxValue - 1L) + 1L).toInt
+    val vocab = wordFreq.limit(capPlus1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
     require(vocab.length <= maxVocab,
-      s"bpeMerges: ${vocab.length} word types exceed maxVocab=$maxVocab")
+      s"bpeMerges: more than maxVocab=$maxVocab word types in the corpus")
     var words: Array[(Array[String], Long)] =
       vocab.map { case (w, f) => (w.toCharArray.map(_.toString), f) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

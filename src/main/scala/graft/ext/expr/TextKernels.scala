@@ -12,11 +12,16 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static text kernels shared by the interpreted and generated paths of
-  * the expressions below. Token semantics are EXACTLY Java
-  * `String.split(' ')` (single-char split, trailing empty tokens
-  * dropped) — the contract the mapPartitions kernels in
-  * [[graft.ext.Dedup.simhash64Kernel]] / the original langId kernel
-  * established and the ExtSpec consistency tests pin down.
+  * the expressions below. Token semantics are EXACTLY Spark
+  * `split(text, " ", -1)` / Java `String.split(" ", -1)` (every run
+  * between spaces counts, trailing empty tokens KEPT) — the same
+  * convention as DuckDB `string_split`, so fingerprints are exactly
+  * replayable as SQL oracles. The mapPartitions kernels in
+  * [[graft.ext.Dedup]] share the contract; ExtSpec consistency tests
+  * pin the expression/kernel paths equal. ([[TextKernels.wordSetHits]]
+  * is the one deliberate exception: it probes tokens against non-empty
+  * constant sets, where an empty token provably can't match, so the
+  * split edge semantics are unobservable there.)
   */
 object TextKernels {
 

@@ -305,6 +305,62 @@ class ExtSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 3L)))
   }
 
+  test("editDistancePairs: length-band block key is lossless and splits a hot first token") {
+    import spark.implicits._
+    // 50% of titles share first token "the" (the skew case the compound
+    // block key exists for), with title lengths spanning several
+    // maxDist+1=6-char bands — including a qualifying pair that
+    // straddles ADJACENT bands (len 23 -> band 3, len 25 -> band 4),
+    // the case a naive same-band-only join would silently drop.
+    val docs = Seq(
+      (1L, "the quick brown fox jum"),            // len 23, band 3
+      (2L, "the quick brown fox jumpe"),          // len 25, band 4; dist 2 to doc 1
+      (3L, "the quick brown fox jumped over it"), // title = first 6 tokens
+      (4L, "the cat"),                            // len 7, band 1: far from all
+      (5L, "the extraordinarily long opening title here indeed"),
+      (6L, "the extraordinarily long opening title there"),
+      (7L, "a quick brown fox jum"),              // different first token
+      (8L, "a quick brown fox jumpe"),
+      (9L, "omega singleton"),
+      (10L, "the quick brown fox jumpq"),         // dist 1 to doc 2
+      (11L, "zeta row"),
+      (12L, "the quick brown fox")                // len 19, band 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, titleTokens = 6, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute-force reference: the declared contract (same first token,
+    // levenshtein <= maxDist) with NO banding — the band must be unobservable
+    val titles = docs.select(col("doc_id"),
+        substring_index(col("text"), " ", 6).as("title"),
+        substring_index(substring_index(col("text"), " ", 6), " ", 1).as("tok1"))
+    val a = titles.select(col("tok1"), col("doc_id").as("doc_a"), col("title").as("ta"))
+    val b = titles.select(col("tok1"), col("doc_id").as("doc_b"), col("title").as("tb"))
+    val expected = a.join(b, "tok1").filter(col("doc_a") < col("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("bigint"))
+      .filter(col("edit_dist") <= 5)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the cross-band pair specifically survived
+    assert(got.contains((1L, 2L, 2L)))
+    // and the hot "the" block really is split: its titles span >= 3
+    // distinct length bands, so no single reduce task owns the token
+    val theBands = titles.filter(col("tok1") === "the")
+      .select(floor(char_length(col("title")) / 6).cast("int").as("band"))
+      .distinct().count()
+    assert(theBands >= 3, s"expected the skewed first token to span >=3 bands, got $theBands")
+  }
+
+  test("bpe merges: maxVocab gate fires without collecting the corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeMerges(docs, merges = 1, maxVocab = 2L)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("substringDup: counts exactly the windows shared with EARLIER docs") {
     import spark.implicits._
     // a 35-token span has 35-30+1 = 6 distinct 30-token windows; doc 2
