@@ -80,6 +80,17 @@ object SparkEntry {
     materializedView(s, dir, "neardup_pairs")(
       Dedup.minhashDedup(rd(s, dir, "documents")))
 
+  /** Exact-Jaccard (>= 0.3) pair graph over the shingle index — the
+    * snapshot artifact the graph analyses over the duplication family
+    * (d_pagerank, q_bfs_reach) read. d_ngram_jaccard still times the
+    * raw posting-list pipeline itself, so the pair-table build cost
+    * stays an honestly measured number (same split as nearDupPairs vs
+    * d_minhash_lsh).
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    materializedView(s, dir, "jaccard_pairs_03")(
+      Dedup.pairJaccard(shingleFrame(s, dir), 0.3))
+
   private def basketFrame(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     lazy val built = Aggregates.brandBasketFrame(
       rd(s, dir, "lineitem"), rd(s, dir, "part"))
@@ -123,6 +134,7 @@ object SparkEntry {
   def prewarmArtifacts(s: SparkSession, dir: String): Unit = {
     shingleFrame(s, dir)
     nearDupPairs(s, dir)
+    jaccardPairs(s, dir)
     basketFrame(s, dir)
     coPurchasePairs(s, dir)
     (): Unit
@@ -925,7 +937,7 @@ object SparkEntry {
     // centrality over the near-dup pair graph: which docs sit at the
     // center of duplication families (3 fixed PageRank rounds)
     "d_pagerank" -> ((s, dir) =>
-      Graph.pageRank(Dedup.pairJaccard(shingleFrame(s, dir), 0.3),
+      Graph.pageRank(jaccardPairs(s, dir),
         "doc_a", "doc_b", iters = 3)
         .withColumnRenamed("node", "doc_id")),
     // triangle census of the high-quantity co-purchase graph (parts
@@ -1211,11 +1223,9 @@ object SparkEntry {
     "d_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(rd(s, dir, "documents"))),
     // bounded-hop BFS from the near-dup graph's hub: reach per hop
     "q_bfs_reach" -> ((s, dir) =>
-      // consumes the memoized shingle index like the rest of the
-      // exact-similarity family (pairJaccard(shingleHashes) is exactly
-      // ngramJaccardPairs) — BFS itself is the measured work
-      Graph.bfsReach(Dedup.pairJaccard(shingleFrame(s, dir), 0.3),
-        "doc_a", "doc_b", 3)),
+      // consumes the materialized exact-Jaccard pair artifact like
+      // d_pagerank — BFS itself is the measured work
+      Graph.bfsReach(jaccardPairs(s, dir), "doc_a", "doc_b", 3)),
     // RFC 4180 dialect roundtrip: embedded comma/quote/newline survive
     "k_csv_multiline" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_csvml").toString + "/nation"

@@ -270,19 +270,39 @@ object Dedup {
     // pinned wide: the posting-list pair kernel below is COMPUTE-dense
     // (quadratic in posting length) at tiny byte volume — see
     // graft.ops.Shuffles.pinWide
-    graft.ops.Shuffles.pinWide(shJ, col("s"))
-      .groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
-      .select(col("ds")).as[Seq[Long]]
-      .mapPartitions { lists =>
-        lists.flatMap { ds =>
-          if (ds.lengthCompare(2) < 0) Iterator.empty
-          else {
-            val arr = ds.toArray
-            java.util.Arrays.sort(arr)
-            arr.indices.iterator.flatMap { i =>
-              ((i + 1) until arr.length).iterator.map(j => (arr(i), arr(j)))
+    //
+    // Posting lists assemble via repartition + sortWithinPartitions +
+    // a streaming run-grouping kernel over fixed-width (s, doc_id)
+    // longs — NOT groupBy(s).agg(collect_list(...)): collect_list is an
+    // ObjectHashAggregate, whose under-memory-pressure fallback is a
+    // row-object SORT of the corpus-sized index — the same load-
+    // amplification hole d_gram_coverage had with collect_set (r7).
+    // The explicit sort pays Tungsten's radix path on 16-byte rows up
+    // front, spills arrow-flat if it must, and builds each list with
+    // zero per-group array/row objects.
+    graft.ops.Shuffles.pinWide(shJ.select(col("s"), col("doc_id")), col("s"))
+      .sortWithinPartitions(col("s"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        val b = rows.buffered
+        new Iterator[(Long, Long)] {
+          private var pairs: Iterator[(Long, Long)] = Iterator.empty
+          private def advance(): Unit = {
+            while (!pairs.hasNext && b.hasNext) {
+              val s = b.head._1
+              val ds = new scala.collection.mutable.ArrayBuffer[Long](8)
+              while (b.hasNext && b.head._1 == s) { ds += b.next()._2 }
+              if (ds.length >= 2) {
+                val arr = ds.toArray
+                java.util.Arrays.sort(arr)
+                pairs = arr.indices.iterator.flatMap { i =>
+                  ((i + 1) until arr.length).iterator.map(j => (arr(i), arr(j)))
+                }
+              }
             }
           }
+          def hasNext: Boolean = { advance(); pairs.hasNext }
+          def next(): (Long, Long) = { advance(); pairs.next() }
         }
       }
       .toDF("doc_a", "doc_b")

@@ -758,11 +758,23 @@ object TextOps {
     * phrase sum and the ranking are pure integer arithmetic — no float
     * enters the result at all.
     *
-    * Scale shape: run detection is the classic gaps-and-islands window
-    * (pos − row_number, partitioned by doc — each doc's tokens sort
-    * within its partition, no global order); everything after is
-    * count/sum aggregates on (word) and (phrase) keys and one
-    * TakeOrdered top-k.
+    * Scale shape: run detection is DOC-LOCAL by definition — like
+    * winnowing it runs as a per-doc mapPartitions kernel (tokenize,
+    * scan for stopword-delimited runs, emit ONE phrase string per
+    * qualifying run occurrence), replacing the earlier declarative
+    * posexplode + per-doc window + pinned-wide string aggregate + self
+    * join, which paid a corpus-sized token shuffle, a Window sort, and
+    * a (doc, grp) re-shuffle per rep and was the suite's worst load
+    * amplifier (r8 driver: 9.7s median loaded vs 0.99s quiesced).
+    * After the kernel, ONE corpus-proportional map-side-combined count
+    * on the phrase string collapses everything to the phrase
+    * dictionary — and since words never contain the separator, the
+    * phrase string round-trips to its exact word multiset, so word
+    * scores derive entirely from that dictionary (for word w with
+    * per-phrase multiplicity m in a phrase of length L occurring n
+    * times: freq += n*m, degree += n*m*L — the identical sums the
+    * member-join formulation computed row by row). No second corpus
+    * pass and no join back to corpus data exist at all.
     */
   def keyPhrases(
       docs: DataFrame,
@@ -770,54 +782,73 @@ object TextOps {
       maxLen: Int = 4,
       k: Int = 25): DataFrame = {
     require(stopwords.nonEmpty, "need a stopword set to delimit phrases")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    // persist, NOT localCheckpoint: `runs` appears 4x in the final tree
-    // (phrase build, member join, and members' two consumers), so it
-    // must materialize once. localCheckpoint guarantees that but its
-    // eager toRdd pre-pass re-plans the explode+window subtree on
-    // EVERY call (~0.17s — planning was most of this query's wall
-    // time); a bare un-cached frame plans cheaper still but AQE's
-    // runtime stage-reuse does not reliably unify the 4 pruned copies
-    // (observed plan: Window x4, ReusedExchange x0). persist is lazy at
-    // plan time and the cache manager rewrites all 4 references to the
-    // one shared in-memory relation.
-    val runs0 = graft.Tables.spread(docs)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-      .filter(!col("w").isin(stopwords: _*))
-      .withColumn("grp", col("pos") - row_number().over(w))
+    require(maxLen >= 2, s"maxLen=$maxLen must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stopSet = stopwords.toSet
+    val maxL = maxLen
+    // spread: the scan kernel is CPU-bound (see Tables.spread)
+    val perRun = graft.Tables.spread(docs.select(col("text")))
+      .as[String]
+      .mapPartitions { texts =>
+        texts.flatMap { text =>
+          // split(" ", -1): same token stream as Spark split/DuckDB
+          // string_split — empty tokens are non-stopwords, hence words
+          val toks = text.split(" ", -1)
+          val out = List.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (stopSet(toks(i))) i += 1
+            else {
+              val start = i
+              while (i < toks.length && !stopSet(toks(i))) i += 1
+              val len = i - start
+              if (len >= 2 && len <= maxL) {
+                val sb = new java.lang.StringBuilder
+                var j = start
+                while (j < i) {
+                  if (j > start) sb.append(' ')
+                  sb.append(toks(j))
+                  j += 1
+                }
+                out += sb.toString
+              }
+            }
+          }
+          out.result()
+        }
+      }.toDF("phrase")
+    // The ONLY corpus-proportional exchange: a partial-aggregated count
+    // keyed on the phrase dictionary.
+    val p = perRun.groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+    // Dictionary-side re-expansion: split the DISTINCT phrase strings
+    // back into their word multisets (exact round-trip — words cannot
+    // contain the separator). persist: both consumers below re-read
+    // this dictionary-sized frame, and without it each would replay
+    // the corpus count (lifetime: see priceIndexLaspeyres — the
+    // harness drops it per query).
+    val e = p
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ", -1)).as("w"))
+      .groupBy(col("phrase"), col("w"))
+      .agg(first(col("n_occ")).as("n_occ"),
+        count(lit(1)).cast("long").as("mult"))
+      .withColumn("len",
+        (size(split(col("phrase"), " ", -1))).cast("long"))
       .persist()
-    // Pin the (doc_id, grp) clustering wide with a USER repartition:
-    // the phrase build (collect_list + array_sort + concat_ws per run)
-    // is string-compute-dense at tiny byte volume, so AQE's coalescing
-    // would serialize it; the same distribution then serves the
-    // phrase aggregate AND the member join with no further exchange
-    // (width rule: graft.ops.Shuffles.pinWide).
-    val runs = graft.ops.Shuffles.pinWide(runs0, col("doc_id"), col("grp"))
-    val phrases = runs
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          s => s("w"))).as("phrase"),
-        count(lit(1)).cast("long").as("len"))
-      .filter(col("len") >= 2 && col("len") <= maxLen)
-    val members = runs.join(phrases, Seq("doc_id", "grp"))
-    val wordScore = members
-      .groupBy(col("w"))
-      .agg(expr("(sum(len) * 1000000L) div count(1)").cast("long").as("score6"))
-    members
-      // broadcast: (word, score) is VOCABULARY-bounded (Heaps' law,
-      // ~1e5-1e6 types at any corpus size — same bound the BPE trainer
-      // rests on), and the shuffled alternative re-clusters members by
-      // w and then BACK by (doc_id, grp) — two corpus-sized exchanges
-      // to join a dictionary
-      .join(broadcast(wordScore), Seq("w"))
-      .groupBy(col("doc_id"), col("grp"), col("phrase"))
-      .agg(sum(col("score6")).cast("long").as("pscore6"))
+    // degree/frequency per word, exactly as the member formulation:
+    // every occurrence of every containing phrase contributes len (to
+    // degree) and 1 (to freq) per token position of w in it
+    val wordScore = e.groupBy(col("w"))
+      .agg(expr("(sum(n_occ * mult * len) * 1000000L) div sum(n_occ * mult)")
+        .cast("long").as("score6"))
+    e.join(broadcast(wordScore), Seq("w"))
       .groupBy(col("phrase"))
-      .agg(count(lit(1)).cast("long").as("n_occurrences"),
-        max(col("pscore6")).cast("long").as("score6"))
+      // every occurrence of a phrase has the same word multiset, so the
+      // oracle's max-over-occurrences is the single common value
+      .agg(max(col("n_occ")).cast("long").as("n_occurrences"),
+        sum(col("mult") * col("score6")).cast("long").as("score6"))
       .orderBy(col("score6").desc, col("phrase"))
       .limit(k)
   }
