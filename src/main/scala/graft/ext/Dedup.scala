@@ -983,12 +983,19 @@ object Dedup {
     * does not collapse onto one quadratic task. The band is lossless:
     * edit_dist <= maxDist forces |len(a)-len(b)| <= maxDist, so with
     * band = len div (maxDist+1) every qualifying pair sits in equal or
-    * adjacent bands; leg A emits {band-1, band, band+1} and leg B its
-    * own band, which matches each qualifying A-row/B-row combination on
-    * EXACTLY one key (k = B's band) — no duplicates, no misses, and
-    * band-distance >= 2 pairs (length gap >= maxDist+2 > maxDist) are
-    * correctly never scored. The result set is bit-identical to the
-    * single-key formulation; only the partitioning changes.
+    * ADJACENT bands (band distance >= 2 means a length gap >=
+    * maxDist+2 > maxDist, correctly never scored). Enumeration is the
+    * asymmetric two-key scheme: leg A emits {band (cross=false),
+    * band+1 (cross=true)}, leg B its own band. A same-band unordered
+    * pair matches twice (both orders, cross=false) and dedupes on
+    * doc_a < doc_b; an adjacent-band pair matches EXACTLY once — only
+    * with A in the lower band, via its cross=true key — and emits its
+    * ids least/greatest (levenshtein is symmetric, so title order is
+    * irrelevant). Every unordered candidate pair therefore surfaces
+    * exactly once, and the result set is bit-identical to the
+    * single-key all-pairs-within-token formulation; only the
+    * partitioning and the enumeration count change (cross-band pairs
+    * run the DP once, not twice).
     */
   def editDistancePairs(
       docs: DataFrame,
@@ -1004,16 +1011,21 @@ object Dedup {
       .withColumn("tok1", substring_index(col("title"), " ", 1))
       .withColumn("band", floor(char_length(col("title")) / bandW).cast("int"))
     val a = t.select(col("tok1"),
-      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("k"),
+      explode(array(
+        struct(col("band").as("k"), lit(false).as("cross")),
+        struct((col("band") + 1).as("k"), lit(true).as("cross")))).as("e"),
       col("doc_id").as("doc_a"), col("title").as("title_a"))
+      .select(col("tok1"), col("e.k").as("k"), col("e.cross").as("cross"),
+        col("doc_a"), col("title_a"))
     val b = t.select(col("tok1"), col("band").as("k"),
       col("doc_id").as("doc_b"), col("title").as("title_b"))
     a.join(b, Seq("tok1", "k"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter((!col("cross") && col("doc_a") < col("doc_b")) || col("cross"))
       .withColumn("edit_dist",
         levenshtein(col("title_a"), col("title_b"), maxDist).cast("bigint"))
       .filter(col("edit_dist") >= 0) // threshold form returns -1 past maxDist
-      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("edit_dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
