@@ -267,9 +267,13 @@ object Dedup {
   private def intersectionCounts(shJ: DataFrame): DataFrame = {
     val spark = shJ.sparkSession
     import spark.implicits._
-    // pinned wide: the posting-list pair kernel below is COMPUTE-dense
-    // (quadratic in posting length) at tiny byte volume — see
-    // graft.ops.Shuffles.pinWide
+    // Clustered by shingle UNCONDITIONALLY (Shuffles.clusterByKey): the
+    // run-grouping kernel below is only correct when every row of a
+    // shingle is co-partitioned — sortWithinPartitions sorts locally,
+    // so a shingle split across partitions would silently undercount
+    // intersections. pinWide's gates pick only the width (pinned wide
+    // in the measured compute-dense small-volume regime, planner-sized
+    // otherwise).
     //
     // Posting lists assemble via repartition + sortWithinPartitions +
     // a streaming run-grouping kernel over fixed-width (s, doc_id)
@@ -280,7 +284,7 @@ object Dedup {
     // The explicit sort pays Tungsten's radix path on 16-byte rows up
     // front, spills arrow-flat if it must, and builds each list with
     // zero per-group array/row objects.
-    graft.ops.Shuffles.pinWide(shJ.select(col("s"), col("doc_id")), col("s"))
+    graft.ops.Shuffles.clusterByKey(shJ.select(col("s"), col("doc_id")), col("s"))
       .sortWithinPartitions(col("s"))
       .as[(Long, Long)]
       .mapPartitions { rows =>

@@ -937,8 +937,11 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     // coalesced vs 0.76s wide at sf0.1). A USER repartition on the
     // group key is exempt from coalescing and clusters identically;
     // the per-key grouping then happens inside mapPartitions (hash
-    // buffering — also drops MapGroups' per-partition sort). Width
-    // rule: graft.ops.Shuffles.pinWide.
+    // buffering — also drops MapGroups' per-partition sort). The
+    // exchange is UNCONDITIONAL (Shuffles.clusterByKey): the kernel's
+    // correctness needs every row of a key co-partitioned — a split
+    // key means a block pair never meets and its candidates are
+    // silently missing. pinWide's gates pick only the width.
     //
     // Per-partition memory bound (round-7 advisory asked for it
     // explicitly): the byKey map buffers every group co-resident on
@@ -953,7 +956,7 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
     // one group at a time would need sortWithinPartitions(key), i.e.
     // re-paying the per-partition sort of the full vector payload that
     // this rewrite measurably removed, to shave a <= 2-3x constant.
-    val grouped = graft.ops.Shuffles.pinWide(
+    val grouped = graft.ops.Shuffles.clusterByKey(
         replicated.toDF("key", "g", "id", "v"), col("key"))
       .as[(Int, Int, Long, Array[Double])]
       .mapPartitions { rows =>

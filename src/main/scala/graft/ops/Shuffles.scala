@@ -49,4 +49,30 @@ object Shuffles {
       if (smallVolume) df.repartition(width, keys: _*) else df
     }
   }
+
+  /** UNCONDITIONAL keyed exchange for kernels whose CORRECTNESS — not
+    * just speed — requires every row of a key on one partition (the
+    * `sortWithinPartitions` run-grouping kernels, per-key buffering
+    * inside `mapPartitions`). [[pinWide]] is a performance pin: it
+    * returns the input UNTOUCHED when its conf gate is off or the
+    * volume estimate is above threshold, which is only safe when a
+    * downstream aggregate/join forces its own exchange anyway. When
+    * the `mapPartitions` kernel IS the consumer there is no planner
+    * exchange to fall back on, so the clustering must always happen;
+    * pinWide's gates here decide only the WIDTH: pinned wide
+    * (AQE-coalescing-exempt, the measured small-volume regime) vs a
+    * plain keyed repartition whose width the planner/AQE sizes. */
+  def clusterByKey(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val on = conf.getConfString("spark.graft.pinWide", "true") == "true"
+    val width = math.max(spark.sparkContext.defaultParallelism,
+      conf.numShufflePartitions)
+    val advisory = conf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val smallVolume = on &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(width) * advisory
+    if (smallVolume) df.repartition(width, keys: _*)
+    else df.repartition(keys: _*)
+  }
 }

@@ -127,6 +127,37 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.pairJaccard(sh, 0.3, maxDocFreq = Some(1L)).count() === 0)
   }
 
+  test("jaccard pairs survive pinWide=false on a scattered index (co-partition contract)") {
+    // The posting-list run-grouping kernel is only correct when the
+    // exchange before sortWithinPartitions is UNCONDITIONAL: scatter the
+    // index by doc so every shingle's rows start split across partitions,
+    // then drop the pin conf — a conditional exchange (the r9 pinWide
+    // fall-through) would silently undercount intersections here.
+    val sh = Dedup.shingleHashes(t("documents"), 3)
+      .repartition(8, col("doc_id"))
+      .localCheckpoint(true) // freeze the scatter so both runs see it
+    def pairs() = Dedup.pairJaccard(sh, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = pairs() // pin on (default)
+    spark.conf.set("spark.graft.pinWide", "false")
+    try assert(pairs() === expected)
+    finally spark.conf.unset("spark.graft.pinWide")
+  }
+
+  test("blocked kNN sweep survives pinWide=false on scattered vectors (co-partition contract)") {
+    // Same contract for the block-pair sweep: a block-pair key split
+    // across partitions means two blocks never meet and their candidate
+    // pairs silently vanish. Scatter the vectors, drop the pin, compare.
+    val emb = t("embeddings").repartition(8, col("vec_id"))
+      .localCheckpoint(true)
+    def deg() = Similarity.mutualKnnDegrees(emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = deg() // pin on (default)
+    spark.conf.set("spark.graft.pinWide", "false")
+    try assert(deg() === expected)
+    finally spark.conf.unset("spark.graft.pinWide")
+  }
+
   test("minhash LSH finds the same high-jaccard pairs as exact search") {
     val docs = t("documents", "sf0.01")
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.9)

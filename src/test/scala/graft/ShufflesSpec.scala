@@ -54,4 +54,32 @@ class ShufflesSpec extends SparkSpec {
         "gate off must return the input plan unchanged")
     } finally spark.conf.unset("spark.graft.pinWide")
   }
+
+  // clusterByKey is the CORRECTNESS variant: consumers are mapPartitions
+  // kernels with no planner exchange of their own, so unlike pinWide it
+  // must exchange on EVERY path — gate off and above-threshold included.
+
+  test("clusterByKey still clusters with the pin gate off") {
+    val base = t("orders").select(col("o_orderkey"), col("o_custkey"))
+      .repartition(4, col("o_orderkey")) // pre-scattered by the wrong key
+    spark.conf.set("spark.graft.pinWide", "false")
+    try {
+      val df = ops.Shuffles.clusterByKey(base, col("o_custkey"))
+      val spread = df
+        .groupBy(col("o_custkey"), spark_partition_id().as("p")).count()
+        .groupBy(col("o_custkey")).count().filter(col("count") > 1).count()
+      assert(spread == 0L, "a key must map to exactly one partition even with the pin off")
+    } finally spark.conf.unset("spark.graft.pinWide")
+  }
+
+  test("clusterByKey exchanges even above the size threshold") {
+    val big = spark.range(10000000000L).toDF("id")
+    val df = ops.Shuffles.clusterByKey(big, col("id"))
+    assert(!(df.queryExecution.logical eq big.queryExecution.logical),
+      "above-threshold input must still get a keyed exchange")
+    val reparts = df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }
+    assert(reparts.nonEmpty, "the exchange must be a keyed repartition")
+  }
 }
