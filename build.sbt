@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked child's stdout through RAW (no "[info] " logger
+// prefix): the bench driver tail-captures stdout and parses the JSON
+// summary line; sbt's default LoggedOutput prefixes every line, which
+// breaks any starts-with-'{' parse (BENCH_r09.json recorded
+// parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,9 +87,22 @@ object SparkEntry {
     * stays an honestly measured number (same split as nearDupPairs vs
     * d_minhash_lsh).
     */
+  /** Corpus-scale skew levers for the shingle-pair family, read from
+    * session conf so a real deployment can cap the d^2 hot-shingle
+    * fan-out without touching code. Defaults OFF: the fixture oracles
+    * are exact, and the fixture has no hot shingles worth capping.
+    */
+  private def dedupLevers(s: SparkSession): (Boolean, Option[Long]) = (
+    s.conf.get("spark.graft.dedup.pruneSingletons", "false") == "true",
+    Option(s.conf.get("spark.graft.dedup.maxDocFreq", ""))
+      .filter(_.nonEmpty).map(_.toLong))
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    materializedView(s, dir, "jaccard_pairs_03")(
-      Dedup.pairJaccard(shingleFrame(s, dir), 0.3))
+    materializedView(s, dir, "jaccard_pairs_03") {
+      val (prune, cap) = dedupLevers(s)
+      Dedup.pairJaccard(shingleFrame(s, dir), 0.3,
+        pruneSingletons = prune, maxDocFreq = cap)
+    }
 
   private def basketFrame(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     lazy val built = Aggregates.brandBasketFrame(
@@ -928,8 +941,11 @@ object SparkEntry {
       Aggregates.contingencyChi2(rd(s, dir, "orders"), rd(s, dir, "customer"))),
     "q_funnel3" -> ((s, dir) => Events.orderedFunnel(rd(s, dir, "events"))),
     // asymmetric containment pairs: subset copies Jaccard misses
-    "d_containment" -> ((s, dir) =>
-      Dedup.containmentFromShingles(shingleFrame(s, dir))),
+    "d_containment" -> ((s, dir) => {
+      val (prune, cap) = dedupLevers(s)
+      Dedup.containmentFromShingles(shingleFrame(s, dir),
+        pruneSingletons = prune, maxDocFreq = cap)
+    }),
     "q_cooccur" -> ((s, dir) => Events.eventCooccurrence(rd(s, dir, "events"))),
     "q_affinity" -> ((s, dir) => Events.basketAffinity(rd(s, dir, "events"))),
     "d_drift" -> ((s, dir) => Curation.sourceDrift(rd(s, dir, "documents"))),

@@ -763,6 +763,14 @@ FROM $table GROUP BY 1 ORDER BY 1"""
       require(bs != null, "packedCombos: null basket array")
       require(bs.length < 1024,
         s"packedCombos: basket size ${bs.length} breaks the 10-bit code packing (cap baskets < 1024 upstream)")
+      // Key collisions come from code VALUES, not basket length: pairs
+      // pack (code+1) into 10 bits, so the dictionary must stay <= 1023
+      // codes (0..1022). bs is sorted ascending — checking the last
+      // element screens every code at zero extra cost, catching a
+      // >1023-brand corpus that brandBasketFrame's basket-size cap
+      // cannot see.
+      require(bs.isEmpty || bs(bs.length - 1) <= 1022,
+        s"packedCombos: brand code ${bs(bs.length - 1)} breaks the 10-bit packing (dictionary must have <= 1023 codes)")
       bs
     }
     val ds = baskets.select(col("bs")).as[Array[Int]]

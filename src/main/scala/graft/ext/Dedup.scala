@@ -324,19 +324,54 @@ object Dedup {
   def containmentPairs(
       docs: DataFrame,
       n: Int = 3,
-      minContainment: Double = 0.5): DataFrame =
-    containmentFromShingles(shingleHashes(docs, n), minContainment)
+      minContainment: Double = 0.5,
+      pruneSingletons: Boolean = false,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    containmentFromShingles(shingleHashes(docs, n), minContainment,
+      pruneSingletons, maxDocFreq)
+
+  /** Shared posting-list pruning for the pairwise scorers — see the
+    * parameter notes on [[pairJaccard]]: singleton pruning is EXACT
+    * (a df=1 shingle contributes no intersection; per-doc sizes still
+    * come from the full index), the hot-shingle `maxDocFreq` cap is
+    * the d^2 skew guard and an APPROXIMATION (intersection counts
+    * through hot shingles are lost — set the cap well above the
+    * corpus duplication factor). Both default OFF.
+    */
+  private def capDocFreq(sh: DataFrame,
+      pruneSingletons: Boolean, maxDocFreq: Option[Long]): DataFrame = {
+    val shJ0 = maxDocFreq match {
+      case Some(cap) =>
+        val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("s"))
+        sh.join(cold, Seq("s"), "left_semi")
+      case None => sh
+    }
+    if (pruneSingletons) {
+      val shared = shJ0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1).select(col("s"))
+      shJ0.join(shared, Seq("s"), "left_semi")
+    } else shJ0
+  }
 
   /** [[containmentPairs]] over an already-built hashed-shingle frame —
     * the seam that lets a materialized (doc_id, shingle-hash) index
     * feed every scorer in the family without re-running the tokenize
-    * kernel per consumer.
+    * kernel per consumer. `pruneSingletons`/`maxDocFreq` are the same
+    * levers as [[pairJaccard]]'s (see [[capDocFreq]]): without the df
+    * cap, one boilerplate shingle shared by d documents expands to
+    * C(d,2) candidate pairs in [[intersectionCounts]] — the cap is
+    * what bounds that fan-out on a real corpus. Per-doc shingle
+    * counts (the containment denominators) always come from the FULL
+    * index, so singleton pruning never changes a score.
     */
   def containmentFromShingles(
       sh: DataFrame,
-      minContainment: Double = 0.5): DataFrame = {
+      minContainment: Double = 0.5,
+      pruneSingletons: Boolean = false,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    intersectionCounts(sh)
+    intersectionCounts(capDocFreq(sh, pruneSingletons, maxDocFreq))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("ca", col("n_inter").cast("double") / col("na").cast("double"))
@@ -352,38 +387,14 @@ object Dedup {
       pruneSingletons: Boolean = false,
       maxDocFreq: Option[Long] = None): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // Optional posting-list pruning: a shingle in exactly one document
-    // cannot contribute an intersection, so it can be dropped from BOTH
-    // join inputs before the shuffle (union sizes still come from the
-    // full `sh`, so Jaccard values are unchanged). In a large random
-    // corpus most shingles are singletons and this is the difference
-    // between shuffling the corpus and shuffling the shared tail; at
-    // bench scale (small, heavily-duplicated fixture) the extra
-    // aggregate + semi-join costs MORE than it saves (measured sf0.1:
-    // 1.8s -> 2.5s), hence off by default and on for real corpora.
-    //
-    // Optional hot-shingle cap (`maxDocFreq`): a shingle occurring in d
-    // documents expands to d^2 candidate pairs in the inverted-index
-    // join — one boilerplate phrase in 10^6 docs is a 10^12-pair skew
-    // bomb. Dropping shingles with df > cap bounds the per-key fan-out.
-    // UNLIKE singleton pruning this is an APPROXIMATION: a pair whose
-    // only shared shingles are hot loses intersection counts, so its
-    // Jaccard is underestimated (near-dup pairs share almost all
-    // shingles and are unaffected for any reasonable cap; set the cap
-    // well above the corpus duplication factor).
-    val shJ0 = maxDocFreq match {
-      case Some(cap) =>
-        val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("s"))
-        sh.join(cold, Seq("s"), "left_semi")
-      case None => sh
-    }
-    val shJ =
-      if (pruneSingletons) {
-        val shared = shJ0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > 1).select(col("s"))
-        shJ0.join(shared, Seq("s"), "left_semi")
-      } else shJ0
+    // Posting-list pruning levers — see [[capDocFreq]]. Singleton
+    // pruning is exact but costs MORE than it saves at bench scale
+    // (small, heavily-duplicated fixture; measured sf0.1 1.8s -> 2.5s),
+    // hence off by default and on for real corpora where most shingles
+    // are singletons. maxDocFreq is the d^2 skew guard: Jaccard through
+    // hot shingles is underestimated, so set it well above the corpus
+    // duplication factor.
+    val shJ = capDocFreq(sh, pruneSingletons, maxDocFreq)
     // Intersection counts via POSTING LISTS rather than a self-join:
     // group the index by shingle once, emit each posting list's ordered
     // pairs map-side with a kernel, then count per pair. One shuffle of
@@ -1000,6 +1011,17 @@ object Dedup {
     * single-key all-pairs-within-token formulation; only the
     * partitioning and the enumeration count change (cross-band pairs
     * run the DP once, not twice).
+    *
+    * The band is UNCONDITIONAL — a probe-gated fallback to the plain
+    * single-key join ("when no (tok1) block is skewed, skip the band")
+    * was built and MEASURED REJECTED (sf0.1, interleaved min-of-reps):
+    * banded 1.84s, single-key 1.76s, probe-gated single-key 2.03s,
+    * probe-gated + checkpointed title frame 1.97s. The band itself
+    * costs ~0.08s (= ambient noise) because it also PRUNES: only
+    * same-/adjacent-band pairs are enumerated, so length-distant pairs
+    * in a block never reach the DP — while the one-job max-block probe
+    * costs ~0.25s, more than the band ever saves. Keeping the skew
+    * guard always-on is both the safe-at-scale and the faster choice.
     */
   def editDistancePairs(
       docs: DataFrame,

@@ -13,14 +13,29 @@ import scala.jdk.CollectionConverters._
   */
 class EntryIntegritySpec extends AnyFunSuite {
 
-  // Top-level map entries sit at exactly 4-space indent; nested Map(...)
-  // literals inside query lambdas are indented deeper and SQL text inside
-  // triple-quoted strings never starts with `    "name" ->`.
-  private val keyRe = """^    "([A-Za-z0-9_]+)" ->.*""".r
+  // Indentation-agnostic: any line that IS a string-key arrow binding
+  // (modulo leading whitespace) counts, so a whitespace-only reformat
+  // of the literal cannot silently weaken the parse. Nested Map(...)
+  // literals inside query lambdas would also match — if one ever
+  // appears, the bijection asserts below fail set equality, flagging
+  // the spec for maintenance rather than passing vacuously.
+  private val keyRe = """^\s*"([A-Za-z0-9_]+)" ->.*""".r
 
-  private lazy val lines: Vector[String] = java.nio.file.Files
-    .readAllLines(java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
-    .asScala.toVector
+  // Resolve the source independent of the test JVM's working directory:
+  // walk up from user.dir until the repo-relative path exists (sbt runs
+  // tests from the project root, but forked/IDE runners may not).
+  private lazy val sourceFile: java.nio.file.Path = {
+    val rel = java.nio.file.Paths.get("src", "main", "scala", "graft", "SparkEntry.scala")
+    Iterator.iterate(java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", ".")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .map(_.resolve(rel))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(fail(s"SparkEntry.scala not found above ${sys.props("user.dir")}"))
+  }
+
+  private lazy val lines: Vector[String] =
+    java.nio.file.Files.readAllLines(sourceFile).asScala.toVector
 
   private def regionKeys(from: Int, until: Int): Seq[String] =
     lines.slice(from, until).collect { case keyRe(k) => k }

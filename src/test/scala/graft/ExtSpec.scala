@@ -127,6 +127,27 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.pairJaccard(sh, 0.3, maxDocFreq = Some(1L)).count() === 0)
   }
 
+  test("containment df cap bounds the hot-shingle pair fan-out") {
+    import spark.implicits._
+    // One boilerplate 3-gram shared by ALL docs: uncapped it alone
+    // expands to C(d,2) candidate pairs — the skew shape that melts a
+    // reducer at corpus scale. The df cap drops its posting list.
+    val d = 40
+    val docs = (0 until d).map(i =>
+      (i.toLong, s"common boiler plate w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(docs, 3).localCheckpoint(true)
+    assert(Dedup.containmentFromShingles(sh, 0.0).count() === d.toLong * (d - 1) / 2)
+    assert(Dedup.containmentFromShingles(sh, 0.0, maxDocFreq = Some(5L)).count() === 0)
+    // on the real fixture: cap above every df + singleton pruning is exact
+    val shDocs = Dedup.shingleHashes(t("documents"), 3)
+    def conts(prune: Boolean, cap: Option[Long]) =
+      Dedup.containmentFromShingles(shDocs, 0.5, prune, cap)
+        .collect().map(_.toSeq).toSet
+    val full = conts(prune = false, cap = None)
+    assert(full.nonEmpty)
+    assert(conts(prune = true, cap = Some(1000L)) === full)
+  }
+
   test("jaccard pairs survive pinWide=false on a scattered index (co-partition contract)") {
     // The posting-list run-grouping kernel is only correct when the
     // exchange before sortWithinPartitions is UNCONDITIONAL: scatter the
@@ -1773,6 +1794,23 @@ class ExtSpec extends SparkSpec {
     }
     // exactly k rows per query
     assert(r.groupBy(_.getAs[Long]("query_id")).values.forall(_.length === 3))
+  }
+
+  test("basket combo kernel rejects a >1023-code dictionary (10-bit packing guard)") {
+    import spark.implicits._
+    // 1030 distinct brands mint codes past 1022; a small basket holding
+    // the two HIGHEST codes slips through the basket-size cap, so only
+    // the code-VALUE check can stop the silent packed-key collision.
+    val nb = 1030
+    val part = (1 to nb).map(i => (i.toLong, f"b$i%04d")).toDF("p_partkey", "p_brand")
+    val li = Seq((1L, (nb - 1).toLong), (1L, nb.toLong)).toDF("l_orderkey", "l_partkey")
+    val (baskets, dim) = Aggregates.brandBasketFrame(li, part, maxBasket = 15)
+    val e = intercept[Exception] {
+      Aggregates.basketRules(baskets, dim, minSupport = 1, k = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("10-bit")), s"unexpected failure: $e")
   }
 
   test("basketRules: confidence and lift from known baskets") {
