@@ -58,21 +58,26 @@ object Shuffles {
     * volume estimate is above threshold, which is only safe when a
     * downstream aggregate/join forces its own exchange anyway. When
     * the `mapPartitions` kernel IS the consumer there is no planner
-    * exchange to fall back on, so the clustering must always happen;
-    * pinWide's gates here decide only the WIDTH: pinned wide
-    * (AQE-coalescing-exempt, the measured small-volume regime) vs a
-    * plain keyed repartition whose width the planner/AQE sizes. */
+    * exchange to fall back on, so the clustering must always happen.
+    *
+    * Width is pinned explicitly (no size-estimate gate): every caller
+    * is a compute-dense kernel by construction, and the frames feeding
+    * them are often typed flatMaps whose size ESTIMATE is the huge
+    * unknown-stats default — a stats gate would route exactly those
+    * through an unsized repartition that AQE's bytes-targeted
+    * coalescing can merge onto one task, serializing the sweep (the
+    * degenerate case pinWide was built against). width = max(cores,
+    * configured shuffle partitions) IS the planner's own width on a
+    * properly-configured cluster. `spark.graft.pinWide=false` keeps
+    * the A/B lever: the exchange still happens (correctness), but
+    * planner/AQE-sized. */
   def clusterByKey(df: DataFrame, keys: Column*): DataFrame = {
     val spark = df.sparkSession
     val conf = spark.sessionState.conf
     val on = conf.getConfString("spark.graft.pinWide", "true") == "true"
     val width = math.max(spark.sparkContext.defaultParallelism,
       conf.numShufflePartitions)
-    val advisory = conf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
-    val smallVolume = on &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <
-        BigInt(width) * advisory
-    if (smallVolume) df.repartition(width, keys: _*)
+    if (on) df.repartition(width, keys: _*)
     else df.repartition(keys: _*)
   }
 }
