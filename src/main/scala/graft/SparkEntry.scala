@@ -97,12 +97,19 @@ object SparkEntry {
     Option(s.conf.get("spark.graft.dedup.maxDocFreq", ""))
       .filter(_.nonEmpty).map(_.toLong))
 
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    materializedView(s, dir, "jaccard_pairs_03") {
-      val (prune, cap) = dedupLevers(s)
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // The resolved lever values are part of the view name (and thus the
+    // memo key AND the on-disk path): if a session flips
+    // spark.graft.dedup.* after the pair graph was first materialized,
+    // consumers (d_pagerank, q_bfs_reach) rebuild under the new
+    // settings instead of silently reusing the old graph.
+    val (prune, cap) = dedupLevers(s)
+    materializedView(s, dir,
+        s"jaccard_pairs_03_p${prune}_c${cap.getOrElse(0L)}") {
       Dedup.pairJaccard(shingleFrame(s, dir), 0.3,
         pruneSingletons = prune, maxDocFreq = cap)
     }
+  }
 
   private def basketFrame(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     lazy val built = Aggregates.brandBasketFrame(
@@ -811,7 +818,8 @@ object SparkEntry {
     // STL-lite: trailing-MA detrend + day-of-week seasonal profile
     "q_stl_lite" -> ((s, dir) => Aggregates.seasonalDecompose(rd(s, dir, "orders"))),
     // re-chunking seams: suffix-of-A == prefix-of-B joins
-    "d_prefix_suffix" -> ((s, dir) => Dedup.prefixSuffixOverlap(rd(s, dir, "documents"), 8, 50)),
+    "d_prefix_suffix" -> ((s, dir) => Dedup.prefixSuffixOverlap(
+      rd(s, dir, "documents"), 8, 50, maxDocFreq = dedupLevers(s)._2)),
     // per-user lifetime/rate panel
     "q_user_span" -> ((s, dir) => Events.userActivitySpan(rd(s, dir, "events"))),
     // ordered string aggregation surface: per-nation supplier roster
@@ -1112,7 +1120,11 @@ object SparkEntry {
       Curation.contaminationScreen(
         docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400), n = 30)
     }),
-    "d_ngram_jaccard" -> ((s, dir) => Dedup.pairJaccard(shingleFrame(s, dir), 0.3)),
+    "d_ngram_jaccard" -> ((s, dir) => {
+      val (prune, cap) = dedupLevers(s)
+      Dedup.pairJaccard(shingleFrame(s, dir), 0.3,
+        pruneSingletons = prune, maxDocFreq = cap)
+    }),
     // windows of 30 tokens re-occurring from earlier docs (the planted
     // near-dups share long exact spans; unrelated docs share none)
     "d_substring_dup" -> ((s, dir) => Dedup.substringDup(rd(s, dir, "documents"))),
@@ -1413,7 +1425,11 @@ object SparkEntry {
     // rolling 7-day return rate per active day (day-grain stickiness)
     "q_return_rate_7d" -> ((s, dir) => Events.returnRate7d(rd(s, dir, "events"))),
     // MOSS winnowing: window-min md5 fingerprints, doc pairs by overlap
-    "d_winnowing" -> ((s, dir) => Dedup.winnowingPairs(rd(s, dir, "documents"))),
+    "d_winnowing" -> ((s, dir) => {
+      val (prune, cap) = dedupLevers(s)
+      Dedup.winnowingPairs(rd(s, dir, "documents"),
+        pruneSingletons = prune, maxDocFreq = cap)
+    }),
     // term burstiness (Fano factor): topical clumping vs even spread
     "d_burstiness" -> ((s, dir) => TextOps.termBurstiness(rd(s, dir, "documents"))),
     // per-frame byte/"pixel" stats over the stub-decoded payload

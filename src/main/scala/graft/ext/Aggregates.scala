@@ -765,12 +765,16 @@ FROM $table GROUP BY 1 ORDER BY 1"""
         s"packedCombos: basket size ${bs.length} breaks the 10-bit code packing (cap baskets < 1024 upstream)")
       // Key collisions come from code VALUES, not basket length: pairs
       // pack (code+1) into 10 bits, so the dictionary must stay <= 1023
-      // codes (0..1022). bs is sorted ascending — checking the last
-      // element screens every code at zero extra cost, catching a
-      // >1023-brand corpus that brandBasketFrame's basket-size cap
-      // cannot see.
-      require(bs.isEmpty || bs(bs.length - 1) <= 1022,
-        s"packedCombos: brand code ${bs(bs.length - 1)} breaks the 10-bit packing (dictionary must have <= 1023 codes)")
+      // codes (0..1022). Scan for the max rather than trusting sort
+      // order — brandBasketFrame emits sort_array output, but a new
+      // call site with an unsorted basket must not evade the check
+      // (the basket is < 1024 ints; the scan is noise next to the
+      // combinatorial emit below). Catches a >1023-brand corpus that
+      // the basket-size cap cannot see.
+      var mx = -1; var ci = 0
+      while (ci < bs.length) { if (bs(ci) > mx) mx = bs(ci); ci += 1 }
+      require(mx <= 1022,
+        s"packedCombos: brand code $mx breaks the 10-bit packing (dictionary must have <= 1023 codes)")
       bs
     }
     val ds = baskets.select(col("bs")).as[Array[Int]]

@@ -170,11 +170,20 @@ object Dedup {
     * join does, exactly.
     *
     * Scale shape: one map-side pass computes a single prefix + suffix
-    * gram per doc (no shingle explosion); both joins key on that gram
-    * — posting lists are boilerplate-bounded, at most one pair per
-    * (a, b, type) by construction.
+    * gram per doc (no shingle explosion); both joins key on that gram,
+    * with at most one pair per (a, b, type) by construction. A shared
+    * boilerplate HEAD across d docs (template families — the expected
+    * input at corpus scale, not a corner) still fans the head join out
+    * to C(d,2) and the seam join to d_suf x d_pre BEFORE the limit(k),
+    * so `maxDocFreq` caps each side's per-gram posting list — the same
+    * lever as [[pairJaccard]]'s [[capDocFreq]], keyed on the boundary
+    * gram. Approximate when on (pairs through hot grams are dropped,
+    * and the op is a top-k report anyway, so a cap in the hundreds is
+    * the deployment setting); default OFF, where the plan is
+    * byte-identical to the uncapped one.
     */
-  def prefixSuffixOverlap(docs: DataFrame, n: Int = 8, k: Int = 50): DataFrame = {
+  def prefixSuffixOverlap(docs: DataFrame, n: Int = 8, k: Int = 50,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val base = graft.Tables.spread(docs)
       .filter(size(toks) >= n)
@@ -182,9 +191,15 @@ object Dedup {
         concat_ws(" ", slice(toks, 1, n)).as("prefix"),
         concat_ws(" ", slice(toks, -n, n)).as("suffix"))
       .localCheckpoint(false) // all four join sides
+    val preC = capDocFreq(
+      base.select(col("doc_id"), col("prefix").as("gram")),
+      pruneSingletons = false, maxDocFreq, keyCol = "gram")
+    val sufC = capDocFreq(
+      base.select(col("doc_id"), col("suffix").as("gram")),
+      pruneSingletons = false, maxDocFreq, keyCol = "gram")
     val pre = (side: String) =>
-      base.select(col("doc_id").as(side), col("prefix").as("gram"))
-    val seams = base.select(col("doc_id").as("doc_a"), col("suffix").as("gram"))
+      preC.select(col("doc_id").as(side), col("gram"))
+    val seams = sufC.select(col("doc_id").as("doc_a"), col("gram"))
       .join(pre("doc_b"), "gram")
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit("seam").as("match_type"))
@@ -338,19 +353,20 @@ object Dedup {
     * through hot shingles are lost — set the cap well above the
     * corpus duplication factor). Both default OFF.
     */
-  private def capDocFreq(sh: DataFrame,
-      pruneSingletons: Boolean, maxDocFreq: Option[Long]): DataFrame = {
+  private[ext] def capDocFreq(sh: DataFrame,
+      pruneSingletons: Boolean, maxDocFreq: Option[Long],
+      keyCol: String = "s"): DataFrame = {
     val shJ0 = maxDocFreq match {
       case Some(cap) =>
-        val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("s"))
-        sh.join(cold, Seq("s"), "left_semi")
+        val cold = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col(keyCol))
+        sh.join(cold, Seq(keyCol), "left_semi")
       case None => sh
     }
     if (pruneSingletons) {
-      val shared = shJ0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1).select(col("s"))
-      shJ0.join(shared, Seq("s"), "left_semi")
+      val shared = shJ0.groupBy(col(keyCol)).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1).select(col(keyCol))
+      shJ0.join(shared, Seq(keyCol), "left_semi")
     } else shJ0
   }
 
@@ -707,7 +723,9 @@ object Dedup {
       k: Int = 5,
       w: Int = 4,
       minShared: Long = 3,
-      topK: Int = 25): DataFrame = {
+      topK: Int = 25,
+      pruneSingletons: Boolean = false,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val selected = graft.Tables.spread(
@@ -753,8 +771,19 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "fp")
-    val a = selected.select(col("doc_id").as("doc_a"), col("fp"))
-    val b = selected.select(col("doc_id").as("doc_b"), col("fp"))
+    // Hot-fingerprint guard, same lever as [[pairJaccard]]'s (see
+    // [[capDocFreq]]): winnowing's 1/w subsample thins volume but does
+    // NOT dedupe a fingerprint ACROSS docs — a boilerplate (k+w-1)-token
+    // run (license header, nav chrome) shared by d docs still meets
+    // here as a d-long posting list and enumerates C(d,2) pairs below.
+    // maxDocFreq bounds that to C(cap,2) per fingerprint (approximate:
+    // overlap counted through hot fingerprints is lost — set the cap
+    // well above the corpus duplication factor); pruneSingletons is
+    // EXACT for the pair output (a df=1 fingerprint joins only with
+    // itself, which doc_a < doc_b discards). Both default OFF.
+    val capped = capDocFreq(selected, pruneSingletons, maxDocFreq, keyCol = "fp")
+    val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"))

@@ -1858,6 +1858,33 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnowingPairs df cap bounds the hot-fingerprint pair fan-out") {
+    import spark.implicits._
+    // One boilerplate run (license header / nav chrome) shared by ALL
+    // docs: its selected fingerprints have df = d, so the self-join
+    // alone enumerates C(d,2) pairs — winnowing's 1/w subsample thins
+    // volume but does NOT dedupe a fingerprint across docs. The cap
+    // drops the hot posting lists and the pair count collapses.
+    val d = 40
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val docs = (0 until d).map(i =>
+      (i.toLong, s"u${i}a u${i}b $shared u${i}c")).toDF("doc_id", "text")
+    val uncapped = Dedup.winnowingPairs(docs, k = 5, w = 4,
+      minShared = 1, topK = 10000)
+    assert(uncapped.count() === d.toLong * (d - 1) / 2)
+    assert(Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 1,
+      topK = 10000, maxDocFreq = Some(5L)).count() === 0)
+    // loose cap (above every df) + singleton pruning: EXACT no-op on
+    // the real fixture — the safe always-on production setting
+    val fix = t("documents")
+    def rows(prune: Boolean, cap: Option[Long]) =
+      Dedup.winnowingPairs(fix, pruneSingletons = prune, maxDocFreq = cap)
+        .collect().map(_.toSeq).toSet
+    val full = rows(prune = false, cap = None)
+    assert(full.nonEmpty)
+    assert(rows(prune = true, cap = Some(100000L)) === full)
+  }
+
   test("termBurstiness: clumped term outranks evenly spread term") {
     import spark.implicits._
     // 'bursty' appears 5x in each of 20 docs; 'even' once in each of 20
@@ -2514,6 +2541,27 @@ class ExtSpec extends SparkSpec {
     val r = Dedup.prefixSuffixOverlap(docs, 8, 50).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
     assert(r.toSet === Set((1L, 2L, "head"), (3L, 4L, "seam")))
+  }
+
+  test("prefixSuffixOverlap df cap bounds the shared-boilerplate fan-out") {
+    import spark.implicits._
+    // Template family: d docs sharing one boilerplate HEAD — the head
+    // join fans out to C(d,2) BEFORE the limit(k) without the cap.
+    val d = 40
+    val head = (1 to 8).map(i => s"h$i").mkString(" ")
+    val docs = (0 until d).map(i =>
+      (i.toLong, s"$head tail${i}a tail${i}b tail${i}c " +
+        (1 to 8).map(j => s"s${i}x$j").mkString(" "))).toDF("doc_id", "text")
+    val uncapped = Dedup.prefixSuffixOverlap(docs, 8, k = 10000)
+    assert(uncapped.count() === d.toLong * (d - 1) / 2)
+    assert(Dedup.prefixSuffixOverlap(docs, 8, k = 10000,
+      maxDocFreq = Some(5L)).count() === 0)
+    // loose cap on the real fixture: EXACT no-op (same pair set)
+    val fix = t("documents")
+    val full = Dedup.prefixSuffixOverlap(fix, 8, 50)
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.prefixSuffixOverlap(fix, 8, 50, maxDocFreq = Some(100000L))
+      .collect().map(_.toSeq).toSet === full)
   }
 
   test("userActivitySpan: span and rate from epoch-day arithmetic") {
