@@ -883,12 +883,12 @@ object Dedup {
     * (doc_id, cluster_id = component min), one row per node of the pair
     * graph, ordered by doc_id.
     *
-    * Adaptive small-graph path: the first signature aggregate already
-    * measures the EXACT canonical edge count, so when the graph is
-    * provably tiny (edges <= `driverEdgeMax`, default 200k ≈ 3 MB of
-    * longs — the same measured-small adaptivity AQE applies when it
-    * converts a shuffle join to broadcast) the components are solved in
-    * one collect + union-find instead of ~4 eagerly-materialized
+    * Adaptive small-graph path: a ONE-JOB packed probe-collect
+    * ([[graft.ext.Graph.probeCollect]]) of the raw pair stream gates
+    * on `driverEdgeMax` raw rows (default 200k ≈ 3 MB of longs — the
+    * same measured-small adaptivity AQE applies when it converts a
+    * shuffle join to broadcast); when it fits, the components are
+    * solved by a driver union-find instead of ~4 eagerly-materialized
     * exchanges per contraction round. The bound is a hard gate on data
     * volume reaching the driver, not a heuristic: anything larger runs
     * the distributed contraction unchanged. Near-dup pair graphs are
@@ -902,13 +902,62 @@ object Dedup {
       maxIter: Int = 50,
       driverEdgeMax: Long = Graph.DriverEdgeMaxDefault): DataFrame = {
     val spark = pairs.sparkSession
+    val rawPlan = pairs
+      .select(col("doc_a").cast("long").as("x"), col("doc_b").cast("long").as("y"))
+    // ONE-JOB driver fast path: probe-collect the RAW pair stream and
+    // derive nodes, canonical edges, and the union-find all
+    // driver-side. The earlier shape paid FOUR eager jobs before any
+    // clustering (input checkpoint, signature aggregate, node collect,
+    // edge collect) — pure job-submission overhead on the
+    // few-hundred-row near-dup graphs this gate exists for, and the
+    // dominant cost of every bench consumer (d_dedup_clusters,
+    // d_curate_final, ...). Gating on the PRE-canonicalization row
+    // count is strictly conservative (raw count >= distinct canonical
+    // count — same argument as [[graft.ext.Graph.hitsBipartite]]), and
+    // bounds nodes <= 2*raw without the old self-loop re-check. A raw
+    // stream above the gate falls through to the distributed
+    // contraction, which re-derives everything from one checkpoint
+    // exactly as before.
+    val probe = Graph.probeCollect(rawPlan, driverEdgeMax)
+    if (probe.isDefined) {
+      val flat = probe.get
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      val endpoints = new Array[Long](flat.length)
+      var i = 0
+      while (i < flat.length) {
+        val x = flat(i); val y = flat(i + 1)
+        endpoints(i) = x; endpoints(i + 1) = y
+        if (x != y) {
+          val (ra, rb) = (find(x), find(y))
+          // root chosen as min on every union, so find() IS the component min
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        i += 2
+      }
+      java.util.Arrays.sort(endpoints)
+      val labeled = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      i = 0
+      while (i < endpoints.length) {
+        if (i == 0 || endpoints(i - 1) != endpoints(i))
+          labeled += ((endpoints(i), find(endpoints(i))))
+        i += 1
+      }
+      import spark.implicits._
+      return labeled.toSeq.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+    }
     // checkpoint the input ONCE: `nodes` and `e` both derive from it, and
     // without truncation each would re-run the whole upstream pipeline
     // (for nearDupClusters that is the entire MinHash candidate+verify
     // pass — measured ~0.9s doubled at sf0.1)
-    val raw = pairs
-      .select(col("doc_a").cast("long").as("x"), col("doc_b").cast("long").as("y"))
-      .localCheckpoint(true)
+    val raw = rawPlan.localCheckpoint(true)
     val nodes = raw.select(col("x").as("node")).union(raw.select(col("y"))).distinct()
     var e = raw.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
@@ -918,33 +967,6 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var sig = signature(e)
-    if (sig._1 <= driverEdgeMax) {
-      // Small measured graph: solve on the driver. Edge volume is
-      // bounded by the gate above; node volume is bounded by
-      // 2*edges + self-loop-only nodes, re-checked before collecting.
-      val nodeArr = nodes.limit((4 * driverEdgeMax + 4).toInt)
-        .collect().map(_.getLong(0))
-      if (nodeArr.length <= 4 * driverEdgeMax + 2) {
-        val parent = new scala.collection.mutable.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          // path compression
-          var c = x
-          while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        e.collect().foreach { row =>
-          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        // root chosen as min on every union, so find() IS the component min
-        val labeled = nodeArr.map(n => (n, find(n))).toSeq
-        import spark.implicits._
-        return labeled.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
-      }
-      // pathological self-loop-heavy input: fall through to distributed
-    }
     var converged = sig._1 == 0L
     var iter = 0
     // Size the loop's shuffle width to the MEASURED edge count (known

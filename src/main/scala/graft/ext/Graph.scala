@@ -43,30 +43,70 @@ object Graph {
     * the driver.
     */
   private[ext] def probeCollect(
-      df: DataFrame, max: Long): Option[Array[org.apache.spark.sql.Row]] = {
-    if (max < 0L || max >= Int.MaxValue.toLong) return None
-    // One-JOB probe, literally: executeTake starts at
-    // spark.sql.limit.initialNumPartitions (default 1) result
-    // partitions and rescans in limitScaleUpFactor waves until the
-    // limit fills, so a SUCCESSFUL probe (the whole frame fits) pays
-    // 2-3 result-stage round trips instead of one. Pinning the initial
-    // wave to cover every partition makes success a single job; a
-    // FAILING probe (graph larger than the gate) now scans all
-    // partitions where it might have stopped after one — a bounded
-    // extra pass that the minutes-long distributed path it precedes
-    // amortizes away. Restored in finally: the pin must not leak into
-    // the caller's top-k limits.
+      df: DataFrame, max: Long): Option[Array[Long]] = {
+    // One-JOB probe over a strictly (long, long) frame, returning the
+    // edges INTERLEAVED (a0,b0,a1,b1,...). The earlier limit+collect
+    // formulation shipped |E| boxed Row objects through executeTake
+    // and deserialized them one by one on the driver — measured
+    // (tools/CollectProbe, 600k-edge q_hits stream, interleaved meds):
+    // row limit+collect 0.72-1.06s vs chunk-packed 0.55-0.72s against
+    // a 0.54-0.68s bare-noop floor, i.e. the packed collect is ~free
+    // while the Row path adds 0.2-0.4s per probe. Each task packs its
+    // partition's pairs into primitive long-array chunks (UnsafeArrayData
+    // on the wire, no per-row object) and STOPS CONSUMING after max+1
+    // pairs, flagging overflow — the same per-partition early-stop and
+    // memory bound (16 bytes/pair, vs a Row object each) as the old
+    // LocalLimit, and the same one-job shape at both ends of the gate.
+    // The gate stays HARD: the total pair count is checked on the
+    // collected chunks themselves, never an estimate.
+    if (max < 0L || max >= Int.MaxValue.toLong / 2 - 1) return None
     val spark = df.sparkSession
-    val key = "spark.sql.limit.initialNumPartitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "4096")
-    try {
-      val rows = df.limit(max.toInt + 1).collect()
-      if (rows.length <= max) Some(rows) else None
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    import spark.implicits._
+    val lim = max.toInt
+    val chunkPairs = 1 << 16
+    val chunks = df.as[(Long, Long)].mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Array[Long])]
+      var cur = new Array[Long](2 * chunkPairs)
+      var n = 0
+      var total = 0
+      var overflow = false
+      while (it.hasNext && !overflow) {
+        val (a, b) = it.next()
+        total += 1
+        if (total > lim) overflow = true
+        else {
+          cur(n) = a; cur(n + 1) = b; n += 2
+          if (n == cur.length) {
+            out += ((false, cur)); cur = new Array[Long](2 * chunkPairs); n = 0
+          }
+        }
+      }
+      if (overflow) Iterator.single((true, Array.empty[Long]))
+      else {
+        if (n > 0) out += ((false, java.util.Arrays.copyOf(cur, n)))
+        out.iterator
+      }
+    }.collect()
+    val totalPairs = chunks.map(_._2.length.toLong).sum / 2
+    if (chunks.exists(_._1) || totalPairs > max) None
+    else {
+      val flat = new Array[Long](2 * totalPairs.toInt)
+      var w = 0
+      chunks.foreach { case (_, c) =>
+        System.arraycopy(c, 0, flat, w, c.length); w += c.length
+      }
+      Some(flat)
     }
+  }
+
+  /** [[probeCollect]]'s interleaved result as (a, b) tuples — for the
+    * driver loops that work on pair collections rather than indexed
+    * arrays. */
+  private[ext] def pairsOf(flat: Array[Long]): Array[(Long, Long)] = {
+    val out = new Array[(Long, Long)](flat.length / 2)
+    var i = 0
+    while (i < out.length) { out(i) = (flat(2 * i), flat(2 * i + 1)); i += 1 }
+    out
   }
 
   /** K-iteration PageRank on an UNDIRECTED pair graph (each pair
@@ -121,8 +161,7 @@ object Graph {
       import spark.implicits._
       // undirected expansion, driver-side (same as the relational
       // union): each pair contributes both directions
-      val es = prProbe.get.flatMap { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
+      val es = pairsOf(prProbe.get).flatMap { case (a, b) =>
         Seq((a, b), (b, a))
       }
       val nodeIds = es.map(_._1).distinct.sorted
@@ -348,7 +387,7 @@ object Graph {
     val kcProbe = probeCollect(eRaw, driverEdgeMax)
     if (kcProbe.isDefined) {
       import spark.implicits._
-      var edges = kcProbe.get.map(row => (row.getLong(0), row.getLong(1)))
+      var edges = pairsOf(kcProbe.get)
       var rr = 0
       var changed = true
       while (rr < rounds && changed) {
@@ -495,10 +534,10 @@ object Graph {
     if (hitsProbe.isDefined) {
       import spark.implicits._
       val raw = hitsProbe.get
-      val n = raw.length
+      val n = raw.length / 2
       val srcA = new Array[Long](n); val dstA = new Array[Long](n)
       var i = 0
-      while (i < n) { srcA(i) = raw(i).getLong(0); dstA(i) = raw(i).getLong(1); i += 1 }
+      while (i < n) { srcA(i) = raw(2 * i); dstA(i) = raw(2 * i + 1); i += 1 }
       // sorted-distinct id arrays; binarySearch replaces the boxed
       // Long->Int maps (2 lookups x |E| dominated the old driver gap)
       def sortedDistinct(xs: Array[Long]): Array[Long] = {
@@ -686,8 +725,7 @@ object Graph {
     val lpaProbe = probeCollect(adjRaw.select(col("x"), col("y")), driverEdgeMax * 2)
     if (lpaProbe.isDefined) {
       import spark.implicits._
-      val es = lpaProbe.get
-        .map(r => (r.getLong(0), r.getLong(1)))
+      val es = pairsOf(lpaProbe.get)
       val byNode = es.groupBy(_._1).map { case (x, nb) => x -> nb.map(_._2) }
       var labels: Map[Long, Long] = byNode.keysIterator.map(n => n -> n).toMap
       (1 to rounds).foreach { _ =>
@@ -752,8 +790,7 @@ object Graph {
     val bfsProbe = probeCollect(undRaw.select(col("u"), col("v")), driverEdgeMax * 2)
     if (bfsProbe.isDefined) {
       import spark.implicits._
-      val es = bfsProbe.get
-        .map(r => (r.getLong(0), r.getLong(1)))
+      val es = pairsOf(bfsProbe.get)
       if (es.isEmpty) return spark.emptyDataset[(Long, Long)]
         .toDF("hop", "n_nodes")
       val adj = es.groupBy(_._1).map { case (u, nb) => u -> nb.map(_._2) }

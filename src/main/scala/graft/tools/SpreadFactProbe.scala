@@ -43,6 +43,43 @@ object SpreadFactProbe {
     ab("q_abc",
       graft.ext.Aggregates.abcClassification(rd("lineitem")),
       graft.ext.Aggregates.abcClassification(graft.Tables.spread(rd("lineitem"))))
+    ab("q_tpch_q5",
+      graft.ext.Aggregates.localSupplierVolume(
+        rd("customer"), rd("orders"), rd("lineitem"),
+        rd("supplier"), rd("nation"), rd("region")),
+      graft.ext.Aggregates.localSupplierVolume(
+        rd("customer"), rd("orders"), graft.Tables.spread(rd("lineitem")),
+        rd("supplier"), rd("nation"), rd("region")))
+    ab("q_tpch_q9",
+      graft.ext.Tpch.q9ProductProfit(rd("part"), rd("supplier"),
+        rd("lineitem"), rd("orders"), rd("nation")),
+      graft.ext.Tpch.q9ProductProfit(rd("part"), rd("supplier"),
+        graft.Tables.spread(rd("lineitem")), rd("orders"), rd("nation")))
+    ab("q_tpch_q21",
+      graft.ext.Tpch.q21WaitingSuppliers(rd("supplier"), rd("lineitem"), rd("orders")),
+      graft.ext.Tpch.q21WaitingSuppliers(rd("supplier"),
+        graft.Tables.spread(rd("lineitem")), rd("orders")))
+    ab("q_elasticity",
+      graft.ext.Aggregates.priceElasticity(rd("lineitem"), rd("part")),
+      graft.ext.Aggregates.priceElasticity(
+        graft.Tables.spread(rd("lineitem")), rd("part")))
+    ab("q_winsorize",
+      graft.ext.Aggregates.winsorizedMean(rd("lineitem"), "l_extendedprice", "l_returnflag"),
+      graft.ext.Aggregates.winsorizedMean(
+        graft.Tables.spread(rd("lineitem")), "l_extendedprice", "l_returnflag"))
+    ab("q_zscore",
+      graft.ext.Aggregates.zscoreNormalize(rd("lineitem"), "l_returnflag", "l_quantity"),
+      graft.ext.Aggregates.zscoreNormalize(
+        graft.Tables.spread(rd("lineitem")), "l_returnflag", "l_quantity"))
+    ab("q_decile_lift",
+      graft.ext.Aggregates.decileLift(rd("customer"), rd("orders")),
+      graft.ext.Aggregates.decileLift(rd("customer"), graft.Tables.spread(rd("orders"))))
+    ab("q_percentile_ladder",
+      graft.ext.Aggregates.customerSpendPercentiles(rd("orders")),
+      graft.ext.Aggregates.customerSpendPercentiles(graft.Tables.spread(rd("orders"))))
+    ab("q_peak_concurrency",
+      graft.ext.Events.peakConcurrency(rd("events")),
+      graft.ext.Events.peakConcurrency(graft.Tables.spread(rd("events"))))
     spark.stop()
   }
 }
