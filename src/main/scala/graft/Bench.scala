@@ -57,11 +57,36 @@ object Bench {
     // resolve to 0, which Spark rejects as a shuffle-partition count
     val volumeSized =
       math.max(1, math.max(cpus.toInt / 4, (dirBytes / (64L << 20)).toInt)).toString
-    // Dev-only experiment knobs (committed artifacts always use the
-    // defaults): decouple shuffle partitions from the volume rule, and
-    // allow timing the AQE loop's own overhead on sub-second queries.
+    // Dev-only experiment knob (committed artifacts always use the
+    // default): decouple shuffle partitions from the volume rule.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", volumeSized)
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // AQE by INPUT VOLUME, same derivation discipline as the
+    // shuffle-partition rule above (r11, measured). AQE's levers —
+    // partition coalescing, skew-join splits, runtime SMJ->BHJ — all act
+    // on shuffles of real volume, and its price is structural: every
+    // Exchange becomes a separately-materialized query stage (one extra
+    // job submission + driver re-optimization round per stage, measured
+    // 40-70ms/wave via tools/StageWaterfall — q_hhi runs 8 jobs for a
+    // 25-row report). Below ~1 GiB of total input every shuffle in the
+    // suite is KB-scale, so there is nothing for AQE's levers to win
+    // back: interleaved same-JVM A/B over all 305 queries
+    // (tools/InterleavedAB, both sides exposed to the same ambient load)
+    // measured AQE off = -24.0s of 175.1s (-13.7%); a 14-query re-probe
+    // of the apparent regressors at 5 pairs confirmed every one was
+    // weather, not effect (worst true regression: q_tpch_q15 +0.06s).
+    // At sf1 (158 MB, tools/ScaleUp) the heavy-20 A/B still nets -3.5s
+    // for off — but the components have started to flip: q_hits'
+    // iterative join loop pays the largest AQE tax (-3.8s off: one
+    // re-optimization round per stage per iteration), while
+    // d_containment is the first query where AQE's levers WIN at volume
+    // (+4.0s off: the posting-list join wants runtime splits once hot
+    // shingles carry real bytes). The crossover therefore sits above
+    // the measured fixtures; 1 GiB keeps AQE off through the regime
+    // where the tax is proven and on where shuffles carry real bytes
+    // (skew, mis-estimated joins — not re-derivable statically).
+    // SPARK_GRAFT_AQE overrides either way for A/B runs.
+    val aqeDefault = if (dirBytes >= (1L << 30)) "true" else "false"
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", aqeDefault)
     // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — arbitrary conf overrides for
     // A/B runs (e.g. AQE coalesce policy sweeps).
     val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")

@@ -22,6 +22,11 @@ object StageWaterfall {
       .config("spark.local.dir", graft.Scratch.dir())
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional conf overrides for A/B runs: GRAFT_PROBE_CONF="k=v;k=v"
+    sys.env.getOrElse("GRAFT_PROBE_CONF", "").split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('='); spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
     def exec(): Unit =
       graft.SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
