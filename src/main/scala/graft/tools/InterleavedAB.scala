@@ -36,12 +36,21 @@ object InterleavedAB {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // match the bench's sf0.1 default (volume-derived AQE resolves
+      // to off below 1 GiB) so A/B deltas transfer to the graded leg
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // session-wide BASE confs applied to BOTH sides (sbt runMain args
+    // cannot carry ';'-joined lists — sbt treats ';' as a command
+    // separator — so base confs ride an env var instead)
+    sys.env.getOrElse("GRAFT_AB_BASECONF", "").split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('='); spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
     val aConfs = bConfs.map { case (k, _) =>
       (k, scala.util.Try(spark.conf.get(k)).toOption)
     }

@@ -35,6 +35,22 @@ object PlanPhaseProbe {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
+    // GRAFT_PROBE_WRITE=true: measure the phases of the WRITE command's
+    // QueryExecution (what the bench actually times — the noop write
+    // wraps the query in a command and replans the whole tree; the bare
+    // df's tracker never sees that second pass).
+    val writeMode = sys.env.getOrElse("GRAFT_PROBE_WRITE", "false") == "true"
+    val lastPhases = new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
+    if (writeMode)
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          lastPhases.set(qe.tracker.phases.map { case (k, v) =>
+            (k, (v.endTimeMs - v.startTimeMs) / 1000.0)
+          })
+        override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
     // Warm pass: first plan of a session pays one-time costs (function
     // registry, scan-cache fill, codegen compiler init) that would
     // otherwise land on the alphabetically-first query.
@@ -51,10 +67,22 @@ object PlanPhaseProbe {
         val trials = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           val df = graft.SparkEntry.queries(n)(spark, dir)
-          df.queryExecution.executedPlan
-          val wall = (System.nanoTime() - t0) / 1e9
-          val ph = df.queryExecution.tracker.phases.map { case (k, v) =>
-            (k, (v.endTimeMs - v.startTimeMs) / 1000.0)
+          val (wall, ph) = if (writeMode) {
+            lastPhases.set(null)
+            df.write.mode("overwrite").format("noop").save()
+            val w = (System.nanoTime() - t0) / 1e9
+            // the QueryExecutionListener bus is async; poll briefly
+            var waited = 0
+            while (lastPhases.get() == null && waited < 2000) {
+              Thread.sleep(5); waited += 5
+            }
+            (w, Option(lastPhases.get()).getOrElse(Map.empty[String, Double]))
+          } else {
+            df.queryExecution.executedPlan
+            val w = (System.nanoTime() - t0) / 1e9
+            (w, df.queryExecution.tracker.phases.map { case (k, v) =>
+              (k, (v.endTimeMs - v.startTimeMs) / 1000.0)
+            })
           }
           (wall, ph)
         }

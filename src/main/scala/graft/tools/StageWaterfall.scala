@@ -27,6 +27,20 @@ object StageWaterfall {
       .foreach { kv =>
         val i = kv.indexOf('='); spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
       }
+    // Tracker phases of the WRITE command's own QueryExecution (the
+    // noop write wraps the query in a command and replans it — the
+    // bare df's tracker does not see that cost).
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val ph = qe.tracker.phases.map { case (k, v) =>
+          s"$k=${v.endTimeMs - v.startTimeMs}ms"
+        }.mkString(" ")
+        println(f"[waterfall] QE $fn dur=${durationNs / 1e9}%.3f phases: $ph")
+      }
+      override def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    })
     def exec(): Unit =
       graft.SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
